@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-checked loaders for the driver-generated testdata tables.
+  *
+  * The reference engine (andb/catalog/class_.py, andb/storage/engines/heap/
+  * relation.py) resolves tables through a catalog onto heap files; on Spark
+  * the catalog is the parquet directory and the "heap" is columnar parquet,
+  * which gives us column pruning + predicate pushdown for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong so
+    * it surfaces as nanos-since-epoch, converted here to a microsecond
+    * timestamp (integer `div` — a double division would lose precision
+    * above 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

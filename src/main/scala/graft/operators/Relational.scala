@@ -1,0 +1,407 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The reference engine's relational surface, re-expressed Spark-first.
+  *
+  * Reference (wotchin/AnDB): logical operators in
+  * andb/executor/operator/logical.py:210-361 (Projection, Selection, Join,
+  * Group, Scan, Sort, DuplicateRemoval, Limit, Union/Intersect/Except),
+  * physical operators in andb/executor/operator/physical/select.py:47-893
+  * (Filter, TableScan/IndexScan, NestedLoopJoin/HashJoin/SortMergeJoin,
+  * HashAggregation/SortAggregation, Sort, Limit), expression surface in
+  * andb/sql/parser/lexer.py:11-131 (LIKE, IN, BETWEEN, CASE, CAST, ||,
+  * window OVER/PARTITION BY, set ops, arithmetic incl. %).
+  *
+  * Design: every query is a declarative DataFrame plan — Catalyst supplies
+  * pushdown, pruning, join selection (broadcast vs shuffle), partial
+  * aggregation, and whole-stage codegen. No collect(), no UDFs, no RDDs.
+  * At 100 TB: fact-fact joins hash-partition on join keys (AQE re-plans
+  * skew), fact-dim joins broadcast explicitly, and every aggregate here is
+  * map-side-combinable.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** name -> (dataframe query, oracle SQL for DuckDB on the same tables) */
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- scan / filter / project -------------------------------------
+    ("q01_scan_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 10 && col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+              WHERE l_quantity < 10 AND l_shipdate >= TIMESTAMP '1998-01-01'""")),
+
+    ("q02_predicates",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+          && col("c_acctbal").between(0, 5000)
+          && col("c_name").like("%5%")
+          && !(col("c_nationkey") === 3)
+          && col("c_name").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+                AND c_acctbal BETWEEN 0 AND 5000
+                AND c_name LIKE '%5%'
+                AND NOT (c_nationkey = 3)
+                AND c_name IS NOT NULL""")),
+
+    // ---- aggregation --------------------------------------------------
+    ("q03_agg_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_tax")).as("max_tax"))
+        .filter(col("cnt") > 100),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price,
+                     min(l_discount) AS min_disc, max(l_tax) AS max_tax
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              HAVING count(*) > 100""")),
+
+    ("q04_agg_global",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
+                     sum(l_quantity) AS sum_qty, avg(l_discount) AS avg_disc,
+                     min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+              FROM lineitem""")),
+
+    // ---- sort / limit / offset / distinct -----------------------------
+    ("q05_sort_limit",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100 OFFSET 10""")),
+
+    ("q06_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ---- joins --------------------------------------------------------
+    // Fact-fact equi-join: shuffle-partitioned on the join key; AQE picks
+    // SMJ/SHJ and handles skew at scale.
+    ("q07_join_hash",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+                     sum(l_extendedprice * (1 - l_discount)) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority""")),
+
+    // Fact-dim: dims broadcast explicitly — no shuffle of the fact side.
+    ("q08_join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("total_bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name""")),
+
+    ("q09_join_left",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(sum(col("o_totalprice")), lit(0.0)).as("spent")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+                     coalesce(sum(o_totalprice), 0.0) AS spent
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey""")),
+
+    ("q10_join_right",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"), "right")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_supp")),
+      Some("""SELECT n_name, count(s_suppkey) AS n_supp
+              FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name""")),
+
+    ("q11_join_full",
+      (s, d) => {
+        val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val p = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+        c.join(p, Seq("nk"), "full")
+          .select(col("nk"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT coalesce(c.nk, p.nk) AS nk,
+                     coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+              FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+              FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+                         WHERE s_acctbal < 0 GROUP BY 1) p
+              ON c.nk = p.nk""")),
+
+    ("q12_join_cross",
+      (s, d) => Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    ("q13_join_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""")),
+
+    ("q14_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""")),
+
+    // ---- set operations ----------------------------------------------
+    ("q15_union_all",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n")),
+      Some("""SELECT nk, count(*) AS n FROM (
+                SELECT c_nationkey AS nk FROM customer
+                UNION ALL SELECT s_nationkey AS nk FROM supplier)
+              GROUP BY nk""")),
+
+    ("q16_union",
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") < -900)
+        .select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).filter(col("s_acctbal") < -900)
+          .select(col("s_nationkey").as("nk")))
+        .distinct(),
+      Some("""SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -900
+              UNION SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < -900""")),
+
+    ("q17_intersect",
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") < -500)
+        .select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).filter(col("s_acctbal") < -500)
+          .select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -500
+              INTERSECT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < -500""")),
+
+    ("q18_except",
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") < -500)
+        .select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).filter(col("s_acctbal") < -500)
+          .select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -500
+              EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < -500""")),
+
+    // ---- expressions: CASE / CAST / || / % ----------------------------
+    ("q19_case_cast",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") >= 400000, "high")
+          .when(col("o_totalprice") >= 150000, "mid")
+          .otherwise("low").as("bucket"),
+        concat(lit("O"), col("o_orderkey").cast("string")).as("okey_str"),
+        floor(col("o_totalprice")).cast("long").as("floor_price"),
+        (col("o_orderkey") % 7).as("key_mod")),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_totalprice >= 400000 THEN 'high'
+                          WHEN o_totalprice >= 150000 THEN 'mid'
+                          ELSE 'low' END AS bucket,
+                     'O' || CAST(o_orderkey AS VARCHAR) AS okey_str,
+                     CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+                     o_orderkey % 7 AS key_mod
+              FROM orders""")),
+
+    // ---- window functions ---------------------------------------------
+    ("q20_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                  col("rn"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER w AS rn, rank() OVER w AS rnk
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC))
+              WHERE rn <= 3""")),
+
+    ("q21_window_agg",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_spend"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     sum(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend,
+                     lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+              FROM orders""")),
+
+    // ---- CTE / subqueries ---------------------------------------------
+    ("q22_cte",
+      (s, d) => {
+        val custTot = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")).as("total"))
+        Tables.customer(s, d)
+          .join(custTot, col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"), avg(col("total")).as("avg_spend"))
+      },
+      Some("""WITH cust_tot AS (
+                SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey)
+              SELECT c_mktsegment, count(*) AS n_cust, avg(total) AS avg_spend
+              FROM customer JOIN cust_tot ON c_custkey = o_custkey
+              GROUP BY c_mktsegment""")),
+
+    // Scalar subquery without collect(): 1-row aggregate broadcast-joined.
+    ("q23_scalar_subquery",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgTp = o.agg(avg(col("o_totalprice")).as("avg_tp"))
+        o.crossJoin(broadcast(avgTp))
+          .filter(col("o_totalprice") > col("avg_tp") * 1.9)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)""")),
+
+    // ---- multi-way star join (TPC-H Q5 shape) -------------------------
+    ("q24_multijoin",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")),
+      Some("""SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY n_name""")),
+
+    // ---- flagship aggregation (TPC-H Q1 shape) ------------------------
+    ("q25_tpch_q1",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     sum(l_extendedprice) AS sum_base_price,
+                     sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                     sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                     avg(l_quantity) AS avg_qty,
+                     avg(l_extendedprice) AS avg_price,
+                     avg(l_discount) AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- DML semantics as plan rewrites (see Dml.scala) ---------------
+    ("q26_dml_insert",
+      (s, d) => Dml.insert(Tables.region(s, d),
+        Seq((5, "CYBER"), (6, "MOON")), s),
+      Some("""SELECT r_regionkey, r_name FROM region
+              UNION ALL SELECT * FROM (VALUES (5, 'CYBER'), (6, 'MOON')) t(r_regionkey, r_name)""")),
+
+    ("q27_dml_delete",
+      (s, d) => Dml.delete(Tables.nation(s, d), col("n_regionkey") === 2),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey IS DISTINCT FROM 2")),
+
+    ("q28_dml_update",
+      (s, d) => Dml.update(Tables.supplier(s, d), col("s_acctbal") < 0,
+        Map("s_acctbal" -> (col("s_acctbal") * 1.1))),
+      Some("""SELECT s_suppkey, s_name,
+                     CASE WHEN s_acctbal < 0 THEN s_acctbal * 1.1 ELSE s_acctbal END AS s_acctbal,
+                     s_nationkey
+              FROM supplier""")),
+
+    // ---- table-function scan (FunctionScan analog) --------------------
+    ("q29_explode",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n")),
+      Some("""SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE doc_id < 50)
+              GROUP BY word""")),
+
+    ("q30_having_expr",
+      (s, d) => Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("p_retailprice")).as("tot_price"))
+        .filter(col("n_parts") > 50 && col("tot_price") > 40000),
+      Some("""SELECT p_brand, count(*) AS n_parts, sum(p_retailprice) AS tot_price
+              FROM part GROUP BY p_brand
+              HAVING count(*) > 50 AND sum(p_retailprice) > 40000""")),
+
+    // ---- semi-structured: JSON props on the events stream table -------
+    ("q31_json",
+      (s, d) => Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+                col("value"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")),
+      Some("""SELECT CAST(props->>'$.k' AS INTEGER) AS k_val, count(*) AS n,
+                     sum("value") AS sum_value
+              FROM events GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran (or runs
+it with --run). Loads each <outDir>/<name> parquet, runs the matching
+oracle SQL in DuckDB against the sfDir tables, and compares:
+  - schema (sorted column names)
+  - row count
+  - values: rows sorted, floats compared exactly AND with 1e-9 rel tol
+so we can see whether a float hash-mismatch risk exists before the driver
+does.
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def rows_key(r):
+    return tuple((x is None, str(x)) for x in r)
+
+
+def close(a, b):
+    if a is None or b is None:
+        return a is b or a == b
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    if "--run" in sys.argv:
+        subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", check=True)
+
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_noora = 0
+    for pq in sorted(out_dir.iterdir()):
+        if not pq.is_dir():
+            continue
+        name = pq.name
+        got = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+        got_cols = [d[0] for d in got.description]
+        got_rows = got.fetchall()
+        if name not in oracle:
+            n_noora += 1
+            print(f"  ~ {name}: no oracle (rows-only) rows={len(got_rows)}")
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            n_fail += 1
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            continue
+        ok = True
+        if sorted(got_cols) != sorted(exp_cols):
+            ok = False
+            print(f"  ✗ {name}: schema mismatch got={sorted(got_cols)} exp={sorted(exp_cols)}")
+        elif len(got_rows) != len(exp_rows):
+            ok = False
+            print(f"  ✗ {name}: rowcount got={len(got_rows)} exp={len(exp_rows)}")
+        else:
+            # align column order by sorted name
+            gi = [got_cols.index(c) for c in sorted(got_cols)]
+            ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+            g = sorted([tuple(r[i] for i in gi) for r in got_rows], key=rows_key)
+            e = sorted([tuple(r[i] for i in ei) for r in exp_rows], key=rows_key)
+            exact = g == e
+            fuzzy = all(all(close(a, b) for a, b in zip(rg, re)) for rg, re in zip(g, e))
+            if exact:
+                pass
+            elif fuzzy:
+                print(f"  ! {name}: exact-hash differs, fuzzy-match OK (float ulp) rows={len(g)}")
+            else:
+                ok = False
+                bad = next((rg, re) for rg, re in zip(g, e)
+                           if not all(close(a, b) for a, b in zip(rg, re)))
+                print(f"  ✗ {name}: VALUE mismatch e.g. got={bad[0]} exp={bad[1]}")
+        if ok:
+            n_pass += 1
+            print(f"  ✓ {name} rows={len(got_rows)}")
+        else:
+            n_fail += 1
+    print(f"PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noora}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
