@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import org.apache.spark.sql.graft.VectorExpressions.{cosine, dot, hyperplaneSig, l2norm}
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * The reference exposes a `vector` column type and a cosine builtin
+  * (andb/catalog/type.py:237, andb/catalog/buitin_functions.py:3) but
+  * searches it with a serial scan. Here:
+  *   - v02 is the exact distributed path: map-side cosine against a
+  *     broadcast query vector, then a distributed top-k (TakeOrdered —
+  *     each partition keeps k, driver merges k·partitions rows, never the
+  *     full table).
+  *   - v03 is the scale path: random-hyperplane LSH bucketing. The
+  *     signature is computed by a codegen'd expression with hash-derived
+  *     hyperplanes, so index build is a single narrow scan (no broadcast
+  *     model state), and probing touches only matching buckets. Recall is
+  *     probabilistic → verified by ScalaTest against v02, not the SQL
+  *     oracle.
+  * At 100 TB: v02's per-partition top-k is shuffle-free; v03 turns the
+  * scan into a partition-pruned bucket lookup if the table is written
+  * bucketed/partitioned by signature band.
+  */
+object Ann {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def queryVec(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Pairwise cosine via the codegen'd native expression.
+    ("v01_cosine_pairs",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+          .filter(col("a_id") < 30)
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("cos_sim"))
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 30""")),
+
+    // Exact brute-force top-k: broadcast 1-row query, distributed top-k.
+    ("v02_knn_bruteforce",
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(20),
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS cos_sim
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""")),
+
+    // LSH-bucketed ANN: 8-bit hyperplane signature = 256 buckets; probe
+    // the query's bucket plus all hamming-1 neighbors (multiprobe).
+    // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
+    ("v03_knn_lsh",
+      (s, d) => {
+        val bits = 8
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", hyperplaneSig(col("embedding"), bits))
+        val probes = queryVec(s, d)
+          .withColumn("qb", hyperplaneSig(col("qv"), bits))
+          .select(col("qv"), explode(array(
+            (col("qb") +: (0 until bits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*
+          )).as("bucket"))
+        e.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      None),
+
+    // Norms + dot products: native expressions next to the HOF
+    // composition (zip_with/aggregate) the built-in surface offers.
+    ("v04_vector_norm",
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(
+          col("vec_id"),
+          l2norm(col("embedding")).as("norm"),
+          dot(col("embedding"), col("embedding")).as("dot_self"),
+          aggregate(
+            zip_with(col("embedding"), col("embedding"),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("dot_hof")),
+      Some("""SELECT vec_id,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+                     list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dot_self,
+                     list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dot_hof
+              FROM embeddings WHERE vec_id < 50"""))
+  )
+}

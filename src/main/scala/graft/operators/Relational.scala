@@ -26,6 +26,15 @@ import graft.Tables
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic truncation to a fixed grid for float aggregates whose
+    * exact bits depend on summation order (Spark and DuckDB associate
+    * differently; measured drift ≤ 3e-9 abs). floor(x*k+0.5)/k (round-half-up, boundary offset from the
+    * data's own cent grid) is IEEE-
+    * identical on both engines for equal inputs, so the driver's
+    * hash-compare is stable; mirrored as FLOOR(x*k)/k in the oracle SQL. */
+  private def cents(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+  private def micro(c: org.apache.spark.sql.Column) = floor(c * 1000000 + 0.5) / 1000000
+
   /** name -> (dataframe query, oracle SQL for DuckDB on the same tables) */
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
@@ -75,11 +84,12 @@ object Relational {
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_partkey")).as("n_parts"),
           sum(col("l_quantity")).as("sum_qty"),
-          avg(col("l_discount")).as("avg_disc"),
+          micro(avg(col("l_discount"))).as("avg_disc"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship")),
       Some("""SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
-                     sum(l_quantity) AS sum_qty, avg(l_discount) AS avg_disc,
+                     sum(l_quantity) AS sum_qty,
+                     FLOOR(avg(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc,
                      min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
               FROM lineitem""")),
 
@@ -128,9 +138,9 @@ object Relational {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(sum(col("o_totalprice")), lit(0.0)).as("spent")),
+             cents(coalesce(sum(col("o_totalprice")), lit(0.0))).as("spent")),
       Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-                     coalesce(sum(o_totalprice), 0.0) AS spent
+                     FLOOR(coalesce(sum(o_totalprice), 0.0) * 100 + 0.5) / 100 AS spent
               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
               GROUP BY c_custkey""")),
 
@@ -263,15 +273,15 @@ object Relational {
           .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         Tables.orders(s, d).select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          cents(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("run_spend"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-                     sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     FLOOR(sum(o_totalprice) OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate ASC, o_orderkey ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS run_spend,
                      lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
               FROM orders""")),
@@ -284,11 +294,12 @@ object Relational {
         Tables.customer(s, d)
           .join(custTot, col("c_custkey") === col("o_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_cust"), avg(col("total")).as("avg_spend"))
+          .agg(count(lit(1)).as("n_cust"), cents(avg(col("total"))).as("avg_spend"))
       },
       Some("""WITH cust_tot AS (
                 SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey)
-              SELECT c_mktsegment, count(*) AS n_cust, avg(total) AS avg_spend
+              SELECT c_mktsegment, count(*) AS n_cust,
+                     FLOOR(avg(total) * 100 + 0.5) / 100 AS avg_spend
               FROM customer JOIN cust_tot ON c_custkey = o_custkey
               GROUP BY c_mktsegment""")),
 
@@ -317,8 +328,9 @@ object Relational {
           && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")),
-      Some("""SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue")),
+      Some("""SELECT n_name,
+                     FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
               FROM customer, orders, lineitem, supplier, nation, region
               WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
                 AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -1,0 +1,206 @@
+// Catalyst extension expressions live under org.apache.spark.sql (the
+// same convention Sedona / spark-nlp use) because ExpectsInputTypes and
+// the Column<->Expression bridge are private[sql] in Spark 4.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector math over `Array[Float]` columns.
+  *
+  * The reference ships a Python `cosine_distance` builtin over its `vector`
+  * type (andb/catalog/buitin_functions.py:3-12, andb/catalog/type.py:237).
+  * Here the same semantics compile into whole-stage codegen: a tight Java
+  * loop over the parquet-decoded float array — no boxing, no Scala UDF
+  * call boundary, SIMD-friendly. At 100 TB the vector kernels are the
+  * innermost loop of every ANN/dedup scan, so staying inside codegen is
+  * the difference between compute-bound and allocation-bound.
+  */
+object VectorExpressions {
+
+  /** dot / norms accumulated in double (float inputs), one pass. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+        s"""
+          int $n = $x.numElements() < $y.numElements() ? $x.numElements() : $y.numElements();
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = (double) $x.getFloat($i);
+            double $yi = (double) $y.getFloat($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        """
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+        s"""
+          int $n = $x.numElements() < $y.numElements() ? $x.numElements() : $y.numElements();
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+          }
+          ${ev.value} = $dot;
+        """
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_l2norm"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0.0; var i = 0
+      while (i < x.numElements()) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i"); val s = ctx.freshName("s"); val v = ctx.freshName("v")
+        s"""
+          double $s = 0.0;
+          for (int $i = 0; $i < $x.numElements(); $i++) {
+            double $v = (double) $x.getFloat($i); $s += $v * $v;
+          }
+          ${ev.value} = java.lang.Math.sqrt($s);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
+    * against deterministic pseudo-random hyperplanes (hash-derived, so the
+    * same signature is computed identically on every executor with zero
+    * broadcast state). Bit b of the result = sign(sum_i h(b,i) * x_i)
+    * where h is a cheap integer mix mapped to [-0.5, 0.5). */
+  case class HyperplaneSignature(child: Expression, bits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "graft_hyperplane_sig"
+
+    @inline private def mix(b: Int, i: Int): Double = {
+      var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var sig = 0L; var b = 0
+      while (b < bits) {
+        var s = 0.0; var i = 0
+        while (i < x.numElements()) { s += mix(b, i) * x.getFloat(i); i += 1 }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val b = ctx.freshName("b"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val z = ctx.freshName("z"); val sig = ctx.freshName("sig")
+        s"""
+          long $sig = 0L;
+          for (int $b = 0; $b < $bits; $b++) {
+            double $s = 0.0;
+            for (int $i = 0; $i < $x.numElements(); $i++) {
+              long $z = (long) $b * 0x9E3779B97F4A7C15L + (long) $i * 0xC2B2AE3D27D4EB4FL;
+              $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+              $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+              $z = $z ^ ($z >>> 31);
+              $s += (($z >>> 11) / (double) (1L << 53) - 0.5) * $x.getFloat($i);
+            }
+            if ($s >= 0) $sig |= (1L << $b);
+          }
+          ${ev.value} = $sig;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-level API ------------------------------------------------
+  private def mk(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def cosine(a: Column, b: Column): Column = mk(CosineSimilarity(ex(a), ex(b)))
+  def dot(a: Column, b: Column): Column = mk(DotProduct(ex(a), ex(b)))
+  def l2norm(a: Column): Column = mk(L2Norm(ex(a)))
+  def hyperplaneSig(a: Column, bits: Int): Column = mk(HyperplaneSignature(ex(a), bits))
+
+  /** SQL registration (idempotent) so `spark.sql("... graft_cosine(a,b) ...")`
+    * works on any session, mirroring the reference's function catalog
+    * (andb/catalog/function.py:72 register_builtin_function). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    def info(name: String) = new ExpressionInfo(getClass.getCanonicalName, name)
+    reg.createOrReplaceTempFunction("graft_cosine",
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2norm",
+      (es: Seq[Expression]) => L2Norm(es(0)), "scala_udf")
+    val _ = info("graft_cosine") // keep ExpressionInfo construction exercised
+  }
+}
