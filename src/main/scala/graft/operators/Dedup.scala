@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import org.apache.spark.sql.graft.VectorExpressions.cosine
+
+/** Deduplication over the `documents` table — the training-data-pipeline
+  * surface the reference lacks, designed for the 100 TB regime.
+  *
+  * Strategy ladder (all shuffle budgets relative to corpus size n):
+  *   d01 exact       — one hash-groupBy; map-side combine; O(n).
+  *   d02 MinHash-LSH — the only all-pairs-free near-dup path: shingle →
+  *                     32 minhashes (one shuffle of exploded shingles with
+  *                     partial min) → 8 bands × 4 rows → candidates =
+  *                     band-bucket self-join → exact Jaccard verify on
+  *                     candidates only. Candidate volume ~O(n·dup_rate).
+  *   d03 SimHash     — 64-bit signature; hamming ≤ 3 pairs found via
+  *                     4×16-bit band join (pigeonhole: ≤3 differing bits
+  *                     leave ≥1 of 4 bands identical) — never O(n²).
+  *   d04 exact ngram — inverted-index shingle self-join: exact pair
+  *                     Jaccard without materializing non-overlapping
+  *                     pairs. The correctness baseline for d02.
+  *   d05 embedding   — cosine near-dup pairs with the codegen'd
+  *                     CosineSimilarity kernel; LSH bucketing (v03) is
+  *                     the scale path, exact all-pairs here is the oracle-
+  *                     checkable baseline.
+  *
+  * Reference surface being generalized: AnDB's DISTINCT / DuplicateRemoval
+  * (andb/executor/operator/logical.py:298, physical/select.py:766) only
+  * removes exact duplicate tuples; near-dup semantics are new capability.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingle array (distinct), guarded for short docs. All
+    * higher-order-function composition — stays in whole-stage codegen. */
+  private def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array_distinct(array(text)))
+  }
+
+  /** doc_id + distinct shingle array. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** Shared DuckDB CTE computing exact pairwise Jaccard via an inverted
+    * shingle index (mirrors the Spark plan shape exactly). */
+  private val oracleShingleJaccard: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jacs AS (SELECT ia, ib, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+      |""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- d01: exact dedup by content hash -----------------------------
+    // The corpus has no byte-identical texts, so the operator is shown on
+    // a re-crawl-style input: base ∪ every 10th doc re-ingested under a
+    // new id. One hash-groupBy, map-side combinable, O(n) at any scale.
+    ("d01_dedup_exact",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val recrawl = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        base.union(recrawl)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+          .filter(col("n_copies") > 1)
+      },
+      Some("""WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+              SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                     min(doc_id) AS keeper_id
+              FROM corpus GROUP BY md5(text) HAVING count(*) > 1""")),
+
+    // ---- d02: MinHash-LSH candidates + exact verify -------------------
+    ("d02_dedup_minhash",
+      (s, d) => {
+        val nHashes = 32; val bands = 8; val rows = 4
+        val sh = shingled(s, d)
+        val exploded = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+        // 32 minhashes in ONE aggregation pass (partial min map-side).
+        val mins = exploded.groupBy(col("doc_id")).agg(
+          min(xxhash64(lit(0), col("sg"))).as("mh0"),
+          (1 until nHashes).map(k => min(xxhash64(lit(k), col("sg"))).as(s"mh$k")): _*)
+        // 8 band signatures, exploded to (doc_id, band, sig).
+        val bandCols = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows).map(k => col(s"mh$k")): _*).as("sig"))
+        }
+        val buckets = mins.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cands = buckets.as("a").join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        // Exact Jaccard verify on candidates only.
+        val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+        val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+        cands.join(sa, "a_id").join(sb, "b_id")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("inter")))
+          .filter(col("jac") >= 0.9)
+          .select(col("a_id"), col("b_id"), col("jac"))
+      },
+      // Oracle = exact all-pairs Jaccard ≥ 0.9 (LSH banding at 8×4 has
+      // miss probability < 1e-8 per true pair at jac ≥ 0.95; the corpus'
+      // planted dups sit at ≈ 0.98 with nothing between 0.2 and 0.9).
+      Some(s"""WITH $oracleShingleJaccard
+               SELECT ia AS a_id, ib AS b_id, jac FROM jacs WHERE jac >= 0.9""")),
+
+    // ---- d03: SimHash hamming-≤k pairs (rows-only: signature internals
+    // are engine-specific; validated against d02/d04 in DedupSpec) -------
+    ("d03_dedup_simhash",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val exploded = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+          .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+        // 64-bit SimHash: per bit, sum of ±1 votes across shingle hashes;
+        // expressed as 64 conditional sums in one aggregation pass.
+        val bitSums = exploded.groupBy(col("doc_id")).agg(
+          sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("s0"),
+          (1 until 64).map(k =>
+            sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"s$k")): _*)
+        val sig = bitSums.select(col("doc_id"),
+          (0 until 64).map(k =>
+            when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))).reduce(_.bitwiseOR(_)).as("sig"))
+        // Hamming ≤ 3 via 4×16-bit band join (pigeonhole guarantees a
+        // shared band), then exact popcount filter.
+        val banded = sig.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bs"))
+          .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bv"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+      },
+      None),
+
+    // ---- d04: exact n-gram Jaccard scores (inverted index) ------------
+    ("d04_dedup_ngram",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+        val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
+        val inter = ex.as("a").join(ex.as("b"),
+            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("c"))
+        inter
+          .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jac") >= 0.2)
+          .select(col("a_id"), col("b_id"), col("jac"))
+      },
+      Some(s"""WITH $oracleShingleJaccard
+               SELECT ia AS a_id, ib AS b_id, jac FROM jacs WHERE jac >= 0.2""")),
+
+    // ---- d05: embedding-cosine near-dup pairs -------------------------
+    ("d05_dedup_embedding",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.45)
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""))
+  )
+}
