@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch twins of the streaming pipeline (graft.streaming.EventPipeline):
+  * event-time tumbling-window aggregation and gap-based sessionization
+  * over the `events` table.
+  *
+  * The reference has no event-time surface at all (its WINDOW/OVER tokens,
+  * andb/sql/parser/lexer.py:124-126, are row-frame windows) — this is new
+  * capability required by any training-data / telemetry pipeline.
+  *
+  * Scale notes: s01 is one hash-aggregate keyed on (hour, type) — partial
+  * map-side combine makes the shuffle carry only the group cardinality.
+  * s02's per-user window sort shuffles once on user_id; session assignment
+  * and the per-session rollup then reuse that partitioning (no second
+  * shuffle of the raw events). Timestamps are compared in epoch
+  * microseconds (unix_micros / epoch_us) so both engines agree bit-for-bit.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- s01: event-time tumbling window aggregation ------------------
+    ("s01_events_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             cents(sum(col("value"))).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("hour_start_us"),
+                col("event_type"), col("n_events"), col("sum_value")),
+      Some("""SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_start_us,
+                     event_type, count(*) AS n_events,
+                     FLOOR(sum(value) * 100 + 0.5) / 100 AS sum_value
+              FROM events GROUP BY 1, 2""")),
+
+    // ---- s02: gap-based sessionization (30-minute inactivity) ---------
+    ("s02_sessionize",
+      (s, d) => {
+        val gapUs = 1800L * 1000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val marked = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs || lag(col("ts_us"), 1).over(w).isNull, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        marked.groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts_us")).as("start_us"),
+               max(col("ts_us")).as("end_us"),
+               count(lit(1)).as("n_events"),
+               cents(sum(col("value"))).as("sum_value"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+              marked AS (SELECT user_id, event_id, value, ts_us,
+                           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) > 1800000000
+                                  OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) IS NULL
+                                THEN 1 ELSE 0 END AS new_sess
+                         FROM e),
+              sess AS (SELECT user_id, event_id, value, ts_us,
+                         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       FROM marked)
+              SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                     count(*) AS n_events, FLOOR(sum(value) * 100 + 0.5) / 100 AS sum_value
+              FROM sess GROUP BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over the `documents` table — language ID, quality
+  * scoring, token counting, fingerprinting. The training-data-pipeline
+  * surface beyond the reference's relational core.
+  *
+  * Every operator is a single narrow map-side pass (no shuffle until the
+  * caller aggregates): per-row higher-order-function compositions that stay
+  * inside whole-stage codegen. At 100 TB these run at parquet-scan speed —
+  * the scan is the bottleneck, which is the right shape.
+  *
+  * Determinism contract: each query's formula is mirrored token-for-token
+  * in the DuckDB oracle SQL (same tokenization, same tie-breaks, same IEEE
+  * operation order), so the driver's hash-compare is stable.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Language marker sets (stopword heuristic). The corpus vocabulary is
+    * synthetic, so the *mechanism* (per-language marker counting + argmax
+    * with fixed tie-break) is what the oracle checks — the same code on a
+    * real corpus with real stopword lists is the production path. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "la", "les", "de", "et"))
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def countIn(w: Column, set: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(set))).cast("long")
+
+  private def sqlCountIn(set: Seq[String]): String =
+    s"len(list_filter(w, x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- t01: language ID by marker-word scoring ----------------------
+    ("t01_langid",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("w"))
+        val scored = markers.foldLeft(base) { case (df, (lang, set)) =>
+          df.withColumn(s"${lang}_score", countIn(col("w"), set))
+        }
+        val Seq(en, de, es, fr) = Seq("en", "de", "es", "fr").map(l => col(s"${l}_score"))
+        scored.select(
+          col("doc_id"), en.as("en_score"), de.as("de_score"),
+          es.as("es_score"), fr.as("fr_score"),
+          when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
+            .when(en >= de && en >= es && en >= fr, "en")
+            .when(de >= es && de >= fr, "de")
+            .when(es >= fr, "es")
+            .otherwise("fr").as("pred_lang"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               sc AS (SELECT doc_id,
+                        ${sqlCountIn(markers(0)._2)} AS en_score,
+                        ${sqlCountIn(markers(1)._2)} AS de_score,
+                        ${sqlCountIn(markers(2)._2)} AS es_score,
+                        ${sqlCountIn(markers(3)._2)} AS fr_score
+                      FROM toks)
+               SELECT doc_id, en_score, de_score, es_score, fr_score,
+                      CASE WHEN en_score = 0 AND de_score = 0 AND es_score = 0 AND fr_score = 0 THEN 'und'
+                           WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+                           WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+                           WHEN es_score >= fr_score THEN 'es'
+                           ELSE 'fr' END AS pred_lang
+               FROM sc""")),
+
+    // ---- t02: quality scoring (length / diversity / stopword ratios) --
+    ("t02_quality",
+      (s, d) => {
+        val stop = markers.flatMap(_._2).distinct
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), words(col("text")).as("w"))
+          .select(col("doc_id"), col("n_chars"),
+            size(col("w")).cast("long").as("n_words"),
+            size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+            countIn(col("w"), stop).as("n_stop"))
+          .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
+            (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5
+              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+               c AS (SELECT doc_id, n_chars,
+                       len(w) AS n_words,
+                       len(list_distinct(w)) AS n_distinct,
+                       ${sqlCountIn(markers.flatMap(_._2).distinct)} AS n_stop
+                     FROM toks)
+               SELECT doc_id, n_chars, n_words, n_distinct,
+                      n_distinct * 1.0 / n_words AS ttr,
+                      n_stop * 1.0 / n_words AS stop_ratio,
+                      least(1.0, n_words * 1.0 / 100.0) * 0.5
+                        + (n_distinct * 1.0 / n_words) * 0.3
+                        + (1.0 - n_stop * 1.0 / n_words) * 0.2 AS quality
+               FROM c""")),
+
+    // ---- t03: token counting (whitespace + BPE-ish regex) -------------
+    ("t03_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .cast("long").as("word_tokens"),
+          // BPE-ish estimate: subword pieces of ≤4 chars per alnum run.
+          aggregate(
+            transform(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)),
+              t => ceil(length(t).cast("double") / 4.0).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("bpe_est")),
+      Some("""WITH m AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents)
+              SELECT doc_id,
+                     len(string_split((SELECT text FROM documents d2 WHERE d2.doc_id = m.doc_id), ' ')) AS ws_tokens,
+                     len(toks) AS word_tokens,
+                     list_sum(list_transform(toks, t -> CAST(ceil(len(t) * 1.0 / 4.0) AS BIGINT))) AS bpe_est
+              FROM m""")),
+
+    // ---- t04: winnowing-style document fingerprint --------------------
+    // Sliding 5-token windows, md5 each, fingerprint = lexicographic min
+    // (the winnowing min-hash idea with window = whole doc). One map-side
+    // pass; md5 is identical across engines so it is oracle-checkable.
+    ("t04_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"),
+          when(size(col("w")) >= 5,
+            transform(sequence(lit(1), size(col("w")) - 4),
+              i => md5(concat_ws(" ", slice(col("w"), i, lit(5))))))
+            .otherwise(array(md5(concat_ws(" ", col("w"))))).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_windows"),
+          array_min(col("fps")).as("fingerprint")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              fps AS (SELECT doc_id,
+                        CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                                 i -> md5(array_to_string(w[i:i+4], ' ')))
+                          ELSE [md5(array_to_string(w, ' '))] END AS fp
+                      FROM toks)
+              SELECT doc_id, len(fp) AS n_windows, list_min(fp) AS fingerprint
+              FROM fps"""))
+  )
+}
