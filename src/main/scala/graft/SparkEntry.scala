@@ -14,7 +14,7 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ Ann.defs ++ Dedup.defs ++ TextAnalysis.defs ++ Events.defs
+    Relational.defs ++ Ann.defs ++ Dedup.defs ++ TextAnalysis.defs ++ Events.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

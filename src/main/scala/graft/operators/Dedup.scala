@@ -1,30 +1,37 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import org.apache.spark.sql.graft.VectorExpressions.cosine
+import org.apache.spark.sql.graft.TextHash.{minHashSignature, shingleHashSet, simHash64}
 
 /** Deduplication over the `documents` table — the training-data-pipeline
   * surface the reference lacks, designed for the 100 TB regime.
   *
   * Strategy ladder (all shuffle budgets relative to corpus size n):
   *   d01 exact       — one hash-groupBy; map-side combine; O(n).
-  *   d02 MinHash-LSH — the only all-pairs-free near-dup path: shingle →
-  *                     32 minhashes (one shuffle of exploded shingles with
-  *                     partial min) → 8 bands × 4 rows → candidates =
-  *                     band-bucket self-join → exact Jaccard verify on
+  *   d02 MinHash-LSH — the only all-pairs-free near-dup path: one
+  *                     codegen'd pass computes 32 minhashes per doc, 8
+  *                     bands × 4 rows hash to buckets, candidates = band-
+  *                     bucket self-join, exact Jaccard verify on
   *                     candidates only. Candidate volume ~O(n·dup_rate).
-  *   d03 SimHash     — 64-bit signature; hamming ≤ 3 pairs found via
-  *                     4×16-bit band join (pigeonhole: ≤3 differing bits
-  *                     leave ≥1 of 4 bands identical) — never O(n²).
-  *   d04 exact ngram — inverted-index shingle self-join: exact pair
-  *                     Jaccard without materializing non-overlapping
-  *                     pairs. The correctness baseline for d02.
+  *   d03 SimHash     — 64-bit signature in one pass; hamming ≤ 3 pairs
+  *                     via 4×16-bit band join (pigeonhole: ≤3 differing
+  *                     bits leave ≥1 of 4 bands identical) — never O(n²).
+  *   d04 exact ngram — inverted-index self-join on 8-byte gram hashes:
+  *                     exact pair Jaccard without materializing non-
+  *                     overlapping pairs. The correctness baseline for d02.
   *   d05 embedding   — cosine near-dup pairs with the codegen'd
-  *                     CosineSimilarity kernel; LSH bucketing (v03) is
-  *                     the scale path, exact all-pairs here is the oracle-
+  *                     CosineSimilarity kernel; banded LSH (v03) is the
+  *                     scale path, exact all-pairs here is the oracle-
   *                     checkable baseline.
+  *
+  * All per-document text work (tokenize → gram → hash/signature) happens
+  * in single-pass native expressions (TextHashExpressions.scala) — one
+  * narrow map over the scan, no string shingles materialized, joins carry
+  * 8-byte longs. The DuckDB oracles compute the same set relations from
+  * string shingles; hash-vs-string equality holds modulo 2^-64 collisions.
   *
   * Reference surface being generalized: AnDB's DISTINCT / DuplicateRemoval
   * (andb/executor/operator/logical.py:298, physical/select.py:766) only
@@ -33,22 +40,8 @@ import org.apache.spark.sql.graft.VectorExpressions.cosine
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Word 3-gram shingle array (distinct), guarded for short docs. All
-    * higher-order-function composition — stays in whole-stage codegen. */
-  private def shingles(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array_distinct(array(text)))
-  }
-
-  /** doc_id + distinct shingle array. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
-
   /** Shared DuckDB CTE computing exact pairwise Jaccard via an inverted
-    * shingle index (mirrors the Spark plan shape exactly). */
+    * shingle index (the string-shingle mirror of the Spark plan shape). */
   private val oracleShingleJaccard: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
@@ -88,29 +81,26 @@ object Dedup {
     // ---- d02: MinHash-LSH candidates + exact verify -------------------
     ("d02_dedup_minhash",
       (s, d) => {
-        val nHashes = 32; val bands = 8; val rows = 4
-        val sh = shingled(s, d)
-        val exploded = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
-        // 32 minhashes in ONE aggregation pass (partial min map-side).
-        val mins = exploded.groupBy(col("doc_id")).agg(
-          min(xxhash64(lit(0), col("sg"))).as("mh0"),
-          (1 until nHashes).map(k => min(xxhash64(lit(k), col("sg"))).as(s"mh$k")): _*)
-        // 8 band signatures, exploded to (doc_id, band, sig).
-        val bandCols = (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rows until (b + 1) * rows).map(k => col(s"mh$k")): _*).as("sig"))
-        }
-        val buckets = mins.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val bands = 8; val rows = 4
+        // ONE codegen'd pass per doc: gram-hash set + 32-hash signature.
+        val sh = Tables.documents(s, d).select(col("doc_id"),
+          shingleHashSet(col("text")).as("hs"),
+          minHashSignature(col("text"), 3, bands * rows).as("mh"))
+        // 8 band buckets per doc; the gram set rides along so candidate
+        // verification needs no join back to the corpus.
+        val buckets = sh.select(col("doc_id"), col("hs"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              xxhash64(slice(col("mh"), b * rows + 1, rows)).as("sig"))): _*)).as("bs"))
+          .select(col("doc_id"), col("hs"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.hs").as("sha"), col("b.hs").as("shb"))
           .distinct()
         // Exact Jaccard verify on candidates only.
-        val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-        val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-        cands.join(sa, "a_id").join(sb, "b_id")
+        cands
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
           .withColumn("jac", col("inter").cast("double") /
             (size(col("sha")) + size(col("shb")) - col("inter")))
@@ -124,21 +114,11 @@ object Dedup {
                SELECT ia AS a_id, ib AS b_id, jac FROM jacs WHERE jac >= 0.9""")),
 
     // ---- d03: SimHash hamming-≤k pairs (rows-only: signature internals
-    // are engine-specific; validated against d02/d04 in DedupSpec) -------
+    // are engine-specific; validated against d04 in DedupSpec) -----------
     ("d03_dedup_simhash",
       (s, d) => {
-        val sh = shingled(s, d)
-        val exploded = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), xxhash64(col("sg")).as("h"))
-        // 64-bit SimHash: per bit, sum of ±1 votes across shingle hashes;
-        // expressed as 64 conditional sums in one aggregation pass.
-        val bitSums = exploded.groupBy(col("doc_id")).agg(
-          sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("s0"),
-          (1 until 64).map(k =>
-            sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"s$k")): _*)
-        val sig = bitSums.select(col("doc_id"),
-          (0 until 64).map(k =>
-            when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))).reduce(_.bitwiseOR(_)).as("sig"))
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"), simHash64(col("text")).as("sig"))
         // Hamming ≤ 3 via 4×16-bit band join (pigeonhole guarantees a
         // shared band), then exact popcount filter.
         val banded = sig.select(col("doc_id"), col("sig"),
@@ -157,18 +137,18 @@ object Dedup {
       None),
 
     // ---- d04: exact n-gram Jaccard scores (inverted index) ------------
+    // Explode the 8-byte gram hashes once, self-join on the hash, count
+    // co-occurrences; set sizes ride along so no join back to the corpus.
     ("d04_dedup_ngram",
       (s, d) => {
-        val sh = shingled(s, d)
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
-        val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
-        val inter = ex.as("a").join(ex.as("b"),
-            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("c"))
-        inter
-          .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-          .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
+          .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+        val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
+        val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h"))
+        a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
           .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
           .filter(col("jac") >= 0.2)
           .select(col("a_id"), col("b_id"), col("jac"))

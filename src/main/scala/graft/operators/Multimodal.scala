@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Opaque binary payload + typed metadata — row type of the multimodal
+  * pipeline. `payload` stands in for image/audio/video bytes. */
+case class MediaRow(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    payload: Array[Byte])
+
+/** Decoded/feature-extracted output row. */
+case class MediaFeatures(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    payload_len: Int,
+    features: Array[Float],
+    feat_norm: Double)
+
+/** Multimodal-column pipeline: binary payloads with typed metadata,
+  * decoded and feature-extracted partition-wise.
+  *
+  * The Spark-side plumbing is real and scale-correct: payloads travel as
+  * parquet `binary` columns (never strings), metadata is a typed struct
+  * that predicate-pushdown can prune on (e.g. `format = 'jpeg' AND
+  * width >= 64` never decodes a single byte), and extraction runs via
+  * `Dataset.mapPartitions` — the JVM analog of a batched `mapInPandas`
+  * decode, amortizing per-batch model/codec setup across a partition and
+  * keeping memory bounded by one partition's batch, not the table.
+  *
+  * ==DECODE STUB==
+  * The actual image/audio codec is NOT in this container, so
+  * [[Multimodal.decodeStub]] fakes the decode deterministically from the
+  * payload bytes (byte-histogram moments as an 8-dim "embedding"). On a
+  * real cluster, replace `decodeStub` with the codec/model call — the
+  * schema, batching, and partitioning do not change.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** STUB: deterministic fake decoder. Real pipelines put the codec /
+    * feature model here (one instantiation per partition, reused across
+    * rows — that is what mapPartitions buys over per-row map). */
+  private[operators] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feats(i % 8) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    val n = math.max(1, payload.length / 8)
+    feats.map(_ / n)
+  }
+
+  /** documents → MediaRow dataset: payload = UTF-8 bytes standing in for
+    * media bytes; format/width/height are deterministic typed metadata. */
+  private def mediaTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("jpeg"), lit("png"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (col("n_chars") % 640 + 32).cast("int").as("width"),
+        (col("n_chars") % 480 + 24).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- m01: metadata-pruned decode + feature extraction -------------
+    // Filter on typed metadata FIRST (pushdown prunes before any decode),
+    // then mapPartitions-extract features, then a small rollup proving the
+    // decoded output is a first-class DataFrame again. Rows-only driver
+    // check (signature internals are engine-specific); semantics asserted
+    // in MultimodalSpec.
+    ("m01_multimodal_meta",
+      (s, d) => {
+        import s.implicits._
+        val decoded = mediaTable(s, d)
+          .filter(m => m.format != "wav" && m.width >= 64)
+          .mapPartitions { rows =>
+            // Per-partition setup would happen here (codec, model).
+            rows.map { m =>
+              val feats = decodeStub(m.payload)
+              MediaFeatures(m.doc_id, m.format, m.width, m.height,
+                m.payload.length, feats,
+                math.sqrt(feats.map(f => f.toDouble * f).sum))
+            }
+          }
+        decoded.toDF()
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_media"),
+               sum(col("payload_len")).as("total_bytes"),
+               floor(avg(col("feat_norm")) * 1000000 + 0.5).as("avg_norm_micros"))
+      },
+      None)
+  )
+}

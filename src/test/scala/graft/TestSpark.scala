@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared session for the whole suite — built WITH GraftExtensions so
+  * every spec runs under the injected functions + optimizer rule (which
+  * must be semantics-preserving; ExtensionsSpec asserts they fire). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf: String = "/root/testdata/sf0.001"
+}
