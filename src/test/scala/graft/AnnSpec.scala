@@ -26,6 +26,13 @@ class AnnSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("v05 IVF ANN reaches recall@20 >= 0.6 against exact search") {
+    val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet
+    val approx = run("v05_knn_ivf").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("v04 native l2norm/dot agree with the HOF composition") {
     val rows = run("v04_vector_norm").collect()
     rows.foreach { r =>

@@ -66,6 +66,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered payloads within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventPipeline.dedupStream(in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(0), "doc a"), (ts(1), "doc b"), (ts(2), "doc a"))
+      q.processAllAvailable()
+      in.addData((ts(3), "doc b"), (ts(4), "doc c"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select("text").collect().map(_.getString(0))
+      assert(texts.sorted.toSeq == Seq("doc a", "doc b", "doc c"))
+    } finally q.stop()
+  }
+
   test("batch twins compute the same hourly aggregate as the stream") {
     val batch = EventPipeline.windowedCounts(
       Seq(WindowTestEvent(ts(5), "click", 1.0),
