@@ -72,6 +72,41 @@ object Events {
                        FROM marked)
               SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
                      count(*) AS n_events, FLOOR(sum(value) * 100 + 0.5) / 100 AS sum_value
-              FROM sess GROUP BY user_id, session_id"""))
+              FROM sess GROUP BY user_id, session_id""")),
+
+    // ---- s03: as-of join (latest prior match per key) -----------------
+    // For every 'click', the most recent 'error' of the same user at or
+    // before it — the canonical time-series operator Spark lacks. Rather
+    // than a per-row range probe (O(n·m) or an index), the scalable form
+    // is union → one shuffle+sort per user → running last_value with
+    // ignoreNulls: O((n+m) log) in one pass, the same shape at any scale.
+    // Oracle: DuckDB's native ASOF JOIN.
+    ("s03_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        // Errors sort before clicks on ts ties so `>=` semantics hold.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("is_click").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("is_click", (col("event_type") === "click").cast("int"))
+          .withColumn("err_ts_us",
+            last(when(col("is_click") === 0, col("ts_us")), ignoreNulls = true).over(w))
+          .withColumn("err_value",
+            last(when(col("is_click") === 0, col("value")), ignoreNulls = true).over(w))
+          .filter(col("is_click") === 1 && col("err_ts_us").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("err_ts_us"), col("err_value"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, value,
+                           epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+              c AS (SELECT * FROM e WHERE event_type = 'click'),
+              er AS (SELECT * FROM e WHERE event_type = 'error')
+              SELECT c.event_id, c.user_id, c.ts_us,
+                     er.ts_us AS err_ts_us, er.value AS err_value
+              FROM c ASOF JOIN er
+                ON c.user_id = er.user_id AND c.ts_us >= er.ts_us"""))
   )
 }

@@ -146,6 +146,26 @@ object TextAnalysis {
                           ELSE [md5(array_to_string(w, ' '))] END AS fp
                       FROM toks)
               SELECT doc_id, len(fp) AS n_windows, list_min(fp) AS fingerprint
-              FROM fps"""))
+              FROM fps""")),
+
+    // ---- t05: text normalization (the ingest-side cleaning pass) ------
+    // lowercase → strip non-alnum → collapse runs of spaces → trim. Pure
+    // map-side regex work; at 100 TB this runs at scan speed and feeds
+    // every downstream dedup/fingerprint pass one canonical form.
+    ("t05_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long")),
+      Some("""SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')) AS norm_text,
+                     len(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g'))) AS n_chars_norm
+              FROM documents"""))
   )
 }
