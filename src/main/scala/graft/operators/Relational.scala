@@ -414,6 +414,32 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")),
       Some("""SELECT CAST(props->>'$.k' AS INTEGER) AS k_val, count(*) AS n,
                      sum("value") AS sum_value
-              FROM events GROUP BY 1"""))
+              FROM events GROUP BY 1""")),
+
+    // ---- rollup / grouping sets (subtotal hierarchies) -----------------
+    // One pass computes all grouping levels; at scale this is a single
+    // expand + hash-aggregate, not one job per level.
+    ("q32_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             cents(sum(col("l_quantity"))).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                     FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ---- approximate aggregates (the 100 TB cardinality toolkit) -------
+    // HLL++ distinct counts + quantile sketches: constant memory per
+    // group, one pass, mergeable across partitions — the only viable
+    // shape for interactive stats over 100 TB. Sketch internals are
+    // engine-specific ⇒ rows-only driver check; accuracy bounds are
+    // asserted against exact answers in UtilitySpec.
+    ("q33_approx_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("approx_median_price")),
+      None)
   )
 }

@@ -166,6 +166,22 @@ object TextAnalysis {
                      len(trim(regexp_replace(
                        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                        ' +', ' ', 'g'))) AS n_chars_norm
-              FROM documents"""))
+              FROM documents""")),
+
+    // ---- t06: corpus vocabulary (global token frequencies, top 20) ----
+    // The BPE-training / stopword-discovery primitive. Shape at scale:
+    // explode → hash-aggregate with map-side partial combine (the shuffle
+    // carries one row per distinct token per partition, not per token
+    // occurrence) → distributed top-k. Deterministic tie-break on word.
+    ("t06_vocab",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(20),
+      Some("""SELECT word, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20"""))
   )
 }

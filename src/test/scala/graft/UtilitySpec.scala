@@ -29,6 +29,24 @@ class UtilitySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q33 approximate aggregates stay within sketch error bounds") {
+    val sf = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q33_approx_agg")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (parts, median)) =>
+      val (aParts, aMedian) = approx(k)
+      assert(math.abs(aParts - parts).toDouble / parts < 0.05,
+        s"$k distinct: approx=$aParts exact=$parts")
+      assert(math.abs(aMedian - median) / median < 0.05,
+        s"$k median: approx=$aMedian exact=$median")
+    }
+  }
+
   test("Explain surfaces plan lines as a DataFrame") {
     val lines = Explain.query(spark, "q25_tpch_q1", TestSpark.sf)
       .collect().map(_.getString(0))
