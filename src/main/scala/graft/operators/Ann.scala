@@ -142,6 +142,26 @@ object Ann {
       },
       None),
 
+    // Embedding hygiene pass: unit-normalization + per-vector stats —
+    // the standard preprocessing before any cosine-based index (after
+    // unit-norm, cosine = dot, which halves every downstream kernel).
+    // Map-side only; scalar outputs truncated to the 1e-6 grid so the
+    // hash-compare is stable.
+    ("v06_embed_normalize",
+      (s, d) => {
+        def micro(c: org.apache.spark.sql.Column) = floor(c * 1000000 + 0.5) / 1000000
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), size(col("embedding")).as("dim"),
+            l2norm(col("embedding")).as("norm"),
+            col("embedding")(0).cast("double").as("x0"))
+          .select(col("vec_id"), col("dim"), micro(col("norm")).as("norm6"),
+            micro(col("x0") / col("norm")).as("x0_unit"))
+      },
+      Some("""SELECT vec_id, len(embedding) AS dim,
+                     FLOOR(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS norm6,
+                     FLOOR(CAST(embedding[1] AS DOUBLE) / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS x0_unit
+              FROM embeddings""")),
+
     // Norms + dot products: native expressions next to the HOF
     // composition (zip_with/aggregate) the built-in surface offers.
     ("v04_vector_norm",

@@ -156,6 +156,54 @@ object Dedup {
       Some(s"""WITH $oracleShingleJaccard
                SELECT ia AS a_id, ib AS b_id, jac FROM jacs WHERE jac >= 0.2""")),
 
+    // ---- d06: duplicate-group resolution (keeper selection) -----------
+    // Pairs are only half the dedup story: the pipeline needs GROUPS and
+    // one keeper per group. Connected components over the jac ≥ 0.9 edge
+    // set via min-label propagation: each iteration is one join + one
+    // aggregate, converging in O(component diameter) rounds — near-dup
+    // components are cliques/short chains, so 2-3 rounds in practice;
+    // the loop exits on a fixpoint (scalar count check only, never data,
+    // on the driver). Oracle: DuckDB recursive-CTE transitive closure.
+    ("d06_dedup_groups",
+      (s, d) => {
+        val edges = defs.find(_._1 == "d04_dedup_ngram").get._2(s, d)
+          .filter(col("jac") >= 0.9)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint() // cut the lineage: the edge set is re-joined every round
+        val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        var labels = sym.groupBy(col("a_id"))
+          .agg(min(col("b_id")).as("mn"))
+          .select(col("a_id").as("doc_id"), least(col("a_id"), col("mn")).as("label"))
+          .localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 10) {
+          val nbr = sym.join(labels, sym("b_id") === labels("doc_id"))
+            .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
+          val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        labels.groupBy(col("label").as("keeper_id"))
+          .agg((count(lit(1))).as("group_size"),
+               array_join(array_sort(collect_list(col("doc_id"))), ",").as("members"))
+      },
+      Some(s"""WITH RECURSIVE $oracleShingleJaccard,
+               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9
+                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9),
+               reach(a, b) AS (SELECT a, b FROM edges
+                               UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+               comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
+                        FROM reach GROUP BY a)
+               SELECT keeper_id, count(*) AS group_size,
+                      array_to_string(list_sort(list(doc_id)), ',') AS members
+               FROM comp GROUP BY keeper_id""")),
+
     // ---- d05: embedding-cosine near-dup pairs -------------------------
     ("d05_dedup_embedding",
       (s, d) => {

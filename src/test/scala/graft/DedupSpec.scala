@@ -35,6 +35,22 @@ class DedupSpec extends AnyFunSuite {
       s"simhash-only pairs: ${sim.diff(nearDup).take(5)}")
   }
 
+  test("d06 groups cover every >=0.9 pair with the component-min keeper") {
+    val groups = run("d06_dedup_groups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val pairs = run("d04_dedup_ngram").filter("jac >= 0.9")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.nonEmpty)
+    groups.foreach { case (keeper, size, members) =>
+      val ids = members.split(",").map(_.toLong)
+      assert(ids.length == size)
+      assert(ids.min == keeper, s"keeper must be component min: $keeper vs $members")
+    }
+    // Every edge endpoint pair lands in the same group.
+    val label = groups.flatMap { case (k, _, m) => m.split(",").map(_.toLong -> k) }.toMap
+    pairs.foreach { case (a, b) => assert(label(a) == label(b), s"($a,$b) split") }
+  }
+
   test("d05 embedding near-dups are symmetric-free and above threshold") {
     val rows = run("d05_dedup_embedding").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
