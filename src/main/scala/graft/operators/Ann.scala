@@ -108,35 +108,44 @@ object Ann {
       (s, d) => {
         val k = 16; val nProbe = 6
         val e = Tables.embeddings(s, d)
-        // init: the k lowest-id vectors (deterministic seed choice).
-        def assign(centroids: DataFrame): DataFrame = e
-          .join(broadcast(centroids), expr("true"))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            cosine(col("embedding"), col("cvec")).as("sim"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"),
-               first(col("embedding")).as("embedding"))
-        val init = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        // 2 Lloyd iterations: element-wise mean of assigned vectors via a
-        // posexplode + (cell, dim) aggregation — scales to any dim.
-        val centroids = (1 to 2).foldLeft(init) { (c, _) =>
-          assign(c)
-            .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        // Cell assignment: map-side argmax of cosine against the (tiny)
+        // centroid model, entirely inside codegen — struct comparison
+        // picks max sim, lower cid on ties (via negated id).
+        def cellOf(cents: Array[Array[Float]]) =
+          (array_max(array(cents.zipWithIndex.map { case (c, i) =>
+            struct(cosine(col("embedding"), lit(c)).as("sim"),
+              lit(-i).as("ncid"))
+          }: _*))("ncid") * -1).as("cell")
+        // Centroid state is k×dim floats — legitimately driver-side model
+        // state (the spark.ml KMeans pattern): every DATA pass below stays
+        // distributed; only the model round-trips.
+        var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
+          .orderBy(col("vec_id")).select(col("embedding"))
+          .collect().map(_.getSeq[Float](0).toArray)
+        for (_ <- 1 to 2) { // Lloyd iterations
+          val means = e.select(cellOf(cents), posexplode(col("embedding")).as(Seq("dim", "x")))
             .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-            .groupBy(col("cell")).agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-            .select(col("cell").as("cid"),
-              transform(col("dm"), s => s("m").cast("float")).as("cvec"))
+            .collect().groupBy(_.getAs[Int]("cell"))
+          cents = cents.indices.map { c =>
+            means.get(c).map(_.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m").toFloat))
+              .getOrElse(cents(c))
+          }.toArray
         }
-        val cells = assign(centroids)
-        val qCells = cells.filter(col("vec_id") === 0)
-          .join(broadcast(centroids), expr("true"))
-          .select(col("cid"), cosine(col("embedding"), col("cvec")).as("sim"),
-            col("embedding").as("qv"))
-          .orderBy(col("sim").desc, col("cid").asc).limit(nProbe)
-        cells.join(broadcast(qCells), col("cell") === col("cid"))
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+        // Probe: the query's nProbe best cells, chosen on the driver from
+        // the model alone; the probe scan filters to those cells map-side.
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < math.min(a.length, b.length)) {
+            dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val probeCells = cents.indices.sortBy(i => (-cos(qv, cents(i)), i)).take(nProbe)
+        e.withColumn("cell", cellOf(cents))
+          .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
+          .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)
       },

@@ -408,7 +408,8 @@ object Relational {
     // ---- semi-structured: JSON props on the events stream table -------
     ("q31_json",
       (s, d) => Tables.events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k").as("k_val"),
                 col("value"))
         .groupBy(col("k_val"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")),

@@ -55,6 +55,24 @@ object EventPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** s03's streaming twin: stream-stream interval join. Each click pairs
+    * with same-user errors from the preceding 30 minutes. The watermarks
+    * + the interval bound are what make unbounded stream-stream join
+    * feasible: state on each side is dropped once the other side's
+    * watermark passes the interval, so memory is O(rate × window), not
+    * O(stream). */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val e = errors.withWatermark("ts", "1 hour").alias("e")
+    c.join(e,
+      expr("""c.user_id = e.user_id AND
+              e.ts BETWEEN c.ts - INTERVAL 30 MINUTES AND c.ts"""))
+      .select(col("c.user_id").as("user_id"),
+        unix_micros(col("c.ts")).as("click_ts_us"),
+        unix_micros(col("e.ts")).as("err_ts_us"),
+        col("e.value").as("err_value"))
+  }
+
   /** s02 twin: gap-based sessionization via flatMapGroupsWithState.
     * Emits a session when a gap closes it or the event-time timeout fires
     * (watermark has passed last_event + gap). */

@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with recent errors only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val errors = MemoryStream[StreamEvent]
+    val q = EventPipeline.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("cej").outputMode(OutputMode.Append).start()
+    try {
+      errors.addData(StreamEvent(1L, ts(0), 7.0), StreamEvent(1L, ts(100), 9.0))
+      clicks.addData(
+        StreamEvent(1L, ts(10), 1.0),   // pairs with error@0 (10 min gap)
+        StreamEvent(1L, ts(50), 1.0),   // no error within 30 min
+        StreamEvent(1L, ts(110), 1.0),  // pairs with error@100
+        StreamEvent(2L, ts(10), 1.0))   // other user: no pair
+      q.processAllAvailable()
+      val rows = spark.table("cej")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, baseUs + 10L * 60000000, baseUs),
+        (1L, baseUs + 110L * 60000000, baseUs + 100L * 60000000)))
+    } finally q.stop()
+  }
+
   test("batch twins compute the same hourly aggregate as the stream") {
     val batch = EventPipeline.windowedCounts(
       Seq(WindowTestEvent(ts(5), "click", 1.0),
