@@ -100,6 +100,35 @@ object Multimodal {
                sum(col("payload_len")).as("total_bytes"),
                floor(avg(col("feat_norm")) * 1000000 + 0.5).as("avg_norm_micros"))
       },
+      None),
+
+    // ---- m02: frame sampling ------------------------------------------
+    // The video-shaped access pattern: explode each payload into fixed-
+    // size blocks ("frames"), keep every 4th, compute a per-frame feature.
+    // flatMap fans out rows *within* a partition — no shuffle; output
+    // parallelism equals input parallelism, and frame rows carry only the
+    // sampled bytes (a real decoder would emit decoded tensors here).
+    ("m02_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val block = 64; val stride = 4
+        mediaTable(s, d)
+          .flatMap { m =>
+            val nBlocks = (m.payload.length + block - 1) / block
+            (0 until nBlocks by stride).map { b =>
+              val bytes = m.payload.slice(b * block,
+                math.min((b + 1) * block, m.payload.length))
+              val brightness =
+                bytes.foldLeft(0.0)((a, x) => a + (x & 0xFF)) /
+                  math.max(1, bytes.length) / 255.0
+              (m.doc_id, b / stride, bytes.length, brightness)
+            }
+          }
+          .toDF("doc_id", "frame_idx", "frame_len", "brightness")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+               floor(avg(col("brightness")) * 1000000 + 0.5).as("avg_brightness_micros"))
+      },
       None)
   )
 }

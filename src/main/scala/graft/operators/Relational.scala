@@ -429,6 +429,51 @@ object Relational {
                      FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // ---- pivot (long → wide conditional aggregation) -------------------
+    // Explicit value list ⇒ single-pass hash aggregate, no extra job to
+    // discover pivot values (which at 100 TB would be a full scan).
+    ("q34_pivot",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(cents(sum(col("o_totalprice"))))
+        .na.fill(0.0),
+      Some("""SELECT year(o_orderdate) AS order_year,
+                     coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS "AUTOMOBILE",
+                     coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS "BUILDING",
+                     coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS "FURNITURE",
+                     coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS "HOUSEHOLD",
+                     coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS "MACHINERY"
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY year(o_orderdate)""")),
+
+    // ---- RANGE-frame window (value-based sliding aggregate) ------------
+    // 30-day trailing spend per customer: RANGE frames bound by VALUE
+    // distance, not row count — the time-series form row frames miss.
+    ("q35_window_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("order_day"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long")
+              .as("order_day"), col("o_totalprice"))
+          .select(col("o_custkey"), col("o_orderkey"), col("order_day"),
+            cents(sum(col("o_totalprice")).over(w)).as("trailing_30d"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+                           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS order_day,
+                           o_totalprice FROM orders)
+              SELECT o_custkey, o_orderkey, order_day,
+                     FLOOR(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_day
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS trailing_30d
+              FROM o""")),
+
     // ---- approximate aggregates (the 100 TB cardinality toolkit) -------
     // HLL++ distinct counts + quantile sketches: constant memory per
     // group, one pass, mergeable across partitions — the only viable

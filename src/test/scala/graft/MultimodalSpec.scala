@@ -16,6 +16,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("total_bytes") > 0))
   }
 
+  test("m02 samples every 4th fixed-size frame per payload") {
+    val rows = Multimodal.defs.find(_._1 == "m02_frame_sample").get
+      ._2(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_frames") >= 1)
+      val b = r.getAs[Long]("avg_brightness_micros")
+      assert(b >= 0 && b <= 1000000)
+    }
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graft.TextHash
+
+/** Property-style tests pinning the single-pass TextHash kernels to a
+  * naive reference implementation (split/sliding/distinct over Strings) —
+  * the semantics the DuckDB oracles assume. Cases: 200 seeded random docs
+  * plus adversarial boundaries (empty, double spaces, repeats, unicode). */
+class TextHashPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+  private val vocab = Vector("a", "bb", "ccc", "word", "key", "zz", "é", "中文")
+  private def randomDoc(): String =
+    Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  private val cases: Seq[String] =
+    Seq("", " ", "a  b   c", "x x x x x", "é ü 中文 word", "one", "one two") ++
+      Seq.fill(200)(randomDoc())
+
+  private def naiveGramCount(text: String, n: Int): Int = {
+    val w = text.split(" ", -1).toSeq
+    val grams = if (w.length < n) Seq(text) else w.sliding(n).map(_.mkString(" ")).toSeq
+    grams.distinct.size
+  }
+
+  test("gramHashSet size equals naive distinct n-gram count") {
+    for (text <- cases; n <- 2 to 4) {
+      val got = TextHash.gramHashSet(UTF8String.fromString(text), n).length
+      assert(got == naiveGramCount(text, n), s"text=[$text] n=$n")
+    }
+  }
+
+  test("gramHashSet is sorted, distinct, and deterministic") {
+    for (text <- cases) {
+      val a = TextHash.gramHashSet(UTF8String.fromString(text), 3)
+      val b = TextHash.gramHashSet(UTF8String.fromString(text), 3)
+      assert(a.toSeq == b.toSeq)
+      assert(a.toSeq == a.toSeq.sorted)
+      assert(a.toSeq.distinct == a.toSeq)
+    }
+  }
+
+  test("distinct grams hash distinctly across the whole corpus") {
+    // Global collision check over every distinct string gram generated
+    // above — hash equality must track string equality.
+    val seen = scala.collection.mutable.Map[Long, String]()
+    for (text <- cases) {
+      val w = text.split(" ", -1).toSeq
+      val grams = if (w.length < 3) Seq(text) else w.sliding(3).map(_.mkString(" ")).toSeq
+      val hashes = TextHash.gramHashes(UTF8String.fromString(text), 3)
+      grams.zip(hashes).foreach { case (g, h) =>
+        seen.get(h).foreach(prev => assert(prev == g, s"collision: [$prev] vs [$g]"))
+        seen(h) = g
+      }
+    }
+  }
+
+  test("equal docs share all minhashes; disjoint docs share almost none") {
+    val u1 = UTF8String.fromString("alpha beta gamma delta epsilon zeta eta theta")
+    val u2 = UTF8String.fromString("one two three four five six seven eight nine")
+    val m1 = TextHash.minHash(u1, 3, 32)
+    val m1b = TextHash.minHash(u1, 3, 32)
+    val m2 = TextHash.minHash(u2, 3, 32)
+    assert(m1.toSeq == m1b.toSeq)
+    assert(m1.zip(m2).count { case (a, b) => a == b } <= 2)
+  }
+
+  test("simhash of identical docs is identical; hamming grows with edits") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tonight")
+    val far = "completely different words in every single position here now ok"
+    def sig(s: String) = TextHash.simHash(UTF8String.fromString(s), 3)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(base) == sig(base))
+    assert(ham(sig(base), sig(near)) < ham(sig(base), sig(far)),
+      s"near=${ham(sig(base), sig(near))} far=${ham(sig(base), sig(far))}")
+  }
+}
