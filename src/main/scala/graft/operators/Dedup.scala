@@ -204,6 +204,47 @@ object Dedup {
                       array_to_string(list_sort(list(doc_id)), ',') AS members
                FROM comp GROUP BY keeper_id""")),
 
+    // ---- d07: stratified sampling (per-language quotas) ----------------
+    // The curation primitive between dedup and training: per-stratum
+    // Bernoulli sampling is one map-side pass (no shuffle; the groupBy
+    // here only summarizes the result). Sampling RNG is engine-specific
+    // ⇒ rows-only; proportions are asserted in DedupSpec.
+    ("d07_sample_stratified",
+      (s, d) => {
+        val fractions = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25)
+        Tables.documents(s, d)
+          .stat.sampleBy("lang", fractions, seed = 7L)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      },
+      None),
+
+    // ---- d08: benchmark contamination check ----------------------------
+    // The decontamination op every LLM data pipeline runs: flag corpus
+    // docs sharing any 5-gram with a benchmark set (stand-in: doc_id<5).
+    // Benchmark gram set is small ⇒ broadcast hash join on 8-byte gram
+    // hashes, map-side; at 100 TB this runs at scan speed with zero
+    // shuffle of the corpus.
+    ("d08_contamination",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingleHashSet(col("text"), 5)).as("h"))
+        val bench = g.filter(col("doc_id") < 5)
+          .select(col("h")).distinct()
+        g.filter(col("doc_id") >= 5)
+          .join(broadcast(bench), "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("n_shared_grams"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks WHERE len(w) >= 5),
+              sh5 AS (SELECT DISTINCT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sg
+                      FROM idx),
+              bench AS (SELECT DISTINCT sg FROM sh5 WHERE doc_id < 5)
+              SELECT s.doc_id, count(DISTINCT s.sg) AS n_shared_grams
+              FROM sh5 s JOIN bench b ON s.sg = b.sg
+              WHERE s.doc_id >= 5 GROUP BY s.doc_id""")),
+
     // ---- d05: embedding-cosine near-dup pairs -------------------------
     ("d05_dedup_embedding",
       (s, d) => {

@@ -474,6 +474,25 @@ object Relational {
                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS trailing_30d
               FROM o""")),
 
+    // ---- datetime surface (trunc / extract / arithmetic) ---------------
+    ("q36_datetime",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("due_date"),
+          datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).as("age_days"))
+        .filter(col("y") === 2000),
+      Some("""SELECT o_orderkey,
+                     CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                     year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                     dayofweek(o_orderdate) + 1 AS dow,
+                     o_orderdate + INTERVAL 3 MONTH AS due_date,
+                     datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS age_days
+              FROM orders WHERE year(o_orderdate) = 2000""")),
+
     // ---- approximate aggregates (the 100 TB cardinality toolkit) -------
     // HLL++ distinct counts + quantile sketches: constant memory per
     // group, one pass, mergeable across partitions — the only viable

@@ -51,6 +51,18 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(label(a) == label(b), s"($a,$b) split") }
   }
 
+  test("d07 stratified sample respects per-language fractions") {
+    val sampled = run("d07_sample_stratified").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Full-fraction strata must be exact; fractional ones within 4 sigma.
+    Seq("de", "es", "fr").foreach(l => assert(sampled(l) == totals(l)))
+    val en = sampled("en").toDouble / totals("en")
+    assert(en > 0.2 && en < 0.8, s"en fraction=$en")
+  }
+
   test("d05 embedding near-dups are symmetric-free and above threshold") {
     val rows = run("d05_dedup_embedding").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
