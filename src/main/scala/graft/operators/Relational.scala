@@ -493,6 +493,29 @@ object Relational {
                      datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS age_days
               FROM orders WHERE year(o_orderdate) = 2000""")),
 
+    // ---- grouped top-k via the custom physical operator ----------------
+    // The k best rows per group through GroupedTopKExec (LogicalPlan +
+    // Strategy + SparkPlan, bounded heap per group) — same semantics as
+    // the row_number window form the oracle uses, without sorting whole
+    // groups. See org/apache/spark/sql/graft/GroupedTopK.scala.
+    ("q37_grouped_topk",
+      (s, d) => {
+        val joined = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
+          joined, Seq("c_mktsegment"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+      },
+      Some("""SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+              WHERE rn <= 3""")),
+
     // ---- approximate aggregates (the 100 TB cardinality toolkit) -------
     // HLL++ distinct counts + quantile sketches: constant memory per
     // group, one pass, mergeable across partitions — the only viable
