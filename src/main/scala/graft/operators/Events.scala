@@ -107,6 +107,35 @@ object Events {
               SELECT c.event_id, c.user_id, c.ts_us,
                      er.ts_us AS err_ts_us, er.value AS err_value
               FROM c ASOF JOIN er
-                ON c.user_id = er.user_id AND c.ts_us >= er.ts_us"""))
+                ON c.user_id = er.user_id AND c.ts_us >= er.ts_us""")),
+
+    // ---- s04: temporal range join via bin bucketing --------------------
+    // All event pairs within 60 s of each other. A naive |t1-t2| ≤ w join
+    // has no equi-key, so Spark would nested-loop O(n²). The scalable
+    // form: bucket time into w-sized bins, probe each row against bins
+    // {b-1, b, b+1} (equi-join on bin!), then apply the exact residual
+    // predicate. Each true pair is found exactly once (the matched side's
+    // bin is a single value), so no distinct is needed. Shuffle volume is
+    // 3n rows instead of n² comparisons.
+    ("s04_range_join",
+      (s, d) => {
+        val winUs = 60L * 1000000L
+        val e = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("bin", floor(col("ts_us") / winUs).cast("long"))
+        val probes = e.select(col("event_id").as("a_id"), col("ts_us").as("a_ts"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+        val build = e.select(col("event_id").as("b_id"), col("ts_us").as("b_ts"), col("bin"))
+        probes.join(build, "bin")
+          .filter(col("a_id") < col("b_id")
+            && abs(col("a_ts") - col("b_ts")) <= winUs)
+          .select(col("a_id"), col("b_id"), (col("b_ts") - col("a_ts")).as("dt_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events)
+              SELECT a.event_id AS a_id, b.event_id AS b_id,
+                     b.ts_us - a.ts_us AS dt_us
+              FROM e a JOIN e b
+                ON a.event_id < b.event_id
+               AND abs(a.ts_us - b.ts_us) <= 60000000"""))
   )
 }
