@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, E
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.TextHash.{MinHashSignature, ShingleHashSet, SimHash64}
 import org.apache.spark.sql.graft.VectorExpressions.{CosineSimilarity, DotProduct, L2Norm}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
@@ -30,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_cosine", es => CosineSimilarity(es(0), es(1))))
     ext.injectFunction(fn("graft_dot", es => DotProduct(es(0), es(1))))
     ext.injectFunction(fn("graft_l2norm", es => L2Norm(es(0))))
+    // Text-hash kernels: n defaults to 3-grams, k to 32 hashes.
+    ext.injectFunction(fn("graft_shingles", es => ShingleHashSet(es(0), 3)))
+    ext.injectFunction(fn("graft_minhash", es => MinHashSignature(es(0), 3, 32)))
+    ext.injectFunction(fn("graft_simhash", es => SimHash64(es(0), 3)))
     ext.injectOptimizerRule(_ => NormalizeConstantCosine)
   }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A reference user's other interface is plain SQL. This spec proves the
+  * SQL path end-to-end: register the tables, run the reference-class
+  * flagship as a SQL string, and call the injected graft functions from
+  * SQL — all on the same session the DataFrame surface uses. */
+class SqlParitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("flagship TPC-H Q1 via spark.sql matches the DataFrame plan") {
+    Ddl.registerAll(spark, TestSpark.sf)
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp'1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(sql.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(sql.toSeq == df.toSeq)
+  }
+
+  test("injected text-hash kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT size(graft_shingles('a b c d')) AS n_grams,
+        |       size(graft_minhash('a b c d')) AS n_hashes,
+        |       graft_simhash('a b c d') = graft_simhash('a b c d') AS stable
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 2)   // "a b c", "b c d"
+    assert(r.getInt(1) == 32)
+    assert(r.getBoolean(2))
+  }
+}
