@@ -103,6 +103,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over parquet matches the batch aggregate") {
+    // The production wiring: readStream over a directory, one micro-batch
+    // (Trigger.AvailableNow), memory sink — compared to the batch twin.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"), col("value"))
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventPipeline.windowedCounts(
+        spark.readStream.schema(events.schema).parquet(dir))
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("filewc").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventPipeline.windowedCounts(events).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch twins compute the same hourly aggregate as the stream") {
     val batch = EventPipeline.windowedCounts(
       Seq(WindowTestEvent(ts(5), "click", 1.0),
