@@ -83,7 +83,7 @@ object Ann {
           .select(col("*"), explode(array((0 until nBands).map(b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
-          .select(df.columns.map(col) :+ col("bs.band").as("band") :+ col("bs.bv").as("bv"): _*)
+          .select(df.columns.toIndexedSeq.map(col) :+ col("bs.band").as("band") :+ col("bs.bv").as("bv"): _*)
         val e = banded(Tables.embeddings(s, d), "embedding")
         val probes = banded(queryVec(s, d), "qv")
         e.join(broadcast(probes), Seq("band", "bv"))
@@ -112,7 +112,7 @@ object Ann {
         // centroid model, entirely inside codegen — struct comparison
         // picks max sim, lower cid on ties (via negated id).
         def cellOf(cents: Array[Array[Float]]) =
-          (array_max(array(cents.zipWithIndex.map { case (c, i) =>
+          (array_max(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
             struct(cosine(col("embedding"), lit(c)).as("sim"),
               lit(-i).as("ncid"))
           }: _*))("ncid") * -1).as("cell")

@@ -23,14 +23,14 @@ object Dml {
   def insert(base: DataFrame, rows: Seq[(Int, String)], spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cols = base.columns
-    val fresh = rows.toDF(cols: _*)
-    val aligned = fresh.select(base.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val fresh = rows.toDF(cols.toIndexedSeq: _*)
+    val aligned = fresh.select(base.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
     base.union(aligned)
   }
 
   /** Generic INSERT of an arbitrary new-rows frame with the same columns. */
   def insertInto(base: DataFrame, newRows: DataFrame): DataFrame = {
-    val aligned = newRows.select(base.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val aligned = newRows.select(base.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
     base.union(aligned)
   }
 

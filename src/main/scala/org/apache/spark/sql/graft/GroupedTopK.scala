@@ -83,7 +83,7 @@ case class GroupedTopKExec(
           heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.toIterator)
+      heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 
