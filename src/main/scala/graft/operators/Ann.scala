@@ -14,15 +14,13 @@ import org.apache.spark.sql.graft.VectorExpressions.{cosine, dot, hyperplaneSig,
   *     broadcast query vector, then a distributed top-k (TakeOrdered —
   *     each partition keeps k, driver merges k·partitions rows, never the
   *     full table).
-  *   - v03 is the scale path: random-hyperplane LSH bucketing. The
-  *     signature is computed by a codegen'd expression with hash-derived
-  *     hyperplanes, so index build is a single narrow scan (no broadcast
-  *     model state), and probing touches only matching buckets. Recall is
-  *     probabilistic → verified by ScalaTest against v02, not the SQL
-  *     oracle.
-  * At 100 TB: v02's per-partition top-k is shuffle-free; v03 turns the
-  * scan into a partition-pruned bucket lookup if the table is written
-  * bucketed/partitioned by signature band.
+  *   - v03 is the banded-LSH scale path, v05 the IVF scale path; both
+  *     build their index in one narrow codegen'd scan and probe a pruned
+  *     subset. Recall is probabilistic → verified by ScalaTest against
+  *     v02, not the SQL oracle.
+  * At 100 TB: v02's per-partition top-k is shuffle-free; v03/v05 turn
+  * the scan into a partition-pruned lookup when the table is written
+  * bucketed by band / partitioned by cell.
   */
 object Ann {
   type Q = (SparkSession, String) => DataFrame
@@ -95,12 +93,11 @@ object Ann {
       },
       None),
 
-    // IVF (inverted-file) ANN: k-means-lite centroids → assign each
-    // vector to its nearest centroid (one broadcast join + max_by, no
-    // shuffle of the vectors) → probe only the query's nProbe nearest
-    // cells with exact cosine. Centroid "training" is 2 deterministic
+    // IVF (inverted-file) ANN: k-means-lite centroids → map-side argmax
+    // assignment (no shuffle of the vectors) → probe only the query's
+    // nProbe nearest cells with exact cosine. Centroid "training" is 2
     // Lloyd iterations from the k lowest-id vectors — the centroid set is
-    // tiny driver-side state broadcast everywhere, and at 100 TB the table
+    // tiny driver-side model state, and at 100 TB the table
     // is *written partitioned by cell_id* so a probe is partition-pruned
     // I/O (read nProbe/k of the data), not a filtered full scan.
     // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.

@@ -40,6 +40,21 @@ object Dml {
   def delete(base: DataFrame, cond: Column): DataFrame =
     base.filter(!cond || cond.isNull)
 
+  /** MERGE INTO base USING updates ON key — upsert: rows present in
+    * `updates` replace base rows with the same key; new keys append. The
+    * lakehouse MERGE, as one full-outer join + per-column coalesce —
+    * fully distributed, and at 100 TB the join partition-prunes to the
+    * touched partitions when both sides share the key layout. */
+  def merge(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val b = base.alias("b")
+    val u = updates.alias("u")
+    b.join(u, col(s"b.$key") === col(s"u.$key"), "full_outer")
+      .select(base.columns.toIndexedSeq.map { c =>
+        if (updates.columns.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
+        else col(s"b.$c")
+      }: _*)
+  }
+
   /** UPDATE base SET col = expr, ... WHERE cond — conditional projection;
     * untouched columns pass through, preserving schema and column order. */
   def update(base: DataFrame, cond: Column, sets: Map[String, Column]): DataFrame = {

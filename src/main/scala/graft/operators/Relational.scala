@@ -516,6 +516,29 @@ object Relational {
                 FROM orders JOIN customer ON o_custkey = c_custkey)
               WHERE rn <= 3""")),
 
+    // ---- MERGE / upsert (lakehouse copy-on-write DML) ------------------
+    ("q38_dml_merge",
+      (s, d) => {
+        val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val updates = base.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"))
+          .union(base.filter(col("o_orderkey") % 1000 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit(42.0).as("o_totalprice")))
+        Dml.merge(base, updates, "o_orderkey")
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice") * 100 + 0.5) / 100).as("total"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+              updates AS (
+                SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+                FROM base WHERE o_orderkey % 100 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, 42.0 FROM base WHERE o_orderkey % 1000 = 0)
+              SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     FLOOR(coalesce(u.o_totalprice, b.o_totalprice) * 100 + 0.5) / 100 AS total
+              FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey""")),
+
     // ---- approximate aggregates (the 100 TB cardinality toolkit) -------
     // HLL++ distinct counts + quantile sketches: constant memory per
     // group, one pass, mergeable across partitions — the only viable
