@@ -14,7 +14,8 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ Ann.defs ++ Dedup.defs ++ TextAnalysis.defs ++ Events.defs ++ Multimodal.defs
+    Relational.defs ++ Ann.defs ++ Dedup.defs ++ TextAnalysis.defs ++ Events.defs ++
+      Multimodal.defs ++ Pipeline.defs
 
   require(allDefs.map(_._1).distinct.size == allDefs.size, "duplicate query names")
 
