@@ -182,6 +182,44 @@ object TextAnalysis {
         .limit(20),
       Some("""SELECT word, count(*) AS freq
               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-              GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20"""))
+              GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20""")),
+
+    // ---- t07: per-document top terms by tf-idf -------------------------
+    // Classic relevance weighting, composed with the custom GroupedTopK
+    // operator for the per-doc top-5 (bounded heap, not a full per-doc
+    // sort). Score is the rational form tf·N/df rather than tf·ln(N/df):
+    // with small-integer inputs it is IEEE-exact on both engines, where
+    // ln() is only guaranteed correctly-rounded per-libm — a last-ulp
+    // hazard the hash-compare gate would trip on. Ranking is identical
+    // (ln is monotone in N/df).
+    ("t07_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            (col("tf").cast("double") * col("n_docs") / col("df")).as("tfidf"))
+        org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
+          scored, Seq("doc_id"), Seq("tfidf" -> true, "term" -> false), 5)
+      },
+      Some("""WITH tf AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+              dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              scored AS (
+                SELECT doc_id, term, tf * 1.0 * n_docs / df AS tfidf
+                FROM tfc JOIN dfc USING (term), n)
+              SELECT doc_id, term, tfidf FROM (
+                SELECT doc_id, term, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term ASC) AS rn
+                FROM scored)
+              WHERE rn <= 5"""))
   )
 }
