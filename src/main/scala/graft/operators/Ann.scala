@@ -96,13 +96,18 @@ object Ann {
     // IVF (inverted-file) ANN: k-means-lite centroids → map-side argmax
     // assignment (no shuffle of the vectors) → probe only the query's
     // nProbe nearest cells with exact cosine. Centroid "training" is 2
-    // Lloyd iterations from the k lowest-id vectors — the centroid set is
-    // tiny driver-side model state, and at 100 TB the table
-    // is *written partitioned by cell_id* so a probe is partition-pruned
-    // I/O (read nProbe/k of the data), not a filtered full scan.
+    // Lloyd iterations seeded from the k lowest-id vectors, refined on a
+    // BOUNDED deterministic sample (~22%, `vec_id % 37 < 8`) — the
+    // spark.ml pattern: model state (k×dim floats) round-trips to the
+    // driver, the data never does, and no training pass ever explodes
+    // n×dim rows (per-cell sums reduce whole vectors, combining
+    // map-side). At 100 TB the table is *written partitioned by cell_id*
+    // so a probe is partition-pruned I/O (read nProbe/k of the data),
+    // not a filtered full scan.
     // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
     ("v05_knn_ivf",
       (s, d) => {
+        import s.implicits._
         val k = 16; val nProbe = 6
         val e = Tables.embeddings(s, d)
         // Cell assignment: map-side argmax of cosine against the (tiny)
@@ -119,14 +124,26 @@ object Ann {
         var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
           .orderBy(col("vec_id")).select(col("embedding"))
           .collect().map(_.getSeq[Float](0).toArray)
-        for (_ <- 1 to 2) { // Lloyd iterations
-          val means = e.select(cellOf(cents), posexplode(col("embedding")).as(Seq("dim", "x")))
-            .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-            .collect().groupBy(_.getAs[Int]("cell"))
-          cents = cents.indices.map { c =>
-            means.get(c).map(_.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m").toFloat))
-              .getOrElse(cents(c))
-          }.toArray
+        // Lloyd refinement on the bounded sample: assignment is the same
+        // codegen'd argmax; per-cell (sum, count) reduce whole vectors via
+        // reduceGroups (partial-aggregates map-side), so the only driver
+        // traffic is k rows of k×dim model state per iteration.
+        val sample = e.filter(col("vec_id") % 37 < 8)
+        for (_ <- 1 to 2) {
+          val means = sample
+            .select(cellOf(cents), col("embedding"))
+            .as[(Int, Array[Float])]
+            .map { case (c, v) => (c, v.map(_.toDouble), 1L) }
+            .groupByKey(_._1)
+            .reduceGroups { (x, y) =>
+              val sum = x._2.clone()
+              var i = 0
+              while (i < sum.length) { sum(i) += y._2(i); i += 1 }
+              (x._1, sum, x._3 + y._3)
+            }
+            .map { case (c, (_, sum, n)) => (c, sum.map(v => (v / n).toFloat)) }
+            .collect().toMap
+          cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
         }
         // Probe: the query's nProbe best cells, chosen on the driver from
         // the model alone; the probe scan filters to those cells map-side.

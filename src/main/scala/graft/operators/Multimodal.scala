@@ -83,8 +83,12 @@ object Multimodal {
     ("m01_multimodal_meta",
       (s, d) => {
         import s.implicits._
+        // Filter with COLUMN expressions, not a typed lambda: a lambda
+        // filter is opaque to Catalyst (it would deserialize every row,
+        // payload included); column predicates stay in the optimizer and
+        // push down/prune before any payload is materialized.
         val decoded = mediaTable(s, d)
-          .filter(m => m.format != "wav" && m.width >= 64)
+          .filter(col("format") =!= "wav" && col("width") >= 64)
           .mapPartitions { rows =>
             // Per-partition setup would happen here (codec, model).
             rows.map { m =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import org.apache.spark.sql.graft.TextHash.shingleHashSet
@@ -10,12 +11,15 @@ import org.apache.spark.sql.graft.TextHash.shingleHashSet
   * gate → exact-dedup keeper selection → benchmark decontamination →
   * training-ready survivors.
   *
-  * Everything before the two joins is a single map-side pass over the
-  * scan (normalize + tokenize + score fuse into one projection); the
-  * dedup groupBy shuffles one md5 per doc; decontamination broadcasts
-  * the benchmark gram set. At 100 TB: one full shuffle total (the
-  * dedup), everything else scan-speed — which is the budget a curation
-  * pass must hit to be runnable per-crawl.
+  * Exchange budget at 100 TB (matches `.explain` at sf0.1): normalize +
+  * tokenize + score fuse into ONE map-side projection over the scan;
+  * keeper selection is a window-min over the content hash — one hash
+  * exchange of the qualified survivors, no join-back; decontamination
+  * joins the corpus gram stream against a BROADCAST benchmark gram set
+  * (zero corpus shuffle) and exchanges only the matched doc_ids for the
+  * distinct + anti-join. Total: two full exchanges (dedup window,
+  * contaminated-id distinct), both over reduced data — the budget a
+  * per-crawl curation pass must hit.
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
@@ -41,16 +45,22 @@ object Pipeline {
               + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2)
         // Stage 2: quality gate.
         val qualified = norm.filter(col("quality") >= 0.5)
-        // Stage 3: exact-dedup keeper (min doc_id per canonical hash).
-        val keepers = qualified.groupBy(md5(col("norm_text")).as("h"))
-          .agg(min(col("doc_id")).as("keeper_id"))
+        // Stage 3: exact-dedup keeper (min doc_id per canonical hash) as a
+        // window-min — ONE exchange hashed on the content hash, against
+        // the groupBy+join-back form's two exchanges of the same data.
+        val wKeep = Window.partitionBy(md5(col("norm_text")))
         val deduped = qualified
-          .join(keepers, md5(col("norm_text")) === col("h"))
+          .withColumn("keeper_id", min(col("doc_id")).over(wKeep))
           .filter(col("doc_id") === col("keeper_id"))
-        // Stage 4: benchmark decontamination (anti-join on 5-gram hashes).
+        // Stage 4: benchmark decontamination (anti-join on 5-gram hashes),
+        // df-capped like d08: bench grams shared by more than 1000 corpus
+        // docs are boilerplate, not contamination signal.
         val grams = Tables.documents(s, d)
           .select(col("doc_id"), explode(shingleHashSet(col("text"), 5)).as("g"))
-        val benchGrams = grams.filter(col("doc_id") < 5).select(col("g")).distinct()
+        val bench0 = grams.filter(col("doc_id") < 5).select(col("g")).distinct()
+        val benchGrams = grams.join(broadcast(bench0), "g")
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 1000).select(col("g"))
         val contaminated = grams.filter(col("doc_id") >= 5)
           .join(broadcast(benchGrams), "g")
           .select(col("doc_id")).distinct()
@@ -90,8 +100,12 @@ object Pipeline {
                       FROM toks WHERE len(w) >= 5),
               sh5 AS (SELECT DISTINCT doc_id,
                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sg
-                      FROM idx),
-              bench AS (SELECT DISTINCT sg FROM sh5 WHERE doc_id < 5),
+                      FROM idx
+                      UNION ALL
+                      SELECT doc_id, text AS sg FROM documents WHERE len(string_split(text, ' ')) < 5),
+              bench0 AS (SELECT DISTINCT sg FROM sh5 WHERE doc_id < 5),
+              bench AS (SELECT b.sg FROM sh5 s JOIN bench0 b ON s.sg = b.sg
+                        GROUP BY b.sg HAVING count(*) <= 1000),
               bad AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN bench b ON s.sg = b.sg
                       WHERE s.doc_id >= 5)
               SELECT d.doc_id, d.n_words,

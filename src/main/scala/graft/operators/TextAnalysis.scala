@@ -120,7 +120,7 @@ object TextAnalysis {
               SELECT doc_id,
                      len(string_split((SELECT text FROM documents d2 WHERE d2.doc_id = m.doc_id), ' ')) AS ws_tokens,
                      len(toks) AS word_tokens,
-                     list_sum(list_transform(toks, t -> CAST(ceil(len(t) * 1.0 / 4.0) AS BIGINT))) AS bpe_est
+                     CAST(list_sum(list_transform(toks, t -> CAST(ceil(len(t) * 1.0 / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
               FROM m""")),
 
     // ---- t04: winnowing-style document fingerprint --------------------

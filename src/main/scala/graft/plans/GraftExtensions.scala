@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -42,7 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Rewrites `cosine(x, <constant vector>)` so the constant's norm is
   * computed ONCE at optimization time instead of per row:
   *
-  *   cosine(x, c)  →  if (l2norm(x) = 0.0) 0.0
+  *   cosine(x, c)  →  if (size(x) ≠ |c|)      null
+  *                    else if (l2norm(x) = 0) 0.0
   *                    else dot(x, c) / (l2norm(x) * ‖c‖)
   *
   * with ‖c‖ folded to a double literal here. Catalyst's subexpression
@@ -50,29 +51,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * query (cosine against one query vector) this halves the per-row float
   * loop work: one fused dot+norm pass over x instead of dot+norm(x)+
   * norm(c). Semantics match CosineSimilarity exactly, including the
-  * zero-vector → 0.0 convention.
+  * zero-vector → 0.0 and length-mismatch → null conventions (the size
+  * guard is what keeps the rewrite correct when a row's vector length
+  * differs from the constant's — norms would otherwise silently span
+  * different element counts than the min-length dot).
   */
 object NormalizeConstantCosine extends Rule[LogicalPlan] {
 
-  private def constNorm(lit: Literal): Option[Double] = lit.value match {
+  private def constLenNorm(lit: Literal): Option[(Int, Double)] = lit.value match {
     case a: ArrayData =>
       var s = 0.0
       var i = 0
       while (i < a.numElements()) {
         val v = a.getFloat(i).toDouble; s += v * v; i += 1
       }
-      Some(math.sqrt(s))
+      Some((a.numElements(), math.sqrt(s)))
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case CosineSimilarity(x, c @ Literal(_, ArrayType(FloatType, _))) =>
-      constNorm(c) match {
-        case Some(0.0) => Literal(0.0, DoubleType)
-        case Some(n) =>
-          If(EqualTo(L2Norm(x), Literal(0.0, DoubleType)),
-            Literal(0.0, DoubleType),
-            Divide(DotProduct(x, c), Multiply(L2Norm(x), Literal(n, DoubleType))))
+      constLenNorm(c) match {
+        case Some((len, norm)) =>
+          val body =
+            if (norm == 0.0) Literal(0.0, DoubleType)
+            else If(EqualTo(L2Norm(x), Literal(0.0, DoubleType)),
+              Literal(0.0, DoubleType),
+              Divide(DotProduct(x, c), Multiply(L2Norm(x), Literal(norm, DoubleType))))
+          If(EqualTo(Size(x, legacySizeOfNull = false), Literal(len)),
+            body, Literal(null, DoubleType))
         case None => CosineSimilarity(x, c)
       }
   }

@@ -22,23 +22,31 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   */
 object VectorExpressions {
 
-  /** dot / norms accumulated in double (float inputs), one pass. */
+  /** dot / norms accumulated in double (float inputs), one pass.
+    * Length-mismatched inputs yield NULL (a truncated min-length cosine is
+    * never the intended semantics and would silently disagree with the
+    * [[graft.plans.NormalizeConstantCosine]] rewrite, whose norms span the
+    * full vectors — both paths agree on the null-on-mismatch contract). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_cosine"
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-      while (i < n) {
-        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
-        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      val n = x.numElements()
+      if (n != y.numElements()) null
+      else {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < n) {
+          val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+          dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+        }
+        if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
       }
-      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,14 +55,18 @@ object VectorExpressions {
         val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
         val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
         s"""
-          int $n = $x.numElements() < $y.numElements() ? $x.numElements() : $y.numElements();
-          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-          for (int $i = 0; $i < $n; $i++) {
-            double $xi = (double) $x.getFloat($i);
-            double $yi = (double) $y.getFloat($i);
-            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          int $n = $x.numElements();
+          if ($n != $y.numElements()) {
+            ${ev.isNull} = true;
+          } else {
+            double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $xi = (double) $x.getFloat($i);
+              double $yi = (double) $y.getFloat($i);
+              $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+            }
+            ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
           }
-          ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         """
       })
 

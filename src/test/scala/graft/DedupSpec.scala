@@ -1,7 +1,10 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
+import org.apache.spark.sql.graft.TextHash.shingleHashSet
+import org.apache.spark.sql.graft.VectorExpressions.cosine
 
 class DedupSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -67,5 +70,54 @@ class DedupSpec extends AnyFunSuite {
     val rows = run("d05_dedup_embedding").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.45))
+  }
+
+  test("d05 LSH candidates lose no pair vs the all-pairs reference") {
+    // The former O(n²) form, kept HERE as the recall oracle only.
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val allPairs = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cs"))
+      .filter(col("cs") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs("d05_dedup_embedding")
+    assert(lsh == allPairs, s"lsh=${lsh.size} allPairs=${allPairs.size} " +
+      s"missing=${allPairs.diff(lsh).take(5)}")
+  }
+
+  test("d04 df-cap keeps candidates linear under a planted stop-gram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotgram").toString
+    // 1200 docs all sharing one boilerplate gram (df=1200 > cap=1000) but
+    // nothing else; one planted true near-dup pair with cold grams only.
+    val docs = ((0 until 1200).map(i => (i.toLong, s"boiler plate header u$i v$i w$i")) ++
+      Seq((9998L, "alpha beta gamma delta epsilon zeta"),
+          (9999L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    // Candidate volume: uncapped inverted-index self-join is quadratic in
+    // the stop-gram's df; the capped one generates only true candidates.
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingleHashSet(col("text"))).as("h"))
+    def selfJoinPairs(src: org.apache.spark.sql.DataFrame): Long = {
+      val l = src.select(col("doc_id").as("a_id"), col("h"))
+      val r = src.select(col("doc_id").as("b_id"), col("h"))
+      l.join(r, l("h") === r("h") && col("a_id") < col("b_id")).count()
+    }
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000).select(col("h"))
+    val uncapped = selfJoinPairs(ex)
+    val capped = selfJoinPairs(ex.join(broadcast(hot), Seq("h"), "left_anti"))
+    assert(uncapped > 100000L, s"uncapped=$uncapped")
+    assert(capped < 10L, s"capped=$capped")
+    // The operator still finds exactly the planted pair — boilerplate
+    // pairs share only the hot gram (jac 1/7 < 0.2 anyway), so the capped
+    // output matches the exact all-pairs contract on this corpus too.
+    val out = Dedup.defs.find(_._1 == "d04_dedup_ngram").get._2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((9998L, 9999L)), s"out=$out")
   }
 }

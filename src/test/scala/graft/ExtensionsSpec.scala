@@ -47,4 +47,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .cosine(col("v"), lit(Array(0.0f, 0.0f))).as("c"))
     assert(dfZeroConst.collect().head.getDouble(0) == 0.0)
   }
+
+  test("length-mismatched cosine is null, on the rewrite path too") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .cosine(col("v"), lit(Array(1.0f, 1.0f))).as("c"))
+    assert(df.collect().head.isNullAt(0))
+    val equalLen = Seq((1L, Array(1.0f, 1.0f))).toDF("id", "v")
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .cosine(col("v"), lit(Array(1.0f, 1.0f))).as("c"))
+    assert(math.abs(equalLen.collect().head.getDouble(0) - 1.0) < 1e-12)
+  }
 }
