@@ -1,15 +1,23 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** The reference's DDL surface (CREATE/DROP TABLE/INDEX/VIEW/DATABASE,
-  * andb/sql/parser/lexer.py:13-17) mapped onto Spark's catalog.
+/** The reference's DDL surface (CREATE/DROP/ALTER TABLE, CREATE INDEX/
+  * VIEW/DATABASE, andb/sql/parser/lexer.py:13-17) and its ANALYZE-style
+  * statistics collection (andb/sql/optimizer/statistic/) mapped onto
+  * Spark's catalog.
   *
   * On Spark + parquet the catalog entry IS the table: registering a
   * parquet path as a view gives scans with pushdown and pruning; "CREATE
   * INDEX" has no direct analog because the columnar format already
   * carries min/max page stats — the honest mapping is sort-order layout
-  * (Z-order/cluster-by at write time), which `indexHint` documents. */
+  * (Z-order/cluster-by at write time), which `indexHint` documents.
+  * ALTER TABLE on immutable parquet is a catalog-only projection change
+  * (rename/add/drop re-register the same scan under the same name — zero
+  * data rewrite, exactly the reference's catalog-entry update). ANALYZE
+  * runs Spark's own `ANALYZE TABLE` so the cost model (broadcast
+  * decisions, CBO join reorder) gets real row counts instead of file-size
+  * guesses — the Spark seat of the reference's statistics module. */
 object Ddl {
 
   /** CREATE TABLE t AS <parquet dir>/name.parquet. */
@@ -36,4 +44,54 @@ object Ddl {
   /** Register all testdata tables so `spark.sql` works by name. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     Tables.names.foreach(createTable(spark, _, sfDir))
+
+  // ---- ALTER TABLE analogs (catalog-only; no data rewrite) -------------
+
+  /** ALTER TABLE name RENAME COLUMN from TO to. */
+  def alterRenameColumn(spark: SparkSession, name: String, from: String, to: String): DataFrame = {
+    val df = spark.table(name).withColumnRenamed(from, to)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** ALTER TABLE name ADD COLUMN colName AS expr (expr supplies the
+    * value for existing rows — the parquet files are never rewritten). */
+  def alterAddColumn(spark: SparkSession, name: String, colName: String, expr: Column): DataFrame = {
+    val df = spark.table(name).withColumn(colName, expr)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** ALTER TABLE name DROP COLUMN colName. */
+  def alterDropColumn(spark: SparkSession, name: String, colName: String): DataFrame = {
+    val df = spark.table(name).drop(colName)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  // ---- ANALYZE (optimizer statistics) ----------------------------------
+
+  /** ANALYZE TABLE analog: registers the parquet directory as a catalog
+    * table (temp views cannot hold stats) and runs Spark's native
+    * `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]`. Returns
+    * (sizeInBytes, rowCount) as the optimizer will now see them — the
+    * inputs that flip a join to broadcast and order a CBO multi-join.
+    * Mirrors the reference's statistics module
+    * (andb/sql/optimizer/statistic/), which feeds its cost model the
+    * same table cardinalities. */
+  def analyzeTable(spark: SparkSession, name: String, sfDir: String,
+      cols: Seq[String] = Nil): (BigInt, Option[BigInt]) = {
+    val cat = s"${name}_analyzed"
+    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    spark.sql(s"CREATE TABLE $cat USING parquet LOCATION '$sfDir/$name.parquet'")
+    spark.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS")
+    if (cols.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+    // Catalog truth (plan-level stats only carry rowCount under CBO).
+    val statsLine = spark.sql(s"DESCRIBE TABLE EXTENDED $cat").collect()
+      .find(_.getString(0) == "Statistics").map(_.getString(1)).getOrElse("")
+    val bytes = "([0-9]+) bytes".r.findFirstMatchIn(statsLine).map(m => BigInt(m.group(1)))
+    val rows = "([0-9]+) rows".r.findFirstMatchIn(statsLine).map(m => BigInt(m.group(1)))
+    (bytes.getOrElse(BigInt(0)), rows)
+  }
 }

@@ -1,0 +1,274 @@
+package graft.operators
+
+/** The relational block (q01–q38) as executable Spark SQL TEXT — the
+  * interface a user of the reference actually writes first, since AnDB's
+  * entire user surface is SQL strings through its parser
+  * (andb/sql/parser/lexer.py:11-131). Each entry produces the same result
+  * (names and values) as the corresponding DataFrame plan in
+  * [[Relational.defs]]; SqlParitySpec asserts that equality for every
+  * entry on every run.
+  *
+  * Usage: `Ddl.registerAll(spark, sfDir)` then
+  * `spark.sql(RelationalSql.sql("q25_tpch_q1"))`.
+  *
+  * The strings parse through the SAME Catalyst front end as the DataFrame
+  * API, so pushdown / pruning / join selection / codegen are identical —
+  * SQL-vs-DataFrame is a syntax choice, not a performance one (q37 is the
+  * one semantic exception: its SQL form is the row_number window
+  * equivalent of the bounded-heap GroupedTopK physical operator).
+  */
+object RelationalSql {
+
+  val sql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity < 10 AND l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q02_predicates" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |  AND c_acctbal BETWEEN 0 AND 5000
+        |  AND c_name LIKE '%5%'
+        |  AND NOT (c_nationkey = 3)
+        |  AND c_name IS NOT NULL""".stripMargin,
+
+    "q03_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price,
+        |       min(l_discount) AS min_disc, max(l_tax) AS max_tax
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100""".stripMargin,
+
+    "q04_agg_global" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
+        |       sum(l_quantity) AS sum_qty,
+        |       FLOOR(avg(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc,
+        |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100 OFFSET 10""".stripMargin,
+
+    "q06_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q07_join_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q08_join_broadcast" ->
+      """SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        |       r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q09_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       FLOOR(coalesce(sum(o_totalprice), 0.0) * 100 + 0.5) / 100 AS spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q10_join_right" ->
+      """SELECT n_name, count(s_suppkey) AS n_supp
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q11_join_full" ->
+      """SELECT coalesce(c.nk, p.nk) AS nk,
+        |       coalesce(n_cust, 0L) AS n_cust, coalesce(n_supp, 0L) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+        |           WHERE s_acctbal < 0 GROUP BY 1) p
+        |ON c.nk = p.nk""".stripMargin,
+
+    "q12_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q13_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q14_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q15_union_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk""".stripMargin,
+
+    "q16_union" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -900
+        |UNION SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < -900""".stripMargin,
+
+    "q17_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -500
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < -500""".stripMargin,
+
+    "q18_except" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -500
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < -500""".stripMargin,
+
+    "q19_case_cast" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice >= 400000 THEN 'high'
+        |            WHEN o_totalprice >= 150000 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        |       'O' || CAST(o_orderkey AS STRING) AS okey_str,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+        |       o_orderkey % 7 AS key_mod
+        |FROM orders""".stripMargin,
+
+    "q20_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn, rank() OVER w AS rnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3""".stripMargin,
+
+    "q21_window_agg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       FLOOR(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS run_spend,
+        |       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders""".stripMargin,
+
+    "q22_cte" ->
+      """WITH cust_tot AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       FLOOR(avg(total) * 100 + 0.5) / 100 AS avg_spend
+        |FROM customer JOIN cust_tot ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q23_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.9""".stripMargin,
+
+    "q24_multijoin" ->
+      """SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        |       n_name,
+        |       FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q25_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice) AS sum_base_price,
+        |       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |       avg(l_quantity) AS avg_qty,
+        |       avg(l_extendedprice) AS avg_price,
+        |       avg(l_discount) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q26_dml_insert" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name
+        |          FROM VALUES (5, 'CYBER'), (6, 'MOON') AS t(r_regionkey, r_name)""".stripMargin,
+
+    "q27_dml_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IS DISTINCT FROM 2""".stripMargin,
+
+    "q28_dml_update" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CASE WHEN s_acctbal < 0 THEN s_acctbal * 1.1 ELSE s_acctbal END AS s_acctbal
+        |FROM supplier""".stripMargin,
+
+    "q29_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT explode(split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 50)
+        |GROUP BY word""".stripMargin,
+
+    "q30_having_expr" ->
+      """SELECT p_brand, count(*) AS n_parts, sum(p_retailprice) AS tot_price
+        |FROM part GROUP BY p_brand
+        |HAVING count(*) > 50 AND sum(p_retailprice) > 40000""".stripMargin,
+
+    "q31_json" ->
+      """SELECT CAST(get_json_object(props, '$.k') AS INT) AS k_val,
+        |       count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q33_approx_agg" ->
+      """SELECT l_returnflag,
+        |       approx_count_distinct(l_partkey) AS approx_parts,
+        |       percentile_approx(l_extendedprice, 0.5, 1000) AS approx_median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |       coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS AUTOMOBILE,
+        |       coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS BUILDING,
+        |       coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS FURNITURE,
+        |       coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS HOUSEHOLD,
+        |       coalesce(FLOOR(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN o_totalprice END) * 100 + 0.5) / 100, 0.0) AS MACHINERY
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY year(o_orderdate)""".stripMargin,
+
+    "q35_window_range" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |             CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS order_day,
+        |             o_totalprice FROM orders)
+        |SELECT o_custkey, o_orderkey, order_day,
+        |       FLOOR(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_day
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS trailing_30d
+        |FROM o""".stripMargin,
+
+    "q36_datetime" ->
+      """SELECT o_orderkey,
+        |       date_trunc('month', o_orderdate) AS order_month,
+        |       year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |       dayofweek(o_orderdate) AS dow,
+        |       CAST(add_months(o_orderdate, 3) AS TIMESTAMP) AS due_date,
+        |       datediff(TIMESTAMP '2002-01-01', o_orderdate) AS age_days
+        |FROM orders WHERE year(o_orderdate) = 2000""".stripMargin,
+
+    "q37_grouped_topk" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q38_dml_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000L AS o_orderkey, 42.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       FLOOR(coalesce(u.o_totalprice, b.o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL surface: ALTER analogs are catalog-only projection changes over
+  * the same parquet scan; ANALYZE feeds Spark's cost model real stats. */
+class DdlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("alter rename/add/drop column re-register the same scan") {
+    Ddl.createTable(spark, "nation", TestSpark.sf)
+    val renamed = Ddl.alterRenameColumn(spark, "nation", "n_name", "nation_name")
+    assert(renamed.columns.contains("nation_name") && !renamed.columns.contains("n_name"))
+    // The view under the original name reflects the rename.
+    assert(spark.table("nation").columns.contains("nation_name"))
+
+    val added = Ddl.alterAddColumn(spark, "nation", "key_sq",
+      col("n_nationkey") * col("n_nationkey"))
+    assert(added.columns.contains("key_sq"))
+    val r = spark.sql("SELECT key_sq FROM nation WHERE n_nationkey = 3").collect().head
+    assert(r.getAs[Number](0).longValue == 9L)
+
+    val dropped = Ddl.alterDropColumn(spark, "nation", "key_sq")
+    assert(!dropped.columns.contains("key_sq"))
+    // Restore the canonical registration for other specs.
+    Ddl.createTable(spark, "nation", TestSpark.sf)
+  }
+
+  test("analyzeTable computes real row counts for the cost model") {
+    val (size, rowCount) = Ddl.analyzeTable(spark, "nation", TestSpark.sf,
+      cols = Seq("n_nationkey", "n_regionkey"))
+    assert(size > 0)
+    val expected = Tables.nation(spark, TestSpark.sf).count()
+    assert(rowCount.contains(BigInt(expected)), s"rowCount=$rowCount expected=$expected")
+    spark.sql("DROP TABLE IF EXISTS nation_analyzed")
+  }
+}

@@ -31,6 +31,23 @@ class SqlParitySpec extends AnyFunSuite {
     assert(sql.toSeq == df.toSeq)
   }
 
+  test("every relational query's SQL text matches its DataFrame plan") {
+    Ddl.registerAll(spark, TestSpark.sf)
+    val byName = graft.operators.Relational.defs.map(d => d._1 -> d._2).toMap
+    // Every relational entry must have a SQL form, and vice versa.
+    assert(graft.operators.RelationalSql.sql.keySet == byName.keySet)
+    for ((name, sqlText) <- graft.operators.RelationalSql.sql.toSeq.sortBy(_._1)) {
+      val df = byName(name)(spark, TestSpark.sf)
+      val viaSql = spark.sql(sqlText)
+      assert(viaSql.columns.toSeq == df.columns.toSeq,
+        s"$name columns: sql=${viaSql.columns.toSeq} df=${df.columns.toSeq}")
+      val a = viaSql.collect().map(_.toString).sorted.toSeq
+      val b = df.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name rows differ: sql=${a.length} df=${b.length} " +
+        s"firstDiff=${a.zip(b).find(p => p._1 != p._2)}")
+    }
+  }
+
   test("injected text-hash kernels are callable from SQL") {
     val r = spark.sql(
       """SELECT size(graft_shingles('a b c d')) AS n_grams,
