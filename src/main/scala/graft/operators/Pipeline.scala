@@ -11,15 +11,16 @@ import org.apache.spark.sql.graft.TextHash.shingleHashSet
   * gate → exact-dedup keeper selection → benchmark decontamination →
   * training-ready survivors.
   *
-  * Exchange budget at 100 TB (matches `.explain` at sf0.1): normalize +
-  * tokenize + score fuse into ONE map-side projection over the scan;
-  * keeper selection is a window-min over the content hash — one hash
-  * exchange of the qualified survivors, no join-back; decontamination
-  * joins the corpus gram stream against a BROADCAST benchmark gram set
-  * (zero corpus shuffle) and exchanges only the matched doc_ids for the
-  * distinct + anti-join. Total: two full exchanges (dedup window,
-  * contaminated-id distinct), both over reduced data — the budget a
-  * per-crawl curation pass must hit.
+  * Exchange budget at 100 TB (matches the executed plan at sf0.1, four
+  * hash exchanges total): normalize + tokenize + score fuse into ONE
+  * map-side projection over the scan; keeper selection is a window-min
+  * over the content hash — one hash exchange of the qualified survivors,
+  * no join-back; decontamination joins the corpus gram stream against a
+  * BROADCAST benchmark gram set (zero corpus shuffle), with two
+  * bench-gram-set-sized aggregates for the df cap and one exchange of
+  * the matched doc_ids for the distinct + anti-join. Only the window
+  * exchange is corpus-scale — the budget a per-crawl curation pass must
+  * hit.
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame

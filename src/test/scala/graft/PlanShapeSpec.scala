@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates for the scale-critical operators: the
+  * specific anti-patterns the 100 TB design forbids must never reappear
+  * in the executed plans, regardless of data size or AQE decisions. */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.executedPlan.treeString
+  }
+
+  test("d05 embedding dedup has no cross product or nested-loop join") {
+    val p = planOf("d05_dedup_embedding")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("v01's intentional inequality join is the only nested-loop plan") {
+    // v01 is a bounded pairwise demo (a_id < 30); every OTHER vector/dedup
+    // operator must stay equi-join only.
+    for (n <- Seq("d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
+                  "v02_knn_bruteforce", "v03_knn_lsh")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian")
+    }
+  }
+
+  test("v05 probe path is a single pruned scan with no shuffle") {
+    val p = planOf("v05_knn_ivf")
+    assert(!p.contains("Exchange hashpartitioning"), "probe path must not shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be distributed TakeOrdered")
+  }
+
+  test("d08 contamination never shuffles the corpus gram stream") {
+    val p = planOf("d08_contamination")
+    // The corpus side meets the bench set only through broadcast joins.
+    // The four hash exchanges are all over reduced data: bench0 distinct,
+    // the bench-df aggregate (both bench-set-sized), and the two-phase
+    // per-doc countDistinct over MATCHED grams only — never the raw
+    // corpus gram stream.
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 4, s"unexpected exchange count $exchanges")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
