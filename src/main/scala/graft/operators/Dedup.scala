@@ -75,6 +75,55 @@ object Dedup {
       |         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
       |""".stripMargin
 
+  /** Exact n-gram Jaccard pairs with score ≥ `minJac`, via a df-capped
+    * inverted-index self-join on 8-byte gram hashes.
+    *
+    * The document-frequency cap is what makes this survive a real crawl:
+    * a gram shared by m docs emits m² candidate pairs, so grams with
+    * df > GramDfCap are dropped from candidate generation (broadcast
+    * anti-join — the hot set is tiny by construction) and scores stay
+    * EXACT via an array-intersect verify on the full gram sets of
+    * surviving candidates. A conservative prefilter — cold overlap plus
+    * best-case hot overlap against the threshold's required intersection
+    * `(|A|+|B|)·t/(1+t)` — prunes candidates before the wide verify join
+    * without ever dropping a true pair, and tightens with the threshold
+    * (d06's 0.9 edge set prunes far harder than d04's 0.2 scoring). The
+    * gram-set table is localCheckpoint'd: one kernel pass feeds candidate
+    * generation, the prefilter stats, and the verify (at 100 TB this is
+    * "write the shingle table once per corpus"). */
+  private def ngramPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
+    val hs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
+      .localCheckpoint()
+    val ex = hs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > GramDfCap).select(col("h"))
+    val cold = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    // Per-doc hot-gram counts (n - cold-gram count) for the prefilter.
+    val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
+      .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("n") - coalesce(col("n_cold"), lit(0L))).as("n_hot"))
+    val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
+    val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h"))
+    val cands = a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+    // jac ≥ t ⟺ |A∩B| ≥ (|A|+|B|)·t/(1+t); |A∩B| ≤ c_cold + min(hot_a, hot_b).
+    val reqFrac = minJac / (1.0 + minJac)
+    val pre = cands
+      .join(hotCnt.select(col("doc_id").as("a_id"), col("n_hot").as("ha")), "a_id")
+      .join(hotCnt.select(col("doc_id").as("b_id"), col("n_hot").as("hb")), "b_id")
+      .filter(col("c_cold") + least(col("ha"), col("hb"))
+        >= (col("na") + col("nb")) * lit(reqFrac))
+    pre
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("hsa")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("hsb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- d01: exact dedup by content hash -----------------------------
@@ -162,49 +211,9 @@ object Dedup {
       None),
 
     // ---- d04: exact n-gram Jaccard scores (df-capped inverted index) --
-    // Inverted-index self-join on 8-byte gram hashes, with the document-
-    // frequency cap that makes it survive a real crawl: a gram shared by
-    // m docs emits m² candidate pairs, so grams with df > GramDfCap are
-    // dropped from candidate generation (broadcast anti-join — the hot set
-    // is tiny by construction) and scores stay EXACT via an array-
-    // intersect verify on the full gram sets of surviving candidates. A
-    // conservative prefilter (cold overlap + best-case hot overlap) prunes
-    // candidates before the wide verify join without ever dropping a true
-    // pair. The gram-set table is localCheckpoint'd: one kernel pass
-    // feeds candidate generation, the prefilter stats, and the verify (at
-    // 100 TB this is "write the shingle table once per corpus").
+    // See [[ngramPairs]] for the full plan shape.
     ("d04_dedup_ngram",
-      (s, d) => {
-        val hs = Tables.documents(s, d)
-          .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
-          .localCheckpoint()
-        val ex = hs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
-        val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > GramDfCap).select(col("h"))
-        val cold = ex.join(broadcast(hot), Seq("h"), "left_anti")
-        // Per-doc hot-gram counts (n - cold-gram count) for the prefilter.
-        val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
-          .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
-          .select(col("doc_id"), (col("n") - coalesce(col("n_cold"), lit(0L))).as("n_hot"))
-        val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
-        val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h"))
-        val cands = a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
-        // jac ≥ 0.2 ⟺ |A∩B| ≥ (|A|+|B|)/6; |A∩B| ≤ c_cold + min(hot_a, hot_b).
-        val pre = cands
-          .join(hotCnt.select(col("doc_id").as("a_id"), col("n_hot").as("ha")), "a_id")
-          .join(hotCnt.select(col("doc_id").as("b_id"), col("n_hot").as("hb")), "b_id")
-          .filter(col("c_cold") + least(col("ha"), col("hb"))
-            >= (col("na") + col("nb")) / lit(6.0))
-        pre
-          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("hsa")), "a_id")
-          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("hsb")), "b_id")
-          .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
-          .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jac") >= 0.2)
-          .select(col("a_id"), col("b_id"), col("jac"))
-      },
+      (s, d) => ngramPairs(s, d, 0.2),
       Some(s"""WITH $oracleShingleJaccard
                SELECT ia AS a_id, ib AS b_id, jac FROM jacs
                WHERE jac >= 0.2 AND has_cold = 1""")),
@@ -219,8 +228,11 @@ object Dedup {
     // on the driver). Oracle: DuckDB recursive-CTE transitive closure.
     ("d06_dedup_groups",
       (s, d) => {
-        val edges = defs.find(_._1 == "d04_dedup_ngram").get._2(s, d)
-          .filter(col("jac") >= 0.9)
+        // Edge generation runs the ngram scorer AT the 0.9 threshold, so
+        // the no-false-drop prefilter prunes with the 0.9 bound (required
+        // intersection ≈ 47% of |A|+|B|) instead of d04's 0.2 bound —
+        // far fewer candidates reach the verify join.
+        val edges = ngramPairs(s, d, 0.9)
           .select(col("a_id"), col("b_id"))
           .localCheckpoint() // cut the lineage: the edge set is re-joined every round
         val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
