@@ -35,4 +35,19 @@ class DdlSpec extends AnyFunSuite {
     assert(rowCount.contains(BigInt(expected)), s"rowCount=$rowCount expected=$expected")
     spark.sql("DROP TABLE IF EXISTS nation_analyzed")
   }
+
+  test("analyzed stats reach the optimizer's plan estimates under CBO") {
+    Ddl.analyzeTable(spark, "nation", TestSpark.sf)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // With CBO on, the logical plan's cardinality estimate is the
+      // ANALYZE row count — the input join reorder and broadcast
+      // decisions key off — not a file-size guess.
+      val stats = spark.table("nation_analyzed").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"stats=$stats")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS nation_analyzed")
+    }
+  }
 }
