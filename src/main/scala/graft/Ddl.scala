@@ -69,6 +69,18 @@ object Ddl {
     df
   }
 
+  /** CHECKPOINT analog — the reference's one runtime command
+    * (CommandOperator 'checkpoint', andb/executor/operator/physical/
+    * utility.py:163, flushing its WAL via xact_manager.checkpoint()).
+    * Spark has no WAL; the durability/recovery point is a materialized
+    * lineage cut: `localCheckpoint` pins the dataset's partitions to
+    * executor storage and truncates the logical plan (what the iterative
+    * d06 loop uses so each round stops re-deriving the last), while
+    * `Dataset.checkpoint` under a configured checkpoint dir is the
+    * cross-failure durable form on a real cluster. */
+  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.localCheckpoint(eager)
+
   // ---- ANALYZE (optimizer statistics) ----------------------------------
 
   /** ANALYZE TABLE analog: registers the parquet directory as a catalog

@@ -36,6 +36,15 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS nation_analyzed")
   }
 
+  test("checkpoint materializes and truncates lineage") {
+    val df = Tables.nation(spark, TestSpark.sf).filter(col("n_regionkey") === 1)
+    val cp = Ddl.checkpoint(df)
+    assert(cp.count() == df.count())
+    // The checkpointed plan no longer derives from the parquet scan.
+    assert(cp.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      cp.queryExecution.optimizedPlan.toString)
+  }
+
   test("analyzed stats reach the optimizer's plan estimates under CBO") {
     Ddl.analyzeTable(spark, "nation", TestSpark.sf)
     spark.conf.set("spark.sql.cbo.enabled", "true")
