@@ -81,12 +81,16 @@ object Ann {
           .select(col("*"), explode(array((0 until nBands).map(b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
-          .select(df.columns.toIndexedSeq.map(col) :+ col("bs.band").as("band") :+ col("bs.bv").as("bv"): _*)
+          .select(df.columns.toIndexedSeq.map(col) ++
+            Seq(col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv")): _*)
         val e = banded(Tables.embeddings(s, d), "embedding")
-        val probes = banded(queryVec(s, d), "qv")
+        val probes = banded(queryVec(s, d), "qv").withColumnRenamed("sig", "psig")
+        // First-matching-band filter (Lsh) keeps each (vector, query)
+        // match exactly once — no distinct over embedding-carrying rows.
         e.join(broadcast(probes), Seq("band", "bv"))
           .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("embedding"), col("qv")).distinct()
+          .filter(col("band") === Lsh.firstMatchingBand(
+            col("sig").bitwiseXOR(col("psig")), bandBits, nBands))
           .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)

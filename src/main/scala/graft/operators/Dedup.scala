@@ -200,12 +200,14 @@ object Dedup {
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bs"))
           .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bv"))
+        // First-matching-band filter replaces the candidate distinct.
         banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
               && col("a.doc_id") < col("b.doc_id"))
+          .filter(col("a.band") === Lsh.firstMatchingBand(
+            col("a.sig").bitwiseXOR(col("b.sig")), 16, 4))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
             bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 3)
       },
       None),
@@ -345,15 +347,18 @@ object Dedup {
         val e = Tables.embeddings(s, d)
         val banded = e
           .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
-          .select(col("vec_id"), explode(array((0 until nBands).map(bb =>
+          .select(col("vec_id"), col("sig"), explode(array((0 until nBands).map(bb =>
             struct(lit(bb).as("band"),
               shiftright(col("sig"), bb * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
-          .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+          .select(col("vec_id"), col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+        // Each pair survives exactly once (first-matching-band filter,
+        // map-side) — no candidate-sized distinct shuffle.
         val cands = banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
               && col("x.vec_id") < col("y.vec_id"))
+          .filter(col("x.band") === Lsh.firstMatchingBand(
+            col("x.sig").bitwiseXOR(col("y.sig")), bandBits, nBands))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-          .distinct()
         val emb = e.select(col("vec_id"), col("embedding"))
         cands
           .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")

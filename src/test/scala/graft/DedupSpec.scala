@@ -66,10 +66,13 @@ class DedupSpec extends AnyFunSuite {
     assert(en > 0.2 && en < 0.8, s"en fraction=$en")
   }
 
-  test("d05 embedding near-dups are symmetric-free and above threshold") {
+  test("d05 embedding near-dups are symmetric-free, unique, above threshold") {
     val rows = run("d05_dedup_embedding").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.45))
+    // The first-matching-band filter must emit each pair exactly once.
+    val ps = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.distinct.length == ps.length, "duplicate pairs emitted")
   }
 
   test("d05 LSH candidates lose no pair vs the all-pairs reference") {
