@@ -96,9 +96,15 @@ object Dedup {
       .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
       .localCheckpoint()
     val ex = hs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > GramDfCap).select(col("h"))
-    val cold = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    // Hot-gram exclusion rides the SAME hash-on-gram exchange the
+    // self-join needs anyway: a count window over partitionBy(h) yields
+    // each gram's df in place (gram sets are distinct per doc, so
+    // occurrences = document frequency), and the filtered stream is
+    // already partitioned for the join — no separate full-gram groupBy,
+    // no broadcast anti-join pass.
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val cold = ex.withColumn("df", count(lit(1)).over(wGram))
+      .filter(col("df") <= GramDfCap).drop("df")
     // Per-doc hot-gram counts (n - cold-gram count) for the prefilter.
     val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
       .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
