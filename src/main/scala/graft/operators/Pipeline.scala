@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import org.apache.spark.sql.graft.TextHash.shingleHashSet
+import org.apache.spark.sql.graft.TextHash.{qualityFeaturesCol, shingleHashSet}
 
 /** The operators composed as one curation flow — the shape this library
   * actually runs in production: raw corpus → canonical form → quality
@@ -29,18 +29,19 @@ object Pipeline {
     ("p01_curation_pipeline",
       (s, d) => {
         val stop = Seq("the", "a", "of", "and", "is")
-        // Stage 1 (map-side): canonical text + quality features.
+        // Stage 1 (map-side): canonical text + quality features, as ONE
+        // single-pass kernel expression. The declarative regexp + split +
+        // HOF chain computed the same values, but Catalyst re-inlines
+        // that whole tree into every referencing Filter/Project (no CSE
+        // across operators or inside lambdas) — the quality GATE alone
+        // re-derived the normalization ~6× per row, measured 22s of a
+        // 34s pipeline at 200k docs. The kernel makes the gate one pass.
         val norm = Tables.documents(s, d)
-          .select(col("doc_id"),
-            trim(regexp_replace(
-              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-              " +", " ")).as("norm_text"))
-          .select(col("doc_id"), col("norm_text"), split(col("norm_text"), " ").as("w"))
-          .select(col("doc_id"), col("norm_text"),
-            size(col("w")).cast("long").as("n_words"),
-            (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
-            (size(filter(col("w"), x => x.isInCollection(stop))).cast("double") / size(col("w")))
-              .as("stop_ratio"))
+          .select(col("doc_id"), qualityFeaturesCol(col("text"), stop).as("f"))
+          .select(col("doc_id"), col("f.norm_text").as("norm_text"),
+            col("f.n_words").as("n_words"),
+            (col("f.n_distinct").cast("double") / col("f.n_words")).as("ttr"),
+            (col("f.n_stop").cast("double") / col("f.n_words")).as("stop_ratio"))
           .withColumn("quality",
             least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5
               + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2)

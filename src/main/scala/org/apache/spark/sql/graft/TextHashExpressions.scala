@@ -7,7 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass text→hash kernels: tokenize, build word n-gram shingles,
@@ -137,6 +137,70 @@ object TextHash {
     sig
   }
 
+  /** Single-pass normalize + quality features: builds the canonical text
+    * (lowercase → strip non-[a-z0-9 ] → collapse space runs → trim) and
+    * counts words, distinct words, and stop-word hits over it in ONE scan
+    * of the bytes. Declaratively this is a regexp chain + split + two
+    * array HOFs, which Catalyst re-inlines into every referencing
+    * Filter/Project (measured 20-30× the work on the curation gate);
+    * here the whole derivation is one expression, so a quality gate costs
+    * one pass per row. ASCII semantics (bytes ≥ 0x80 are stripped like
+    * any other non-[a-z0-9 ] char — matches the regex on this corpus).
+    * Token contract matches `string_split(norm, ' ')`: an empty
+    * normalized text still yields one empty token. */
+  def qualityFeatures(s: UTF8String, stopHashes: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val out = new Array[Byte](bytes.length)
+    var o = 0
+    var lastSpace = true // leading spaces never emitted
+    var i = 0
+    while (i < bytes.length) {
+      var b = bytes(i)
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        out(o) = b; o += 1; lastSpace = false
+      } else if (b == ' ' && !lastSpace) {
+        out(o) = ' '; o += 1; lastSpace = true
+      }
+      i += 1
+    }
+    if (o > 0 && out(o - 1) == ' ') o -= 1 // trim the single trailing space
+    // Tokenize the normalized bytes: words = runs between single spaces.
+    var nWords = 1L
+    i = 0
+    while (i < o) { if (out(i) == ' ') nWords += 1; i += 1 }
+    val cap = java.lang.Long.highestOneBit(math.max(4L, nWords * 2 - 1)) << 1
+    val seen = new Array[Long](cap.toInt) // open addressing; 0 = empty slot
+    val capMask = cap.toInt - 1
+    var nDistinct = 0L
+    var nStop = 0L
+    var start = 0
+    i = 0
+    while (i <= o) {
+      if (i == o || out(i) == ' ') {
+        var h = wordHash(out, start, i)
+        if (h == 0) h = 1 // reserve 0 as the empty-slot marker
+        var slot = (h & 0x7FFFFFFF).toInt & capMask
+        while (seen(slot) != 0 && seen(slot) != h) slot = (slot + 1) & capMask
+        if (seen(slot) == 0) { seen(slot) = h; nDistinct += 1 }
+        var k = 0
+        while (k < stopHashes.length) { if (stopHashes(k) == h) { nStop += 1; k = stopHashes.length } else k += 1 }
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromBytes(out, 0, o), nWords, nDistinct, nStop)
+  }
+
+  /** Hash a stop-word list the way [[qualityFeatures]] hashes tokens. */
+  def stopWordHashes(stop: Seq[String]): Array[Long] =
+    stop.map { w =>
+      val b = w.getBytes("UTF-8")
+      val h = wordHash(b, 0, b.length)
+      if (h == 0) 1L else h
+    }.toArray
+
   // ---- Expressions ----------------------------------------------------
 
   private val LongArray = ArrayType(LongType, containsNull = false)
@@ -176,6 +240,32 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Normalize + word/distinct/stop-word counts as ONE struct-valued
+    * expression (see [[TextHash.qualityFeatures]]). */
+  case class QualityFeaturesExpr(child: Expression, stop: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("norm_text", StringType, nullable = false),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("n_stop", LongType, nullable = false)))
+    override def prettyName: String = "graft_quality_features"
+
+    @transient private lazy val stopH: Array[Long] = stopWordHashes(stop)
+
+    override protected def nullSafeEval(a: Any): Any =
+      qualityFeatures(a.asInstanceOf[UTF8String], stopH)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val ref = ctx.addReferenceObj("stopHashes", stopH, "long[]")
+        s"${ev.value} = org.apache.spark.sql.graft.TextHash.qualityFeatures($x, $ref);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit SimHash signature. */
   case class SimHash64(child: Expression, n: Int) extends TextHashExpr {
     override def dataType: DataType = LongType
@@ -194,4 +284,5 @@ object TextHash {
   def shingleHashSet(c: Column, n: Int = 3): Column = mk(ShingleHashSet(ex(c), n))
   def minHashSignature(c: Column, n: Int = 3, k: Int = 32): Column = mk(MinHashSignature(ex(c), n, k))
   def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
+  def qualityFeaturesCol(c: Column, stop: Seq[String]): Column = mk(QualityFeaturesExpr(ex(c), stop))
 }

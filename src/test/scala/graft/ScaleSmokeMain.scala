@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: replicate the sf0.1 documents corpus REP× with
+  * replica-disjoint vocabulary (every word prefixed by its replica id,
+  * so gram spaces never collide and the duplicate structure replicates
+  * independently), then time the dedup/text family on ~200k docs. An
+  * operator whose plan is linear should cost ≈ REP × its sf0.1 time
+  * (modulo fixed overheads); anything superlinear is a scale bug.
+  * Run: sbt "Test/runMain graft.ScaleSmokeMain"  (not part of the library)
+  */
+object ScaleSmokeMain {
+  def main(args: Array[String]): Unit = {
+    val rep = args.headOption.map(_.toInt).getOrElse(40)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("scale-smoke")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = "/tmp/graft_scale_smoke"
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(rep).select(col("id").cast("int").as("rep"))
+    base.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(col("rep").cast("string"), lit("x"), w)), " ").as("text"),
+        col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(s"[smoke] corpus: $n docs (${rep}x sf0.1)")
+
+    for (name <- Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+                     "d06_dedup_groups", "d08_contamination", "t05_normalize",
+                     "t06_vocab", "t07_tfidf", "p01_curation_pipeline")) {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[smoke] $name%-22s $sec%7.1f s   rows=$rows%d")
+    }
+    spark.stop()
+  }
+}
