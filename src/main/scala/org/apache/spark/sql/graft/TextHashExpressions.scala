@@ -147,24 +147,33 @@ object TextHash {
     * one pass per row. ASCII semantics (bytes ≥ 0x80 are stripped like
     * any other non-[a-z0-9 ] char — matches the regex on this corpus).
     * Token contract matches `string_split(norm, ' ')`: an empty
-    * normalized text still yields one empty token. */
-  def qualityFeatures(s: UTF8String, stopHashes: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    * normalized text still yields one empty token. With
+    * `normalize = false` the counts run over the RAW text tokenized on
+    * single spaces (empty tokens preserved, exactly like split/
+    * string_split), for quality scoring of as-ingested text (t02). */
+  def qualityFeatures(s: UTF8String, stopHashes: Array[Long],
+      normalize: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = s.getBytes
-    val out = new Array[Byte](bytes.length)
-    var o = 0
-    var lastSpace = true // leading spaces never emitted
-    var i = 0
-    while (i < bytes.length) {
-      var b = bytes(i)
-      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
-      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
-        out(o) = b; o += 1; lastSpace = false
-      } else if (b == ' ' && !lastSpace) {
-        out(o) = ' '; o += 1; lastSpace = true
+    var out = bytes
+    var o = bytes.length
+    if (normalize) {
+      out = new Array[Byte](bytes.length)
+      o = 0
+      var lastSpace = true // leading spaces never emitted
+      var i0 = 0
+      while (i0 < bytes.length) {
+        var b = bytes(i0)
+        if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+          out(o) = b; o += 1; lastSpace = false
+        } else if (b == ' ' && !lastSpace) {
+          out(o) = ' '; o += 1; lastSpace = true
+        }
+        i0 += 1
       }
-      i += 1
+      if (o > 0 && out(o - 1) == ' ') o -= 1 // trim the single trailing space
     }
-    if (o > 0 && out(o - 1) == ' ') o -= 1 // trim the single trailing space
+    var i = 0
     // Tokenize the normalized bytes: words = runs between single spaces.
     var nWords = 1L
     i = 0
@@ -242,7 +251,8 @@ object TextHash {
 
   /** Normalize + word/distinct/stop-word counts as ONE struct-valued
     * expression (see [[TextHash.qualityFeatures]]). */
-  case class QualityFeaturesExpr(child: Expression, stop: Seq[String])
+  case class QualityFeaturesExpr(child: Expression, stop: Seq[String],
+      normalize: Boolean = true)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
@@ -255,12 +265,12 @@ object TextHash {
     @transient private lazy val stopH: Array[Long] = stopWordHashes(stop)
 
     override protected def nullSafeEval(a: Any): Any =
-      qualityFeatures(a.asInstanceOf[UTF8String], stopH)
+      qualityFeatures(a.asInstanceOf[UTF8String], stopH, normalize)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, x => {
         val ref = ctx.addReferenceObj("stopHashes", stopH, "long[]")
-        s"${ev.value} = org.apache.spark.sql.graft.TextHash.qualityFeatures($x, $ref);"
+        s"${ev.value} = org.apache.spark.sql.graft.TextHash.qualityFeatures($x, $ref, $normalize);"
       })
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -284,5 +294,6 @@ object TextHash {
   def shingleHashSet(c: Column, n: Int = 3): Column = mk(ShingleHashSet(ex(c), n))
   def minHashSignature(c: Column, n: Int = 3, k: Int = 32): Column = mk(MinHashSignature(ex(c), n, k))
   def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
-  def qualityFeaturesCol(c: Column, stop: Seq[String]): Column = mk(QualityFeaturesExpr(ex(c), stop))
+  def qualityFeaturesCol(c: Column, stop: Seq[String], normalize: Boolean = true): Column =
+    mk(QualityFeaturesExpr(ex(c), stop, normalize))
 }
