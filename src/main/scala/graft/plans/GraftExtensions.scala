@@ -28,13 +28,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, name),
         build)
+    // Optional trailing INT-literal args (SQL: graft_shingles(t, 5)).
+    def intArg(es: Seq[Expression], i: Int, default: Int): Int =
+      if (es.length > i) es(i) match {
+        case l: Literal => l.value match {
+          case n: java.lang.Number => n.intValue()
+          case v => throw new IllegalArgumentException(s"expected INT literal, got $v")
+        }
+        case e => throw new IllegalArgumentException(s"argument ${i + 1} must be a literal, got $e")
+      } else default
     ext.injectFunction(fn("graft_cosine", es => CosineSimilarity(es(0), es(1))))
     ext.injectFunction(fn("graft_dot", es => DotProduct(es(0), es(1))))
     ext.injectFunction(fn("graft_l2norm", es => L2Norm(es(0))))
-    // Text-hash kernels: n defaults to 3-grams, k to 32 hashes.
-    ext.injectFunction(fn("graft_shingles", es => ShingleHashSet(es(0), 3)))
-    ext.injectFunction(fn("graft_minhash", es => MinHashSignature(es(0), 3, 32)))
-    ext.injectFunction(fn("graft_simhash", es => SimHash64(es(0), 3)))
+    // Text-hash kernels: n defaults to 3-grams, k to 32 hashes; both are
+    // overridable per call so 5-gram surfaces (contamination, curation)
+    // are SQL-expressible too.
+    ext.injectFunction(fn("graft_shingles", es => ShingleHashSet(es(0), intArg(es, 1, 3))))
+    ext.injectFunction(fn("graft_minhash", es => MinHashSignature(es(0), intArg(es, 1, 3), intArg(es, 2, 32))))
+    ext.injectFunction(fn("graft_simhash", es => SimHash64(es(0), intArg(es, 1, 3))))
     ext.injectOptimizerRule(_ => NormalizeConstantCosine)
   }
 }

@@ -52,10 +52,42 @@ class SqlParitySpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT size(graft_shingles('a b c d')) AS n_grams,
         |       size(graft_minhash('a b c d')) AS n_hashes,
-        |       graft_simhash('a b c d') = graft_simhash('a b c d') AS stable
+        |       graft_simhash('a b c d') = graft_simhash('a b c d') AS stable,
+        |       size(graft_shingles('a b c d e', 5)) AS n_5grams,
+        |       size(graft_minhash('a b c d', 2, 16)) AS n_hashes_16
         |""".stripMargin).collect().head
     assert(r.getInt(0) == 2)   // "a b c", "b c d"
     assert(r.getInt(1) == 32)
     assert(r.getBoolean(2))
+    assert(r.getInt(3) == 1)   // exactly one 5-gram in 5 words
+    assert(r.getInt(4) == 16)
+  }
+
+  test("pipeline operators are expressible in pure SQL with the kernels") {
+    Ddl.registerAll(spark, TestSpark.sf)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // d01 exact dedup, SQL text vs the registered operator.
+    val d01Sql = spark.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |       min(doc_id) AS keeper_id
+        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)
+    assert(sortedRows(d01Sql) ==
+      sortedRows(SparkEntry.queries("d01_dedup_exact")(spark, TestSpark.sf)))
+    // d08 contamination on 5-gram kernel hashes, SQL text vs the operator.
+    val d08Sql = spark.sql(
+      """WITH g AS (SELECT doc_id, explode(graft_shingles(text, 5)) AS h FROM documents),
+        |bench0 AS (SELECT DISTINCT h FROM g WHERE doc_id < 5),
+        |bench AS (SELECT g.h FROM g JOIN bench0 ON g.h = bench0.h
+        |          GROUP BY g.h HAVING count(*) <= 1000)
+        |SELECT g.doc_id, count(DISTINCT g.h) AS n_shared_grams
+        |FROM g JOIN bench ON g.h = bench.h
+        |WHERE g.doc_id >= 5 GROUP BY g.doc_id""".stripMargin)
+    assert(sortedRows(d08Sql) ==
+      sortedRows(SparkEntry.queries("d08_contamination")(spark, TestSpark.sf)))
   }
 }
