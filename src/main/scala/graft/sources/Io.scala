@@ -34,8 +34,15 @@ object Io {
   /** Bucketed + sorted table (requires a catalog table, not a bare path).
     * `buckets` should match the downstream join parallelism. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedBy(df, table, Seq(key), buckets)
+
+  /** Multi-key bucketing — e.g. an LSH band table bucketed by
+    * (band, bucket-value) so band-bucket joins and probes read
+    * pre-shuffled data. Join keys must cover the bucket keys exactly for
+    * the exchange to be elided. */
+  def writeBucketedBy(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
   def writeCsv(df: DataFrame, path: String): Unit =

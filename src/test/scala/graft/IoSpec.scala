@@ -41,6 +41,29 @@ class IoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
   }
 
+  test("bucketed LSH band table self-joins with zero exchange") {
+    // The at-scale claim behind d05/v03: write the band table bucketed
+    // by (band, bv) once, and every band-bucket self-join or probe reads
+    // pre-shuffled data — candidate generation with no exchange at all.
+    import org.apache.spark.sql.graft.VectorExpressions.hyperplaneSig
+    val bandBits = 3; val nBands = 21
+    val mask = (1L << bandBits) - 1
+    val banded = Tables.embeddings(spark, TestSpark.sf)
+      .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
+      .select(col("vec_id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    Io.writeBucketedBy(banded, "bands_bkt", Seq("band", "bv"), 4)
+    val t = spark.table("bands_bkt")
+    val j = t.as("x").hint("merge").join(t.as("y"), Seq("band", "bv"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+    val plan = j.queryExecution.executedPlan.treeString
+    assert(!plan.contains("Exchange hashpartitioning(band"), plan.take(600))
+    assert(j.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS bands_bkt")
+  }
+
   test("csv and json roundtrip preserve values") {
     val nation = Tables.nation(spark, TestSpark.sf)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
