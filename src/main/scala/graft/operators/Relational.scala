@@ -429,6 +429,22 @@ object Relational {
                      FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // ---- cube (full subtotal lattice + grouping id) --------------------
+    // Like q32's ROLLUP but over every subset of the grouping keys; the
+    // grouping_id bit vector disambiguates subtotal rows from real NULL
+    // groups. One expand + hash-aggregate pass, same as rollup.
+    ("q39_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+             count(lit(1)).as("n_rows"),
+             cents(sum(col("l_quantity"))).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                     count(*) AS n_rows,
+                     FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
     // ---- pivot (long → wide conditional aggregation) -------------------
     // Explicit value list ⇒ single-pass hash aggregate, no extra job to
     // discover pivot values (which at 100 TB would be a full scan).

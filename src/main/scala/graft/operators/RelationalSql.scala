@@ -217,6 +217,12 @@ object RelationalSql {
         |       FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+        |       count(*) AS n_rows,
+        |       FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "q33_approx_agg" ->
       """SELECT l_returnflag,
         |       approx_count_distinct(l_partkey) AS approx_parts,
