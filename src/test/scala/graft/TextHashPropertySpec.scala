@@ -57,6 +57,27 @@ class TextHashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("qualityFeatures matches the naive normalize+split reference") {
+    val stop = Seq("a", "key", "zz")
+    val stopH = TextHash.stopWordHashes(stop)
+    for (text <- cases) {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll(" +", " ").trim
+      val w = norm.split(" ", -1).toSeq
+      val row = TextHash.qualityFeatures(UTF8String.fromString(text), stopH, normalize = true)
+      assert(row.getUTF8String(0).toString == norm, s"norm of [$text]")
+      assert(row.getLong(1) == w.length, s"n_words of [$text]")
+      assert(row.getLong(2) == w.distinct.length, s"n_distinct of [$text]")
+      assert(row.getLong(3) == w.count(stop.contains), s"n_stop of [$text]")
+      // Raw mode: counts over the as-ingested tokens (split on ' ').
+      val wr = text.split(" ", -1).toSeq
+      val raw = TextHash.qualityFeatures(UTF8String.fromString(text), stopH, normalize = false)
+      assert(raw.getLong(1) == wr.length, s"raw n_words of [$text]")
+      assert(raw.getLong(2) == wr.distinct.length, s"raw n_distinct of [$text]")
+      assert(raw.getLong(3) == wr.count(stop.contains), s"raw n_stop of [$text]")
+    }
+  }
+
   test("equal docs share all minhashes; disjoint docs share almost none") {
     val u1 = UTF8String.fromString("alpha beta gamma delta epsilon zeta eta theta")
     val u2 = UTF8String.fromString("one two three four five six seven eight nine")
