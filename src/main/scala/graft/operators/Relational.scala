@@ -467,6 +467,22 @@ object Relational {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY year(o_orderdate)""")),
 
+    // ---- unpivot / melt (wide → long, the inverse of q34) --------------
+    // stack() expands k columns into k rows per input row inside the
+    // generate operator — map-side, no shuffle; the melt every feature
+    // pipeline runs before per-metric aggregation.
+    ("q40_unpivot",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)")
+            .as(Seq("metric", "value"))),
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+              FROM part WHERE p_partkey <= 100
+              UNION ALL
+              SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+              FROM part WHERE p_partkey <= 100""")),
+
     // ---- RANGE-frame window (value-based sliding aggregate) ------------
     // 30-day trailing spend per customer: RANGE frames bound by VALUE
     // distance, not row count — the time-series form row frames miss.

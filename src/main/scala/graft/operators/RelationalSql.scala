@@ -239,6 +239,12 @@ object RelationalSql {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY year(o_orderdate)""".stripMargin,
 
+    "q40_unpivot" ->
+      """SELECT p_partkey,
+        |       stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)
+        |         AS (metric, value)
+        |FROM part WHERE p_partkey <= 100""".stripMargin,
+
     "q35_window_range" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |             CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS order_day,
