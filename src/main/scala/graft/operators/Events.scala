@@ -109,6 +109,45 @@ object Events {
               FROM c ASOF JOIN er
                 ON c.user_id = er.user_id AND c.ts_us >= er.ts_us""")),
 
+    // ---- s05: conversion funnel (ordered sequence match) ---------------
+    // view → click → purchase per user, each step strictly after the
+    // previous — the sequence-pattern op behind funnel/retention metrics
+    // and behavioral training-data labels. Shape: ONE exchange on
+    // user_id; the three stage timestamps are chained conditional MINs
+    // over the same unbounded partition (no ORDER BY ⇒ no per-row frame
+    // sort), and the final distinct collapses to one row per user.
+    ("s05_funnel",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("v_ts",
+            min(when(col("event_type") === "view", col("ts_us"))).over(w))
+          .withColumn("c_ts",
+            min(when(col("event_type") === "click" && col("ts_us") > col("v_ts"), col("ts_us"))).over(w))
+          .withColumn("p_ts",
+            min(when(col("event_type") === "purchase" && col("ts_us") > col("c_ts"), col("ts_us"))).over(w))
+          .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+            when(col("p_ts").isNotNull, 3)
+              .when(col("c_ts").isNotNull, 2)
+              .when(col("v_ts").isNotNull, 1)
+              .otherwise(0).as("stage"))
+          .distinct()
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+              w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                                 OVER (PARTITION BY user_id) AS v_ts FROM e),
+              w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > v_ts THEN ts_us END)
+                                 OVER (PARTITION BY user_id) AS c_ts FROM w1),
+              w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > c_ts THEN ts_us END)
+                                 OVER (PARTITION BY user_id) AS p_ts FROM w2)
+              SELECT DISTINCT user_id, v_ts, c_ts, p_ts,
+                     CASE WHEN p_ts IS NOT NULL THEN 3
+                          WHEN c_ts IS NOT NULL THEN 2
+                          WHEN v_ts IS NOT NULL THEN 1
+                          ELSE 0 END AS stage
+              FROM w3""")),
+
     // ---- s04: temporal range join via bin bucketing --------------------
     // All event pairs within 60 s of each other. A naive |t1-t2| ≤ w join
     // has no equi-key, so Spark would nested-loop O(n²). The scalable
