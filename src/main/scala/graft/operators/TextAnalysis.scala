@@ -129,6 +129,40 @@ object TextAnalysis {
                      CAST(list_sum(list_transform(toks, t -> CAST(ceil(len(t) * 1.0 / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
               FROM m""")),
 
+    // ---- t08: PII redaction (emails, IPs) ------------------------------
+    // The scrub pass every LLM curation pipeline runs before training.
+    // Pure map-side regex work at scan speed. The corpus is synthetic, so
+    // PII-shaped strings are planted deterministically from doc fields;
+    // patterns are chosen to behave identically under Java regex and
+    // RE2 (the oracle's engine). Redaction counts are computed per
+    // pattern on the raw text (the patterns cannot overlap: one requires
+    // '@', the other only digits and dots).
+    ("t08_redact",
+      (s, d) => {
+        val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+        Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact u"), col("doc_id"),
+              lit("@mail.com or 192.168.0."), col("doc_id") % 256).as("raw"))
+          .select(col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("raw"), email, "<EMAIL>"),
+              ip, "<IP>").as("clean"),
+            (regexp_count(col("raw"), lit(email))
+              + regexp_count(col("raw"), lit(ip))).cast("long").as("n_redacted"))
+      },
+      Some("""WITH e AS (SELECT doc_id,
+                           text || ' contact u' || doc_id || '@mail.com or 192.168.0.' || (doc_id % 256) AS raw
+                         FROM documents WHERE doc_id < 200)
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                       '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS clean,
+                     CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                          + len(regexp_extract_all(raw, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_redacted
+              FROM e""")),
+
     // ---- t04: winnowing-style document fingerprint --------------------
     // Sliding 5-token windows, md5 each, fingerprint = lexicographic min
     // (the winnowing min-hash idea with window = whole doc). One map-side
