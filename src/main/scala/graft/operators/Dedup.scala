@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import org.apache.spark.sql.graft.VectorExpressions.{cosine, hyperplaneSig}
-import org.apache.spark.sql.graft.TextHash.{minHashSignature, shingleHashSet, simHash64}
+import org.apache.spark.sql.graft.TextHash.{minHashSignature, qualityFeaturesCol, shingleHashSet, simHash64}
 
 /** Deduplication over the `documents` table — the training-data-pipeline
   * surface the reference lacks, designed for the 100 TB regime.
@@ -130,6 +130,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Connected-component labels over the jac ≥ 0.9 near-dup edge set:
+    * min-label propagation, one join + one aggregate per round,
+    * converging in O(component diameter) rounds (near-dup components are
+    * cliques/short chains ⇒ 2-3 rounds). Edge generation runs the ngram
+    * scorer AT the 0.9 threshold, so the no-false-drop prefilter prunes
+    * with the 0.9 bound (required intersection ≈ 47% of |A|+|B|) rather
+    * than d04's 0.2 bound. localCheckpoint cuts lineage each round; the
+    * driver sees only scalar fixpoint counts, never data. Returns
+    * (doc_id, label) for every doc with at least one near-dup edge. */
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    val edges = ngramPairs(s, d, 0.9)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint() // cut the lineage: the edge set is re-joined every round
+    val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = sym.groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("mn"))
+      .select(col("a_id").as("doc_id"), least(col("a_id"), col("mn")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 10) {
+      val nbr = sym.join(labels, sym("b_id") === labels("doc_id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- d01: exact dedup by content hash -----------------------------
@@ -235,37 +270,10 @@ object Dedup {
     // the loop exits on a fixpoint (scalar count check only, never data,
     // on the driver). Oracle: DuckDB recursive-CTE transitive closure.
     ("d06_dedup_groups",
-      (s, d) => {
-        // Edge generation runs the ngram scorer AT the 0.9 threshold, so
-        // the no-false-drop prefilter prunes with the 0.9 bound (required
-        // intersection ≈ 47% of |A|+|B|) instead of d04's 0.2 bound —
-        // far fewer candidates reach the verify join.
-        val edges = ngramPairs(s, d, 0.9)
-          .select(col("a_id"), col("b_id"))
-          .localCheckpoint() // cut the lineage: the edge set is re-joined every round
-        val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        var labels = sym.groupBy(col("a_id"))
-          .agg(min(col("b_id")).as("mn"))
-          .select(col("a_id").as("doc_id"), least(col("a_id"), col("mn")).as("label"))
-          .localCheckpoint()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 10) {
-          val nbr = sym.join(labels, sym("b_id") === labels("doc_id"))
-            .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
-          val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-            .localCheckpoint()
-          changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(col("label") =!= col("old")).count()
-          labels = next
-          iter += 1
-        }
-        labels.groupBy(col("label").as("keeper_id"))
-          .agg((count(lit(1))).as("group_size"),
-               array_join(array_sort(collect_list(col("doc_id"))), ",").as("members"))
-      },
+      (s, d) => ccLabels(s, d)
+        .groupBy(col("label").as("keeper_id"))
+        .agg((count(lit(1))).as("group_size"),
+             array_join(array_sort(collect_list(col("doc_id"))), ",").as("members")),
       Some(s"""WITH RECURSIVE $oracleShingleJaccard,
                edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
                          UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
@@ -276,6 +284,62 @@ object Dedup {
                SELECT keeper_id, count(*) AS group_size,
                       array_to_string(list_sort(list(doc_id)), ',') AS members
                FROM comp GROUP BY keeper_id""")),
+
+    // ---- d09: quality-aware keeper selection ---------------------------
+    // What production pipelines actually keep from a near-dup group: the
+    // HIGHEST-QUALITY member, not the lowest id. Composes the d06
+    // component labels with the p01 quality score (single-pass kernel);
+    // the per-group argmax is one max_by with a struct tiebreak (higher
+    // quality, then lower doc_id) — no per-group sort.
+    ("d09_dedup_best_keeper",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "is")
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), qualityFeaturesCol(col("text"), stop).as("f"))
+          .select(col("doc_id"),
+            (least(lit(1.0), col("f.n_words").cast("double") / 100.0) * 0.5
+              + (col("f.n_distinct").cast("double") / col("f.n_words")) * 0.3
+              + (lit(1.0) - col("f.n_stop").cast("double") / col("f.n_words")) * 0.2)
+              .as("quality"))
+        ccLabels(s, d).join(scored, "doc_id")
+          .groupBy(col("label"))
+          .agg(
+            max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keeper_id"),
+            count(lit(1)).as("group_size"),
+            (floor(max(col("quality")) * 1000000 + 0.5) / 1000000).as("best_quality"))
+          .select(col("keeper_id"), col("group_size"), col("best_quality"))
+      },
+      Some(s"""WITH RECURSIVE $oracleShingleJaccard,
+               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
+                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
+               reach(a, b) AS (SELECT a, b FROM edges
+                               UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+               comp AS (SELECT a AS doc_id, least(a, min(b)) AS label
+                        FROM reach GROUP BY a),
+               nrm AS (SELECT doc_id,
+                         trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+                       FROM documents),
+               scored AS (
+                 SELECT doc_id,
+                        least(1.0, len(string_split(norm_text, ' ')) * 1.0 / 100.0) * 0.5
+                          + (len(list_distinct(string_split(norm_text, ' '))) * 1.0
+                             / len(string_split(norm_text, ' '))) * 0.3
+                          + (1.0 - len(list_filter(string_split(norm_text, ' '),
+                               x -> x IN ('the','a','of','and','is'))) * 1.0
+                             / len(string_split(norm_text, ' '))) * 0.2 AS quality
+                 FROM nrm),
+               ranked AS (
+                 SELECT c.label, c.doc_id, s.quality,
+                        row_number() OVER (PARTITION BY c.label
+                          ORDER BY s.quality DESC, c.doc_id ASC) AS rn,
+                        count(*) OVER (PARTITION BY c.label) AS group_size,
+                        max(s.quality) OVER (PARTITION BY c.label) AS bq
+                 FROM comp c JOIN scored s ON s.doc_id = c.doc_id)
+               SELECT doc_id AS keeper_id, group_size,
+                      FLOOR(bq * 1000000 + 0.5) / 1000000 AS best_quality
+               FROM ranked WHERE rn = 1""")),
 
     // ---- d07: stratified sampling (per-language quotas) ----------------
     // The curation primitive between dedup and training: per-stratum
