@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.TextHash.{MinHashSignature, ShingleHashSet, SimHash64}
+import org.apache.spark.sql.graft.TextHash.{MinHashSignature, QualityFeaturesExpr, ShingleHashSet, SimHash64}
 import org.apache.spark.sql.graft.VectorExpressions.{CosineSimilarity, CosineVsConstant, DotProduct, L2Norm}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
@@ -46,6 +46,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_shingles", es => ShingleHashSet(es(0), intArg(es, 1, 3))))
     ext.injectFunction(fn("graft_minhash", es => MinHashSignature(es(0), intArg(es, 1, 3), intArg(es, 2, 32))))
     ext.injectFunction(fn("graft_simhash", es => SimHash64(es(0), intArg(es, 1, 3))))
+    // graft_quality(text[, array('stop', ...)[, normalize]]) → struct of
+    // norm_text / n_words / n_distinct / n_stop (one pass per row).
+    def strArrayArg(es: Seq[Expression], i: Int): Seq[String] =
+      if (es.length > i) {
+        require(es(i).foldable, s"argument ${i + 1} must be a foldable string array")
+        es(i).eval(null) match {
+          case a: ArrayData =>
+            (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
+          case v => throw new IllegalArgumentException(s"expected ARRAY<STRING>, got $v")
+        }
+      } else Seq.empty
+    def boolArg(es: Seq[Expression], i: Int, default: Boolean): Boolean =
+      if (es.length > i) es(i) match {
+        case Literal(b: Boolean, _) => b
+        case e => throw new IllegalArgumentException(s"argument ${i + 1} must be a BOOLEAN literal, got $e")
+      } else default
+    ext.injectFunction(fn("graft_quality",
+      es => QualityFeaturesExpr(es(0), strArrayArg(es, 1), boolArg(es, 2, default = true))))
     ext.injectOptimizerRule(_ => NormalizeConstantCosine)
   }
 }

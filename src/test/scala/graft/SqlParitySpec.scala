@@ -61,6 +61,13 @@ class SqlParitySpec extends AnyFunSuite {
     assert(r.getBoolean(2))
     assert(r.getInt(3) == 1)   // exactly one 5-gram in 5 words
     assert(r.getInt(4) == 16)
+    val q = spark.sql(
+      """SELECT graft_quality('The Quick fox, the fox!', array('the', 'a')) AS f"""
+    ).select("f.norm_text", "f.n_words", "f.n_distinct", "f.n_stop").collect().head
+    assert(q.getString(0) == "the quick fox the fox")
+    assert(q.getLong(1) == 5L)
+    assert(q.getLong(2) == 3L)
+    assert(q.getLong(3) == 2L)
   }
 
   test("pipeline operators are expressible in pure SQL with the kernels") {
