@@ -208,6 +208,32 @@ object TextAnalysis {
                        ' +', ' ', 'g'))) AS n_chars_norm
               FROM documents""")),
 
+    // ---- t09: per-language length statistics ---------------------------
+    // The distribution input to training-batch packing (sequence-length
+    // buckets, padding budgets): exact interpolated percentiles via
+    // Spark's percentile aggregate — one hash-aggregate pass, map-side
+    // partial combine, group cardinality = languages.
+    ("t09_length_stats",
+      (s, d) => {
+        def cents(c: Column) = floor(c * 100 + 0.5) / 100
+        Tables.documents(s, d)
+          .select(col("lang"), size(words(col("text"))).cast("long").as("n_words"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               min(col("n_words")).as("min_words"),
+               max(col("n_words")).as("max_words"),
+               cents(avg(col("n_words"))).as("avg_words"),
+               cents(percentile(col("n_words"), lit(0.5))).as("p50"),
+               cents(percentile(col("n_words"), lit(0.9))).as("p90"))
+      },
+      Some("""WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_words FROM documents)
+              SELECT lang, count(*) AS n_docs,
+                     min(n_words) AS min_words, max(n_words) AS max_words,
+                     FLOOR(avg(n_words) * 100 + 0.5) / 100 AS avg_words,
+                     FLOOR(quantile_cont(n_words, 0.5) * 100 + 0.5) / 100 AS p50,
+                     FLOOR(quantile_cont(n_words, 0.9) * 100 + 0.5) / 100 AS p90
+              FROM t GROUP BY lang""")),
+
     // ---- t06: corpus vocabulary (global token frequencies, top 20) ----
     // The BPE-training / stopword-discovery primitive. Shape at scale:
     // explode → hash-aggregate with map-side partial combine (the shuffle
