@@ -189,6 +189,34 @@ object Ann {
                      FLOOR(CAST(embedding[1] AS DOUBLE) / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000 + 0.5) / 1000000 AS x0_unit
               FROM embeddings""")),
 
+    // Batch KNN join — top-n neighbors for EVERY query in a batch (the
+    // real retrieval/dedup workload, vs v02's single query). Shape at
+    // 100 TB: broadcast the query batch, ONE map-side cosine pass over
+    // the corpus scan, then the two-phase GroupedTopK — each scan task
+    // keeps ≤ queries×n rows (bounded heap), and only those partial
+    // winners reach the exchange. No shuffle of scored corpus rows.
+    ("v07_knn_join",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val scored = e.filter(col("vec_id") >= 10)
+          .crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("embedding"), col("qv")).as("cos_sim"))
+        org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
+          scored, Seq("q_id"), Seq("cos_sim" -> true, "vec_id" -> false), 5)
+      },
+      Some("""SELECT q_id, vec_id, cos_sim FROM (
+                SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                       list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS cos_sim,
+                       row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                                  b.vec_id ASC) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < 10 AND b.vec_id >= 10)
+              WHERE rn <= 5""")),
+
     // Norms + dot products: native expressions next to the HOF
     // composition (zip_with/aggregate) the built-in surface offers.
     ("v04_vector_norm",

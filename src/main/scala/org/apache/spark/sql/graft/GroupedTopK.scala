@@ -45,6 +45,66 @@ case class GroupedTopK(
     copy(child = newChild)
 }
 
+/** Shared bounded-heap pass: the k best rows per group within one
+  * partition's iterator. Used by BOTH phases — map-side partial (before
+  * the exchange, shrinking shuffle input to ≤ groups·k rows per task)
+  * and final (after the hash exchange co-locates each group). Per-group
+  * top-k is decomposable, so the global answer is exactly the top-k of
+  * the union of per-partition top-ks. */
+private[graft] object GroupedTopKImpl {
+  def topK(
+      iter: Iterator[InternalRow],
+      groupExprs: Seq[Expression],
+      sortExprs: Seq[SortOrder],
+      limit: Int,
+      childOutput: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+    // Codegen'd row comparator for the requested sort order; the heap
+    // keeps its WORST element on top (reverse order) for O(log k) evict.
+    val betterFirst = GenerateOrdering.generate(sortExprs, childOutput)
+    val worstOnTop: Ordering[InternalRow] = betterFirst
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](worstOnTop)
+          heaps.put(key.copy(), h)
+          h
+      }
+      if (heap.size < limit) heap.enqueue(row.copy())
+      else if (betterFirst.compare(row, heap.head) < 0) {
+        heap.dequeue()
+        heap.enqueue(row.copy())
+      }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
+  }
+}
+
+/** Map-side partial phase: no distribution requirement, prunes each input
+  * partition to ≤ k rows per group BEFORE the exchange — the TakeOrdered
+  * partial pattern applied per group. */
+case class PartialGroupedTopKExec(
+    group: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, lim, out) = (group, ordering, k, child.output)
+    child.execute().mapPartitionsInternal(GroupedTopKImpl.topK(_, g, o, lim, out))
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialGroupedTopKExec =
+    copy(child = newChild)
+}
+
+/** Final phase: requires each group co-located (Catalyst inserts/reuses
+  * the hash exchange), then merges the partial winners per group. */
 case class GroupedTopKExec(
     group: Seq[Expression],
     ordering: Seq[SortOrder],
@@ -57,47 +117,24 @@ case class GroupedTopKExec(
     ClusteredDistribution(group) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val groupExprs = group
-    val sortExprs = ordering
-    val limit = k
-    val childOutput = child.output
-    child.execute().mapPartitionsInternal { iter =>
-      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      // Codegen'd row comparator for the requested sort order; the heap
-      // keeps its WORST element on top (reverse order) for O(log k) evict.
-      val betterFirst = GenerateOrdering.generate(sortExprs, childOutput)
-      val worstOnTop: Ordering[InternalRow] = betterFirst
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](worstOnTop)
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (betterFirst.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
-        }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }
+    val (g, o, lim, out) = (group, ordering, k, child.output)
+    child.execute().mapPartitionsInternal(GroupedTopKImpl.topK(_, g, o, lim, out))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
     copy(child = newChild)
 }
 
-/** Plans GroupedTopK → GroupedTopKExec. Injected per-session (idempotent)
-  * through `experimental.extraStrategies`, so it works on any session —
-  * no SparkSessionExtensions requirement at session-build time. */
+/** Plans GroupedTopK → final-over-partial GroupedTopKExec (the two-phase
+  * aggregate shape: the exchange between them ships only per-partition
+  * winners, ≤ groups·k rows per task, instead of the full input).
+  * Injected per-session (idempotent) through
+  * `experimental.extraStrategies`, so it works on any session — no
+  * SparkSessionExtensions requirement at session-build time. */
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopK(g, o, k, child) =>
-      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+      GroupedTopKExec(g, o, k, PartialGroupedTopKExec(g, o, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }
