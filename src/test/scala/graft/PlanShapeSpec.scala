@@ -35,6 +35,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be distributed TakeOrdered")
   }
 
+  test("v07 batch KNN prunes map-side before its single exchange") {
+    val p = planOf("v07_knn_join")
+    assert(p.contains("PartialGroupedTopK"), p.linesIterator.take(8).mkString("\n"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected at most one exchange, got $exchanges")
+  }
+
   test("d08 contamination never shuffles the corpus gram stream") {
     val p = planOf("d08_contamination")
     // The corpus side meets the bench set only through broadcast joins.
