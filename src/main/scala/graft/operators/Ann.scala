@@ -75,12 +75,9 @@ object Ann {
     ("v03_knn_lsh",
       (s, d) => {
         val bandBits = 4; val nBands = 16
-        val mask = (1L << bandBits) - 1
         def banded(df: DataFrame, vecCol: String) = df
           .withColumn("sig", hyperplaneSig(col(vecCol), bandBits * nBands))
-          .select(col("*"), explode(array((0 until nBands).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
+          .select(col("*"), explode(Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
           .select(df.columns.toIndexedSeq.map(col) ++
             Seq(col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv")): _*)
         val e = banded(Tables.embeddings(s, d), "embedding")

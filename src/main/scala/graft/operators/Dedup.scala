@@ -75,23 +75,29 @@ object Dedup {
       |         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
       |""".stripMargin
 
-  /** Exact n-gram Jaccard pairs with score ≥ `minJac`, via a df-capped
-    * inverted-index self-join on 8-byte gram hashes.
+  /** Exact n-gram Jaccard pairs with score ≥ `jacNum/jacDen`, via a
+    * df-capped inverted-index self-join on 8-byte gram hashes.
     *
     * The document-frequency cap is what makes this survive a real crawl:
     * a gram shared by m docs emits m² candidate pairs, so grams with
-    * df > GramDfCap are dropped from candidate generation (broadcast
-    * anti-join — the hot set is tiny by construction) and scores stay
-    * EXACT via an array-intersect verify on the full gram sets of
-    * surviving candidates. A conservative prefilter — cold overlap plus
-    * best-case hot overlap against the threshold's required intersection
-    * `(|A|+|B|)·t/(1+t)` — prunes candidates before the wide verify join
-    * without ever dropping a true pair, and tightens with the threshold
-    * (d06's 0.9 edge set prunes far harder than d04's 0.2 scoring). The
-    * gram-set table is localCheckpoint'd: one kernel pass feeds candidate
+    * df > GramDfCap are dropped from candidate generation (their df is
+    * computed in place by a count window on the join's own exchange) and
+    * scores stay EXACT via an array-intersect verify on the full gram
+    * sets of surviving candidates. A conservative prefilter — cold
+    * overlap plus best-case hot overlap against the threshold's required
+    * intersection — prunes candidates before the wide verify join, and
+    * tightens with the threshold (d06's 0.9 edge set prunes far harder
+    * than d04's 0.2 scoring). The threshold is carried as an INTEGER
+    * rational and the prefilter compares by cross-multiplication,
+    * `(c_cold + min(hot)) · (num+den) ≥ (na+nb) · num`, because the
+    * floating form `(na+nb) · (t/(1+t))` rounds ABOVE the exact bound
+    * for t = 0.2 (0.2/1.2 has no finite binary form) and would silently
+    * drop true pairs sitting exactly on the threshold. The gram-set
+    * table is localCheckpoint'd: one kernel pass feeds candidate
     * generation, the prefilter stats, and the verify (at 100 TB this is
     * "write the shingle table once per corpus"). */
-  private def ngramPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
+  private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
+    val minJac = jacNum.toDouble / jacDen
     val hs = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
       .localCheckpoint()
@@ -114,13 +120,13 @@ object Dedup {
     val cands = a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
-    // jac ≥ t ⟺ |A∩B| ≥ (|A|+|B|)·t/(1+t); |A∩B| ≤ c_cold + min(hot_a, hot_b).
-    val reqFrac = minJac / (1.0 + minJac)
+    // jac ≥ n/d ⟺ |A∩B|·(n+d) ≥ (|A|+|B|)·n (integer cross-multiply —
+    // exact); |A∩B| ≤ c_cold + min(hot_a, hot_b).
     val pre = cands
       .join(hotCnt.select(col("doc_id").as("a_id"), col("n_hot").as("ha")), "a_id")
       .join(hotCnt.select(col("doc_id").as("b_id"), col("n_hot").as("hb")), "b_id")
-      .filter(col("c_cold") + least(col("ha"), col("hb"))
-        >= (col("na") + col("nb")) * lit(reqFrac))
+      .filter((col("c_cold") + least(col("ha"), col("hb"))) * lit(jacNum + jacDen)
+        >= (col("na") + col("nb")) * lit(jacNum))
     pre
       .join(hs.select(col("doc_id").as("a_id"), col("hs").as("hsa")), "a_id")
       .join(hs.select(col("doc_id").as("b_id"), col("hs").as("hsb")), "b_id")
@@ -140,7 +146,7 @@ object Dedup {
     * driver sees only scalar fixpoint counts, never data. Returns
     * (doc_id, label) for every doc with at least one near-dup edge. */
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val edges = ngramPairs(s, d, 0.9)
+    val edges = ngramPairs(s, d, 9, 10)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint() // cut the lineage: the edge set is re-joined every round
     val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -237,9 +243,7 @@ object Dedup {
         // Hamming ≤ 3 via 4×16-bit band join (pigeonhole guarantees a
         // shared band), then exact popcount filter.
         val banded = sig.select(col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bs"))
+          explode(Lsh.bandStructs(col("sig"), 16, 4)).as("bs"))
           .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bv"))
         // First-matching-band filter replaces the candidate distinct.
         banded.as("a").join(banded.as("b"),
@@ -256,7 +260,7 @@ object Dedup {
     // ---- d04: exact n-gram Jaccard scores (df-capped inverted index) --
     // See [[ngramPairs]] for the full plan shape.
     ("d04_dedup_ngram",
-      (s, d) => ngramPairs(s, d, 0.2),
+      (s, d) => ngramPairs(s, d, 1, 5),
       Some(s"""WITH $oracleShingleJaccard
                SELECT ia AS a_id, ib AS b_id, jac FROM jacs
                WHERE jac >= 0.2 AND has_cold = 1""")),
@@ -297,9 +301,7 @@ object Dedup {
         val scored = Tables.documents(s, d)
           .select(col("doc_id"), qualityFeaturesCol(col("text"), stop).as("f"))
           .select(col("doc_id"),
-            (least(lit(1.0), col("f.n_words").cast("double") / 100.0) * 0.5
-              + (col("f.n_distinct").cast("double") / col("f.n_words")) * 0.3
-              + (lit(1.0) - col("f.n_stop").cast("double") / col("f.n_words")) * 0.2)
+            TextAnalysis.qualityScore(col("f.n_words"), col("f.n_distinct"), col("f.n_stop"))
               .as("quality"))
         ccLabels(s, d).join(scored, "doc_id")
           .groupBy(col("label"))
@@ -413,13 +415,11 @@ object Dedup {
     ("d05_dedup_embedding",
       (s, d) => {
         val bandBits = 3; val nBands = 21
-        val mask = (1L << bandBits) - 1
         val e = Tables.embeddings(s, d)
         val banded = e
           .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
-          .select(col("vec_id"), col("sig"), explode(array((0 until nBands).map(bb =>
-            struct(lit(bb).as("band"),
-              shiftright(col("sig"), bb * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
+          .select(col("vec_id"), col("sig"),
+            explode(Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
           .select(col("vec_id"), col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv"))
         // Each pair survives exactly once (first-matching-band filter,
         // map-side) — no candidate-sized distinct shuffle.

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Lsh {
 
+  /** Array of (band, bv) structs sliced from one signature column —
+    * `explode(Lsh.bandStructs(sig, bits, n))` is the banded-table
+    * builder shared by d03/d05/v03 (and the calibration sweep), so the
+    * band slicing can never diverge between the production plans and the
+    * parameter measurements they rest on. */
+  def bandStructs(sig: Column, bandBits: Int, nBands: Int): Column = {
+    val mask = (1L << bandBits) - 1
+    array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)
+  }
+
   /** Index of the lowest band whose `bandBits`-wide group is zero in
     * `xorSig` (-1 if none — impossible for rows emitted by a band-equality
     * join, where the matched band's group is zero by construction). */

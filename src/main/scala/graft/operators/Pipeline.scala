@@ -40,11 +40,8 @@ object Pipeline {
           .select(col("doc_id"), qualityFeaturesCol(col("text"), stop).as("f"))
           .select(col("doc_id"), col("f.norm_text").as("norm_text"),
             col("f.n_words").as("n_words"),
-            (col("f.n_distinct").cast("double") / col("f.n_words")).as("ttr"),
-            (col("f.n_stop").cast("double") / col("f.n_words")).as("stop_ratio"))
-          .withColumn("quality",
-            least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5
-              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2)
+            TextAnalysis.qualityScore(col("f.n_words"), col("f.n_distinct"), col("f.n_stop"))
+              .as("quality"))
         // Stage 2: quality gate.
         val qualified = norm.filter(col("quality") >= 0.5)
         // Stage 3: exact-dedup keeper (min doc_id per canonical hash) as a

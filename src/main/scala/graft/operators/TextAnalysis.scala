@@ -32,6 +32,16 @@ object TextAnalysis {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** THE quality formula — single source of truth for t02, p01, and
+    * d09, each of which must stay bit-identical to its DuckDB oracle
+    * mirror AND to the others (d09's keeper choice composes p01's gate
+    * score): length cap · 0.5 + type-token ratio · 0.3 +
+    * (1 − stop-word ratio) · 0.2. */
+  def qualityScore(nWords: Column, nDistinct: Column, nStop: Column): Column =
+    least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 +
+      (nDistinct.cast("double") / nWords) * 0.3 +
+      (lit(1.0) - nStop.cast("double") / nWords) * 0.2
+
   private def countIn(w: Column, set: Seq[String]): Column =
     size(filter(w, x => x.isInCollection(set))).cast("long")
 
@@ -91,10 +101,8 @@ object TextAnalysis {
             col("f.n_stop").as("n_stop"))
           .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
             (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
-            (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"))
-          .withColumn("quality",
-            least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5
-              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2)
+            (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+            qualityScore(col("n_words"), col("n_distinct"), col("n_stop")).as("quality"))
       },
       Some(s"""WITH toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
                c AS (SELECT doc_id, n_chars,
@@ -134,9 +142,11 @@ object TextAnalysis {
     // Pure map-side regex work at scan speed. The corpus is synthetic, so
     // PII-shaped strings are planted deterministically from doc fields;
     // patterns are chosen to behave identically under Java regex and
-    // RE2 (the oracle's engine). Redaction counts are computed per
-    // pattern on the raw text (the patterns cannot overlap: one requires
-    // '@', the other only digits and dots).
+    // RE2 (the oracle's engine). Replacement is sequential (emails, then
+    // IPs over the email-redacted text), and the count mirrors that
+    // order — counting both patterns on the raw text would overcount
+    // when they overlap (e.g. "1.2.3.4@ab.cd": the email match consumes
+    // the IP's last octet).
     ("t08_redact",
       (s, d) => {
         val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
@@ -146,22 +156,25 @@ object TextAnalysis {
             concat(col("text"), lit(" contact u"), col("doc_id"),
               lit("@mail.com or 192.168.0."), col("doc_id") % 256).as("raw"))
           .select(col("doc_id"),
-            regexp_replace(
-              regexp_replace(col("raw"), email, "<EMAIL>"),
-              ip, "<IP>").as("clean"),
-            (regexp_count(col("raw"), lit(email))
-              + regexp_count(col("raw"), lit(ip))).cast("long").as("n_redacted"))
+            regexp_replace(col("raw"), email, "<EMAIL>").as("no_email"),
+            regexp_count(col("raw"), lit(email)).as("n_email"))
+          .select(col("doc_id"),
+            regexp_replace(col("no_email"), ip, "<IP>").as("clean"),
+            (col("n_email") + regexp_count(col("no_email"), lit(ip)))
+              .cast("long").as("n_redacted"))
       },
       Some("""WITH e AS (SELECT doc_id,
                            text || ' contact u' || doc_id || '@mail.com or 192.168.0.' || (doc_id % 256) AS raw
-                         FROM documents WHERE doc_id < 200)
+                         FROM documents WHERE doc_id < 200),
+              ne AS (SELECT doc_id,
+                       regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g') AS no_email,
+                       len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email
+                     FROM e)
               SELECT doc_id,
-                     regexp_replace(
-                       regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
-                       '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS clean,
-                     CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+'))
-                          + len(regexp_extract_all(raw, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_redacted
-              FROM e""")),
+                     regexp_replace(no_email, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS clean,
+                     CAST(n_email
+                          + len(regexp_extract_all(no_email, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_redacted
+              FROM ne""")),
 
     // ---- t04: winnowing-style document fingerprint --------------------
     // Sliding 5-token windows, md5 each, fingerprint = lexicographic min

@@ -94,6 +94,12 @@ case class PartialGroupedTopKExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // Rows never move: preserve the child's partitioning so a source
+  // already clustered on the group keys (bucketed table, prior exchange)
+  // still elides the final phase's exchange.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, lim, out) = (group, ordering, k, child.output)
     child.execute().mapPartitionsInternal(GroupedTopKImpl.topK(_, g, o, lim, out))

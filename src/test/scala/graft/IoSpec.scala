@@ -47,12 +47,10 @@ class IoSpec extends AnyFunSuite {
     // pre-shuffled data — candidate generation with no exchange at all.
     import org.apache.spark.sql.graft.VectorExpressions.hyperplaneSig
     val bandBits = 3; val nBands = 21
-    val mask = (1L << bandBits) - 1
     val banded = Tables.embeddings(spark, TestSpark.sf)
       .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
-      .select(col("vec_id"), explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
+      .select(col("vec_id"),
+        explode(graft.operators.Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
     Io.writeBucketedBy(banded, "bands_bkt", Seq("band", "bv"), 4)
     val t = spark.table("bands_bkt")

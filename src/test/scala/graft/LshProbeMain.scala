@@ -30,12 +30,10 @@ object LshProbeMain {
       println(s"== $sf n=$n truePairs=$nTrue")
 
       for ((bandBits, nBands) <- Seq((2, 32), (3, 21), (4, 16), (5, 12), (6, 10), (8, 8))) {
-        val mask = (1L << bandBits) - 1
         val banded = e
           .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
-          .select(col("vec_id"), explode(array((0 until nBands).map(bb =>
-            struct(lit(bb).as("band"),
-              shiftright(col("sig"), bb * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bs"))
+          .select(col("vec_id"),
+            explode(graft.operators.Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
           .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
         val cands = banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
