@@ -9,6 +9,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Typed input row for the streaming sessionizer. */
 case class StreamEvent(user_id: Long, ts: Timestamp, value: Double)
 
+/** Typed input row for the streaming funnel. */
+case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+/** Per-user funnel progress (Long.MaxValue = stage not reached). */
+case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
+
+/** Funnel stage emitted whenever a user advances. */
+case class FunnelOut(user_id: Long, stage: Int)
+
 /** One closed session. */
 case class SessionOut(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
@@ -83,6 +92,46 @@ object EventPipeline {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateSessions)
+  }
+
+  /** s05 twin: incremental conversion funnel via mapGroupsWithState.
+    * State is three longs per user (earliest view / first click after
+    * it / first purchase after that); each micro-batch folds its events
+    * in event-time order and emits the user's stage when it advances.
+    * Exactly matches the batch s05 when a user's events arrive in
+    * event-time order across batches (within a batch, order is
+    * irrelevant — events are sorted); a cross-batch regression (a view
+    * older than an already-accepted click) is the documented
+    * approximation bound, the price of O(3 longs) state per user
+    * instead of buffering the stream. */
+  def funnel(events: Dataset[TypedEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFunnel)
+      .filter(_.stage > 0)
+  }
+
+  private[streaming] def updateFunnel(
+      userId: Long,
+      events: Iterator[TypedEvent],
+      state: GroupState[FunnelState]): FunnelOut = {
+    val U = Long.MaxValue
+    var s = state.getOption.getOrElse(FunnelState(U, U, U))
+    events.toArray.sortBy(e => micros(e.ts)).foreach { e =>
+      val t = micros(e.ts)
+      e.event_type match {
+        case "view" if t < s.v_us                  => s = s.copy(v_us = t)
+        case "click" if t > s.v_us && t < s.c_us   => s = s.copy(c_us = t)
+        case "purchase" if t > s.c_us && t < s.p_us => s = s.copy(p_us = t)
+        case _ => ()
+      }
+    }
+    state.update(s)
+    val stage =
+      if (s.p_us != U) 3 else if (s.c_us != U) 2 else if (s.v_us != U) 1 else 0
+    FunnelOut(userId, stage)
   }
 
   private def micros(t: Timestamp): Long =

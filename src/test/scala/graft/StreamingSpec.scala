@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{EventPipeline, SessionOut, StreamEvent}
+import graft.streaming.{EventPipeline, FunnelOut, SessionOut, StreamEvent, TypedEvent}
 
 case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
 
@@ -134,5 +134,27 @@ class StreamingSpec extends AnyFunSuite {
         WindowTestEvent(ts(61), "click", 4.0)).toDF())
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(batch == Set((baseUs, "click", 1L), (baseUs + 3600L * 1000000, "click", 1L)))
+  }
+
+  test("streaming funnel advances stages across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TypedEvent]
+    val q = EventPipeline.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode(OutputMode.Update).start()
+    try {
+      // Batch 1: user 1 views then clicks; user 2 clicks with no view.
+      in.addData(
+        TypedEvent(1L, ts(0), "view"), TypedEvent(1L, ts(5), "click"),
+        TypedEvent(2L, ts(1), "click"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("funnel").as[FunnelOut].collect().toSet
+      assert(afterB1 == Set(FunnelOut(1L, 2)), s"afterB1=$afterB1")
+      // Batch 2: user 1 purchases; user 2 finally views (stage 1 only —
+      // the earlier click does not retro-qualify, documented semantics).
+      in.addData(TypedEvent(1L, ts(10), "purchase"), TypedEvent(2L, ts(2), "view"))
+      q.processAllAvailable()
+      val all = spark.table("funnel").as[FunnelOut].collect().toSet
+      assert(all == Set(FunnelOut(1L, 2), FunnelOut(1L, 3), FunnelOut(2L, 1)), s"all=$all")
+    } finally q.stop()
   }
 }
