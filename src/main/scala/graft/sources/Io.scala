@@ -51,6 +51,11 @@ object Io {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC — the other columnar interchange format (predicate pushdown and
+    * column pruning apply the same as parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   // ---- sources --------------------------------------------------------
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
@@ -63,4 +68,7 @@ object Io {
 
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -74,4 +74,17 @@ class IoSpec extends AnyFunSuite {
     assert(csvBack.collect().map(_.toSeq).toSet == orig)
     assert(jsonBack.collect().map(_.toSeq).toSet == orig)
   }
+
+  test("orc roundtrip preserves values and pushes filters to the scan") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Io.writeOrc(orders, s"$tmp/orders_orc")
+    val back = Io.readOrc(spark, s"$tmp/orders_orc")
+      .filter(col("o_totalprice") > 100000.0)
+    assert(back.count() ==
+      orders.filter(col("o_totalprice") > 100000.0).count())
+    val plan = back.queryExecution.executedPlan.treeString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      plan.take(500))
+  }
 }
