@@ -200,21 +200,31 @@ object Dedup {
       (s, d) => {
         val bands = 8; val rows = 4
         val docsT = Tables.documents(s, d)
-        // Band table stays NARROW — (doc_id, band, sig), three 8-byte
-        // values per row — so the band-bucket shuffle never carries the
-        // gram-set arrays (which would ride the exchange ×bands times).
+        // Band table stays NARROW — (doc_id, bsig[8], band, sig) — so the
+        // band-bucket shuffle never carries the gram-set arrays (which
+        // would ride the exchange ×bands times). Each row does carry the
+        // full 8-long band-sig array (+64 B): that buys the
+        // first-matching-band filter below, which de-duplicates
+        // multi-band collisions map-side and deletes what used to be a
+        // candidate-sized `distinct()` exchange — the trade that wins at
+        // 100 TB, where hot buckets make the candidate stream spiky and a
+        // second full shuffle of it is the bottleneck.
         val buckets = docsT.select(col("doc_id"),
             minHashSignature(col("text"), 3, bands * rows).as("mh"))
           .select(col("doc_id"),
-            explode(array((0 until bands).map(b =>
-              struct(lit(b).as("band"),
-                xxhash64(slice(col("mh"), b * rows + 1, rows)).as("sig"))): _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+            array((0 until bands).map(b =>
+              xxhash64(slice(col("mh"), b * rows + 1, rows))): _*).as("bsig"))
+          .select(col("doc_id"), col("bsig"), posexplode(col("bsig")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))
+          // Keep each colliding pair exactly once: only the row whose band
+          // is the FIRST band where the two band-sig arrays agree survives
+          // (Lsh.firstMatchingBandArrays — the hashed-band twin of the
+          // XOR trick d03/d05 use). Map-side; no distinct, no exchange.
+          .filter(col("a.band") === Lsh.firstMatchingBandArrays(col("a.bsig"), col("b.bsig")))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
         // Exact Jaccard verify on candidates only: join the (few) pairs
         // back to a doc→gram-set projection, so the wide arrays shuffle
         // once keyed by doc_id instead of through the band join.

@@ -39,4 +39,14 @@ object Lsh {
       when(shiftright(xorSig, b * bandBits).bitwiseAND(lit(mask)) === 0, lit(b))
         .otherwise(acc))
   }
+
+  /** Same idea for LSH schemes whose band signatures are HASHES (one long
+    * per band, e.g. xxhash64 of a minhash-signature slice) rather than bit
+    * groups of a single long: the lowest index at which the two band-sig
+    * arrays agree (0-based; 0-row output if none, which a band-equality
+    * join makes impossible). Pure map-side array compare over values that
+    * already ride the join — the hashed-band twin of [[firstMatchingBand]],
+    * closing the last candidate-sized `distinct()` in the LSH family. */
+  def firstMatchingBandArrays(a: Column, b: Column): Column =
+    (array_position(zip_with(a, b, (x, y) => x === y), true) - 1).cast("int")
 }

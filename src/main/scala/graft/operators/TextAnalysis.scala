@@ -277,9 +277,17 @@ object TextAnalysis {
         val tf = docs
           .select(col("doc_id"), explode(words(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        // df = docs-per-term, computed as a count window OVER tf keyed by
+        // term (tf already has exactly one row per (doc, term)). At 100 TB
+        // the vocabulary is billions of terms, so a broadcast of any
+        // per-term table is a guaranteed OOM and even a shuffle join pays
+        // a second scan + exchange; the window rides ONE term-keyed
+        // exchange and nothing vocabulary-sized ever leaves the executors.
+        // The only broadcast left is `n` — a single row.
         val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-        val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+        val termW = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+        val scored = tf.withColumn("df", count(lit(1)).over(termW))
+          .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"),
             (col("tf").cast("double") * col("n_docs") / col("df")).as("tfidf"))
         org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(

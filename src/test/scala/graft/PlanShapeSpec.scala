@@ -42,6 +42,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected at most one exchange, got $exchanges")
   }
 
+  test("t07 tf-idf never broadcasts the vocabulary-sized df table") {
+    // At 100 TB the per-term df table is billions of rows: broadcasting it
+    // is a guaranteed OOM. df must ride a term-keyed count window over tf
+    // instead; the ONLY broadcast allowed is the single-row corpus count.
+    val p = planOf("t07_tfidf")
+    assert(!p.contains("BroadcastHashJoin"), "per-term df table must not be broadcast")
+    assert(p.contains("Window"), "df must come from the term-keyed count window")
+    val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts <= 1, s"only the 1-row n broadcast is allowed, got $bcasts")
+  }
+
+  test("d02 minhash keeps no candidate-sized distinct (no aggregate at all)") {
+    // Multi-band collisions are de-duplicated map-side by the
+    // first-matching-band filter over the carried band-sig arrays; the
+    // plan must contain no aggregate (the old distinct() was one).
+    val p = planOf("d02_dedup_minhash")
+    for (agg <- Seq("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
+      assert(!p.contains(agg), s"unexpected $agg — candidate distinct must stay deleted")
+  }
+
   test("d08 contamination never shuffles the corpus gram stream") {
     val p = planOf("d08_contamination")
     // The corpus side meets the bench set only through broadcast joins.
