@@ -108,58 +108,23 @@ object Ann {
     // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
     ("v05_knn_ivf",
       (s, d) => {
-        import s.implicits._
         val k = 16; val nProbe = 6
         val e = Tables.embeddings(s, d)
-        // Cell assignment: map-side argmax of cosine against the (tiny)
-        // centroid model, entirely inside codegen — struct comparison
-        // picks max sim, lower cid on ties (via negated id).
-        def cellOf(cents: Array[Array[Float]]) =
-          (array_max(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-            struct(cosine(col("embedding"), lit(c)).as("sim"),
-              lit(-i).as("ncid"))
-          }: _*))("ncid") * -1).as("cell")
-        // Centroid state is k×dim floats — legitimately driver-side model
-        // state (the spark.ml KMeans pattern): every DATA pass below stays
-        // distributed; only the model round-trips.
-        var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
-          .orderBy(col("vec_id")).select(col("embedding"))
-          .collect().map(_.getSeq[Float](0).toArray)
-        // Lloyd refinement on the bounded sample: assignment is the same
-        // codegen'd argmax; per-cell (sum, count) reduce whole vectors via
-        // reduceGroups (partial-aggregates map-side), so the only driver
-        // traffic is k rows of k×dim model state per iteration.
-        val sample = e.filter(col("vec_id") % 37 < 8)
-        for (_ <- 1 to 2) {
-          val means = sample
-            .select(cellOf(cents), col("embedding"))
-            .as[(Int, Array[Float])]
-            .map { case (c, v) => (c, v.map(_.toDouble), 1L) }
-            .groupByKey(_._1)
-            .reduceGroups { (x, y) =>
-              val sum = x._2.clone()
-              var i = 0
-              while (i < sum.length) { sum(i) += y._2(i); i += 1 }
-              (x._1, sum, x._3 + y._3)
-            }
-            .map { case (c, (_, sum, n)) => (c, sum.map(v => (v / n).toFloat)) }
-            .collect().toMap
-          cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
-        }
-        // Probe: the query's nProbe best cells, chosen on the driver from
-        // the model alone; the probe scan filters to those cells map-side.
+        // Model training + cell assignment live in AnnIndex (shared with
+        // the persistent partitioned-by-cell layout, whose probe is
+        // demonstrated partition-pruned in AnnIndexSpec). Centroid state
+        // is k×dim floats — legitimately driver-side model state (the
+        // spark.ml KMeans pattern): every DATA pass stays distributed,
+        // only the model round-trips.
+        val cents = AnnIndex.trainCentroids(e, k)
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-        def cos(a: Array[Float], b: Array[Float]): Double = {
-          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < math.min(a.length, b.length)) {
-            dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
-          }
-          if (na == 0 || nb == 0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
-        }
-        val probeCells = cents.indices.sortBy(i => (-cos(qv, cents(i)), i)).take(nProbe)
-        e.withColumn("cell", cellOf(cents))
-          .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
+        // The query's nProbe best cells come from the model alone; the
+        // probe scan filters to those cells map-side (and at scale reads
+        // only their partition directories — AnnIndex.probeIvf).
+        val cells = AnnIndex.probeCells(qv, cents, nProbe)
+        e.withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
+          .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)
