@@ -45,6 +45,25 @@ object Ddl {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     Tables.names.foreach(createTable(spark, _, sfDir))
 
+  // ---- database namespace (lexer.py:13-17 DATABASE, USE) ---------------
+
+  /** CREATE DATABASE analog: a catalog namespace. On a cluster this is
+    * the unit of access control and of per-team table layout; here it
+    * scopes table names exactly as the reference's database does. */
+  def createDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+
+  /** USE <db> analog — unqualified table names resolve here afterwards. */
+  def useDatabase(spark: SparkSession, name: String): Unit =
+    spark.catalog.setCurrentDatabase(name)
+
+  def currentDatabase(spark: SparkSession): String =
+    spark.catalog.currentDatabase
+
+  /** DROP DATABASE ... CASCADE analog. */
+  def dropDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+
   // ---- ALTER TABLE analogs (catalog-only; no data rewrite) -------------
 
   /** ALTER TABLE name RENAME COLUMN from TO to. */

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
+
 /** The relational block (q01–q38) as executable Spark SQL TEXT — the
   * interface a user of the reference actually writes first, since AnDB's
   * entire user surface is SQL strings through its parser
@@ -18,6 +20,47 @@ package graft.operators
   * equivalent of the bounded-heap GroupedTopK physical operator).
   */
 object RelationalSql {
+
+  /** Parameterized-statement surface — the reference lexer tokenizes
+    * PARAMETER placeholders (andb/sql/parser/lexer.py:35) for its
+    * prepared statements. Spark 4's parameterized `sql` is the native
+    * seat: `:name` markers in the text, values bound at analysis time.
+    * Binding is by VALUE (never string splicing), so the statement text
+    * is reusable and injection-safe, and the analyzed plan is identical
+    * to the literal form — SqlParitySpec asserts that equality. */
+  def bind(spark: SparkSession, name: String,
+      args: Map[String, Any]): org.apache.spark.sql.DataFrame =
+    spark.sql(parameterized(name), args)
+
+  /** Parameterized twins of representative relational queries: same
+    * result as the literal `sql(...)` text when bound with
+    * [[defaultArgs]]. */
+  val parameterized: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity < :max_qty AND l_shipdate >= :min_ship""".stripMargin,
+
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT :lim OFFSET :off""".stripMargin,
+
+    "q30_having_expr" ->
+      """SELECT p_brand, count(*) AS n_parts, sum(p_retailprice) AS tot_price
+        |FROM part GROUP BY p_brand
+        |HAVING count(*) > :min_parts AND sum(p_retailprice) > :min_price""".stripMargin
+  )
+
+  /** Bindings under which each [[parameterized]] text must reproduce the
+    * corresponding literal query in [[sql]] exactly. */
+  val defaultArgs: Map[String, Map[String, Any]] = Map(
+    "q01_scan_filter_project" -> Map(
+      "max_qty" -> 10, "min_ship" -> java.time.Instant.parse("1998-01-01T00:00:00Z")),
+    "q05_sort_limit" -> Map("lim" -> 100, "off" -> 10),
+    "q30_having_expr" -> Map("min_parts" -> 50, "min_price" -> 40000)
+  )
+
+  def bindSession(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame =
+    bind(spark, name, defaultArgs(name))
 
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->

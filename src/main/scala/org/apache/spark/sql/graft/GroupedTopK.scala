@@ -50,7 +50,20 @@ case class GroupedTopK(
   * the exchange, shrinking shuffle input to ≤ groups·k rows per task)
   * and final (after the hash exchange co-locates each group). Per-group
   * top-k is decomposable, so the global answer is exactly the top-k of
-  * the union of per-partition top-ks. */
+  * the union of per-partition top-ks.
+  *
+  * Memory bound: min(rows-in-partition, distinct-groups·k) UnsafeRow
+  * copies — the map never holds more rows than its input partition, even
+  * in the degenerate all-distinct-keys case (where it holds exactly one
+  * copy per row; GroupedTopKSpec stresses 500k distinct keys). So the
+  * operator's memory ceiling equals the partition size the cluster was
+  * already sized for; the window-function form it replaces additionally
+  * SORTS that partition (with spill). If per-partition working sets ever
+  * exceed memory at 100 TB, the fix is the normal one — more shuffle
+  * partitions — not an operator change, because the partial phase runs
+  * pre-exchange on scan-sized partitions and the final phase runs on
+  * hash-clustered ones whose size `spark.sql.shuffle.partitions`
+  * controls directly. */
 private[graft] object GroupedTopKImpl {
   def topK(
       iter: Iterator[InternalRow],

@@ -27,6 +27,29 @@ class DdlSpec extends AnyFunSuite {
     Ddl.createTable(spark, "nation", TestSpark.sf)
   }
 
+  test("create/use/drop database scope unqualified table names") {
+    Ddl.dropDatabase(spark, "graft_db")
+    Ddl.createDatabase(spark, "graft_db")
+    val prev = Ddl.currentDatabase(spark)
+    try {
+      Ddl.useDatabase(spark, "graft_db")
+      assert(Ddl.currentDatabase(spark) == "graft_db")
+      // A table created while USE graft_db is active lands in — and
+      // resolves unqualified from — that namespace.
+      spark.sql(s"CREATE TABLE marker USING parquet LOCATION '${TestSpark.sf}/nation.parquet'")
+      assert(spark.table("marker").count() == 25)
+      assert(spark.table("graft_db.marker").count() == 25)
+      Ddl.useDatabase(spark, prev)
+      // Unqualified resolution no longer sees it; qualified still does.
+      assert(intercept[Exception](spark.table("marker").collect()) != null)
+      assert(spark.table("graft_db.marker").count() == 25)
+    } finally {
+      Ddl.useDatabase(spark, prev)
+      Ddl.dropDatabase(spark, "graft_db")
+      assert(!spark.catalog.databaseExists("graft_db"))
+    }
+  }
+
   test("analyzeTable computes real row counts for the cost model") {
     val (size, rowCount) = Ddl.analyzeTable(spark, "nation", TestSpark.sf,
       cols = Seq("n_nationkey", "n_regionkey"))

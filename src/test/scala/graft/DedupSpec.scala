@@ -38,6 +38,32 @@ class DedupSpec extends AnyFunSuite {
       s"simhash-only pairs: ${sim.diff(nearDup).take(5)}")
   }
 
+  test("d03 banded join equals brute-force popcount over signatures (sf0.01 + sf0.1)") {
+    // Pins the pigeonhole band join against an exact in-engine truth: the
+    // hamming-≤3 pair set from the 4×16-bit band join must EQUAL the one
+    // a popcount over all signature pairs computes — not merely be
+    // consistent with d04's Jaccard view. Run at two scales so a banding
+    // bug that only manifests with more collisions can't hide.
+    import org.apache.spark.sql.graft.TextHash.simHash64
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val sig = Tables.documents(spark, sf)
+        .select(col("doc_id"), simHash64(col("text")).as("sig"))
+      val brute = sig.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+        .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+          col("a_id") < col("b_id"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Dedup.defs.find(_._1 == "d03_dedup_simhash").get._2(spark, sf)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute,
+        s"$sf: banded=${banded.size} brute=${brute.size} " +
+          s"missing=${brute.diff(banded).take(5)} extra=${banded.diff(brute).take(5)}")
+      assert(brute.nonEmpty, s"$sf: vacuous — no hamming<=3 pairs at all")
+    }
+  }
+
   test("d06 groups cover every >=0.9 pair with the component-min keeper") {
     val groups = run("d06_dedup_groups").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList

@@ -28,6 +28,29 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(got == exp, s"got=${got.size} exp=${exp.size}")
   }
 
+  test("degenerate all-distinct group keys: bounded by the partition, correct output") {
+    // Worst case for the heap map: every row its own group, so the
+    // partial phase retains (a copy of) every row of its partition —
+    // memory is min(partition rows, groups·k) copies, never MORE than
+    // the partition it was handed (where the window form additionally
+    // sorts). 500k distinct keys through a 4-thread session must
+    // complete and return every row exactly once.
+    val n = 500000L
+    val df = spark.range(n).select(col("id"),
+      (col("id") * 2654435761L % 1000003L).as("score"))
+    val topk = GroupedTopKApi.topKPerGroup(df, Seq("id"), Seq("score" -> true), 3)
+    assert(topk.count() == n)
+    // Mixed case on the same input: 101 groups of ~5k rows each still
+    // returns groups·k and matches the aggregate truth for k=1.
+    val grouped = df.withColumn("g", col("id") % 101)
+    val top1 = GroupedTopKApi.topKPerGroup(grouped, Seq("g"),
+      Seq("score" -> true, "id" -> false), 1)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    val exp = grouped.groupBy(col("g")).agg(max(col("score")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == exp)
+  }
+
   test("k larger than any group returns whole groups; k=1 returns maxima") {
     val all = GroupedTopKApi.topKPerGroup(input, Seq("c_mktsegment"),
       Seq("o_orderkey" -> false), 1000000)

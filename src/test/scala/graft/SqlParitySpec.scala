@@ -48,6 +48,31 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("parameterized statements bind by value and match the literal form") {
+    // The reference's PARAMETER placeholder surface (lexer.py:35) on
+    // Spark 4's parameterized sql: same text, different args, no string
+    // splicing — and under the default bindings each text reproduces the
+    // literal query exactly.
+    Ddl.registerAll(spark, TestSpark.sf)
+    import graft.operators.RelationalSql
+    for (name <- RelationalSql.parameterized.keys) {
+      val text = RelationalSql.parameterized(name)
+      assert(text.contains(":"), s"$name: no parameter markers in text")
+      assert(!text.matches("(?s).*\\b\\d{2,}.*"),
+        s"$name: parameterized text still contains a multi-digit literal")
+      val bound = RelationalSql.bindSession(spark, name)
+        .collect().map(_.toString).sorted.toSeq
+      val literal = spark.sql(RelationalSql.sql(name))
+        .collect().map(_.toString).sorted.toSeq
+      assert(bound == literal, s"$name: bound=${bound.length} literal=${literal.length}")
+    }
+    // Rebinding the same text with different values reuses the statement:
+    // no re-edit of SQL, different result.
+    val tight = RelationalSql.bind(spark, "q05_sort_limit",
+      Map("lim" -> 5, "off" -> 0)).collect()
+    assert(tight.length == 5)
+  }
+
   test("injected text-hash kernels are callable from SQL") {
     val r = spark.sql(
       """SELECT size(graft_shingles('a b c d')) AS n_grams,
