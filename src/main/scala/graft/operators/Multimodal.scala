@@ -34,20 +34,25 @@ case class MediaFeatures(
   * decode, amortizing per-batch model/codec setup across a partition and
   * keeping memory bounded by one partition's batch, not the table.
   *
-  * ==DECODE STUB==
-  * The actual image/audio codec is NOT in this container, so
-  * [[Multimodal.decodeStub]] fakes the decode deterministically from the
-  * payload bytes (byte-histogram moments as an 8-dim "embedding"). On a
-  * real cluster, replace `decodeStub` with the codec/model call — the
-  * schema, batching, and partitioning do not change.
+  * ==DECODE PATH==
+  * Image payloads (png/jpeg/bmp/gif, detected by magic bytes) decode FOR
+  * REAL through `javax.imageio` — pure JVM, no native codec needed —
+  * into an 8-dim feature vector (channel means, luma, contrast, dims);
+  * MultimodalSpec drives this with generated PNG bytes. Payloads with no
+  * JVM codec (audio/video, and this round's synthetic UTF-8 stand-ins)
+  * fall back to [[Multimodal.decodeStub]], a deterministic byte-histogram
+  * fake prominently declared as such. On a real cluster, the audio/video
+  * arm is the one spot to swap — the schema, batching, and partitioning
+  * do not change.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** STUB: deterministic fake decoder. Real pipelines put the codec /
-    * feature model here (one instantiation per partition, reused across
-    * rows — that is what mapPartitions buys over per-row map). */
-  private[operators] def decodeStub(payload: Array[Byte]): Array[Float] = {
+  /** STUB: deterministic fake decoder for payloads without a JVM codec.
+    * Real pipelines put the codec / feature model here (one instantiation
+    * per partition, reused across rows — that is what mapPartitions buys
+    * over per-row map). */
+  private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
@@ -56,6 +61,71 @@ object Multimodal {
     }
     val n = math.max(1, payload.length / 8)
     feats.map(_ / n)
+  }
+
+  /** Cheap container sniff (magic bytes) — decides whether the payload is
+    * worth handing to ImageIO at all, so non-image rows never pay a
+    * reader lookup. */
+  private[operators] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // png
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // jpeg
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||                         // gif
+      (p(0) == 'B' && p(1) == 'M'))                                          // bmp
+
+  /** REAL pure-JVM image decode via javax.imageio: mean R/G/B, mean luma,
+    * luma contrast (max-min), and pixel dimensions as an 8-dim feature
+    * vector. Returns None when ImageIO has no reader for the bytes. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var r = 0L; var g = 0L; var b = 0L
+      var minL = 255.0; var maxL = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          val pr = (px >> 16) & 0xFF; val pg = (px >> 8) & 0xFF; val pb = px & 0xFF
+          r += pr; g += pg; b += pb
+          val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val mr = r / n / 255.0; val mg = g / n / 255.0; val mb = b / n / 255.0
+      Some(Array(mr.toFloat, mg.toFloat, mb.toFloat,
+        (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat,
+        ((maxL - minL) / 255.0).toFloat, w.toFloat, h.toFloat, (n / 1e6).toFloat))
+    }
+  }
+
+  /** The decode dispatcher the pipeline runs: real ImageIO decode for
+    * image containers, declared stub otherwise. */
+  private[operators] def decode(payload: Array[Byte]): Array[Float] =
+    if (looksLikeImage(payload)) decodeImage(payload).getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
+  /** The decode seam: a (metadata-filtered) MediaRow dataset →
+    * MediaFeatures, partition-wise. Shared by m01 and MultimodalSpec's
+    * real-PNG test so the tested path IS the production path. */
+  def extractFeatures(ds: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // Per-partition setup would happen here (model weights, audio codec).
+      rows.map { m =>
+        val feats = decode(m.payload)
+        MediaFeatures(m.doc_id, m.format, m.width, m.height,
+          m.payload.length, feats,
+          math.sqrt(feats.map(f => f.toDouble * f).sum))
+      }
+    }
   }
 
   /** documents → MediaRow dataset: payload = UTF-8 bytes standing in for
@@ -87,17 +157,8 @@ object Multimodal {
         // filter is opaque to Catalyst (it would deserialize every row,
         // payload included); column predicates stay in the optimizer and
         // push down/prune before any payload is materialized.
-        val decoded = mediaTable(s, d)
-          .filter(col("format") =!= "wav" && col("width") >= 64)
-          .mapPartitions { rows =>
-            // Per-partition setup would happen here (codec, model).
-            rows.map { m =>
-              val feats = decodeStub(m.payload)
-              MediaFeatures(m.doc_id, m.format, m.width, m.height,
-                m.payload.length, feats,
-                math.sqrt(feats.map(f => f.toDouble * f).sum))
-            }
-          }
+        val decoded = extractFeatures(mediaTable(s, d)
+          .filter(col("format") =!= "wav" && col("width") >= 64))
         decoded.toDF()
           .groupBy(col("format"))
           .agg(count(lit(1)).as("n_media"),

@@ -16,6 +16,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("total_bytes") > 0))
   }
 
+  test("real PNG payloads decode through javax.imageio in the production seam") {
+    import graft.operators.{MediaRow, MediaFeatures}
+    // Deterministic PNGs generated in-test: two solid colors + one
+    // half-black/half-white contrast image.
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val red = png(16, 8, (_, _) => 0xFF0000)
+    val green = png(10, 10, (_, _) => 0x00FF00)
+    val halves = png(20, 10, (x, _) => if (x < 10) 0x000000 else 0xFFFFFF)
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, "png", 16, 8, red),
+      MediaRow(2L, "png", 10, 10, green),
+      MediaRow(3L, "png", 20, 10, halves),
+      MediaRow(4L, "wav", 0, 0, "not an image".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.doc_id -> f).toMap
+    def f(id: Long): Array[Float] = feats(id).features
+    // Solid red: meanR=1, meanG=meanB=0, zero contrast, true pixel dims.
+    assert(math.abs(f(1L)(0) - 1.0f) < 1e-3 && f(1L)(1) < 1e-3 && f(1L)(2) < 1e-3)
+    assert(f(1L)(4) < 1e-3 && f(1L)(5) == 16.0f && f(1L)(6) == 8.0f)
+    // Solid green: meanG=1; luma = 0.587.
+    assert(math.abs(f(2L)(1) - 1.0f) < 1e-3 && math.abs(f(2L)(3) - 0.587f) < 1e-3)
+    // Half black / half white: means 0.5, contrast 1.
+    assert(math.abs(f(3L)(0) - 0.5f) < 1e-3 && math.abs(f(3L)(4) - 1.0f) < 1e-3)
+    // Non-image payload takes the declared stub path, not ImageIO.
+    assert(f(4L).toSeq == graft.operators.Multimodal.decodeStub(
+      "not an image".getBytes("UTF-8")).toSeq)
+  }
+
   test("m02 samples every 4th fixed-size frame per payload") {
     val rows = Multimodal.defs.find(_._1 == "m02_frame_sample").get
       ._2(spark, TestSpark.sf).collect()
