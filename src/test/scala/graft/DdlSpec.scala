@@ -50,6 +50,23 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("plan cache returns the identical plan object on repeat statements") {
+    Ddl.createTable(spark, "nation", TestSpark.sf)
+    val pc = new PlanCache(maxEntries = 2)
+    val text = "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"
+    val first = pc.sql(spark, text)
+    val second = pc.sql(spark, text)
+    // Same object ⇒ parse/analyze/optimize ran once for the two calls.
+    assert(first eq second)
+    assert(pc.hits == 1 && pc.misses == 1)
+    assert(second.collect().length == 5)
+    // LRU bound: two more distinct texts evict the eldest.
+    pc.sql(spark, "SELECT 1 AS a")
+    pc.sql(spark, "SELECT 2 AS a")
+    assert(pc.size == 2)
+    assert(!(pc.sql(spark, text) eq first), "evicted entry must rebuild")
+  }
+
   test("analyzeTable computes real row counts for the cost model") {
     val (size, rowCount) = Ddl.analyzeTable(spark, "nation", TestSpark.sf,
       cols = Seq("n_nationkey", "n_regionkey"))
