@@ -19,14 +19,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deterministic name-sorted order for BOTH the warm-up and the timed
+    // pass: JIT/codegen warm-up and page-cache state then hit every query
+    // identically run-to-run, so per-query numbers are comparable across
+    // rounds (the r2 driver run had a 7.9x one-off on whichever query ran
+    // cold first).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // Two timed reps, report min: the machine-noise-robust steady-state
-    // number (same query, same plan — min is the honest capability).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Three timed reps, report min: same query, same plan — min is the
+    // machine-noise-robust steady-state capability (the first rep also
+    // absorbs the cold file-cache read of the target SF).
+    val results = ordered.map { case (name, fn) =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -35,7 +42,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
