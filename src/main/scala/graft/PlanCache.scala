@@ -8,20 +8,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * On Spark the expensive per-statement work is parse + analyze +
   * optimize; a `DataFrame` IS the reusable plan. Caching the DataFrame
-  * object per (session, statement text) makes repeated submissions of
-  * the same text skip the whole front end — execution still runs fresh
-  * each time (same as the reference, which caches plans, not results).
-  * For result caching, the Spark-native seat is `df.persist()` /
-  * materialized views — deliberately NOT conflated with this.
+  * per (session, current database, statement text) makes repeated
+  * submissions of the same text skip the whole front end — execution
+  * still runs fresh each time (same as the reference, which caches
+  * plans, not results). For result caching, the Spark-native seat is
+  * `df.persist()` / materialized views — deliberately NOT conflated
+  * with this.
   *
-  * Bounded LRU (`maxEntries` per session) so a statement-generating
-  * workload can't grow the driver without bound; parameterized
-  * statements ([[graft.operators.RelationalSql.bind]]) should be cached
-  * UNBOUND — one entry per text, not per binding — which callers get by
-  * caching the text and binding afterwards.
+  * Keying and staleness:
+  *   - The session component is the SparkSession OBJECT (identity), so
+  *     two sessions never see each other's plans, and the current
+  *     database is part of the key, so `USE db` switches never resolve
+  *     a cached unqualified name against the wrong namespace.
+  *   - DDL that redefines a table the cached plan references (DROP +
+  *     re-CREATE with a new schema) is NOT auto-detected — the same
+  *     limitation the reference's cache has. Call [[invalidate]] after
+  *     schema-changing DDL (graft's own Ddl.alter* helpers re-register
+  *     views, which callers should follow with invalidate()).
+  *
+  * The LRU bound (`maxEntries`, TOTAL across sessions for a shared
+  * instance) keeps a statement-generating workload from growing the
+  * driver without bound; eviction also ages out entries -- and their
+  * pinned session references -- once a session stops submitting.
+  * Parameterized statements ([[graft.operators.RelationalSql.bind]])
+  * cache naturally as ONE entry per text, not per binding: cache the
+  * text, bind afterwards.
   */
 class PlanCache(maxEntries: Int = 128) {
-  private case class Key(sessionId: String, text: String)
+  private case class Key(session: SparkSession, db: String, text: String)
   private val lru = new java.util.LinkedHashMap[Key, DataFrame](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean =
       this.size() > maxEntries
@@ -30,9 +44,10 @@ class PlanCache(maxEntries: Int = 128) {
   private var missCount = 0L
 
   /** The cached analyzed/optimizable plan for `text`, building it on
-    * first sight. Thread-safe; same text ⇒ same DataFrame object. */
+    * first sight. Thread-safe; same (session, database, text) ⇒ same
+    * DataFrame object. */
   def sql(spark: SparkSession, text: String): DataFrame = synchronized {
-    val key = Key(System.identityHashCode(spark).toString, text)
+    val key = Key(spark, spark.catalog.currentDatabase, text)
     val cached = lru.get(key)
     if (cached != null) { hitCount += 1; cached }
     else {
@@ -41,6 +56,12 @@ class PlanCache(maxEntries: Int = 128) {
       lru.put(key, df)
       df
     }
+  }
+
+  /** Drop every entry belonging to `spark` — call after schema-changing
+    * DDL or before stopping the session. */
+  def invalidate(spark: SparkSession): Unit = synchronized {
+    lru.keySet().removeIf(_.session eq spark)
   }
 
   def hits: Long = synchronized(hitCount)

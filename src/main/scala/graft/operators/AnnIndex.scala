@@ -134,28 +134,39 @@ object AnnIndex {
     * map-side, and a candidate-sized join back to `vectors` re-ranks by
     * exact cosine. The band table itself is never scanned in full.
     *
-    * Disables `autoBucketedScan` on the session: Spark's
+    * Plans under `autoBucketedScan=false` (restored afterwards): Spark's
     * DisableUnnecessaryBucketedScan planner rule only credits bucketing
     * when a downstream operator needs the partitioning — it cannot see
     * bucket-FILTER pruning, so with it on, a probe falls back to a full
-    * scan ("Bucketed: false (disabled by query planner)"). Probe
-    * workloads want the pruned read every time. */
+    * scan ("Bucketed: false (disabled by query planner)"). The physical
+    * plan is forced eagerly while the conf is off, then the previous
+    * value is put back so the session's other queries keep the rule. */
   def probeLsh(spark: SparkSession, table: String, vectors: DataFrame,
       qv: Array[Float], bandBits: Int, nBands: Int, k: Int): DataFrame = {
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val qsig = spark.range(1)
-      .select(hyperplaneSig(lit(qv), bandBits * nBands).as("s"))
-      .head().getLong(0)
-    val mask = (1L << bandBits) - 1
-    val qKeys = (0 until nBands).map(b => ((qsig >>> (b * bandBits)) & mask) + (b.toLong << bandBits))
-    val cands = spark.table(table)
-      .filter(col("bkey").isin(qKeys: _*))
-      .filter(shiftright(col("bkey"), bandBits) === Lsh.firstMatchingBand(
-        col("sig").bitwiseXOR(lit(qsig)), bandBits, nBands))
-      .select(col("vec_id"))
-    cands.join(vectors, "vec_id")
-      .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(k)
+    // One 1-row job yields the query signature AND its packed band keys
+    // through the SAME bandKeys expression the writer used — the packing
+    // cannot diverge between the index and the probe.
+    val qRow = spark.range(1)
+      .select(hyperplaneSig(lit(qv), bandBits * nBands).as("sig"))
+      .select(col("sig"), bandKeys(col("sig"), bandBits, nBands).as("bkeys"))
+      .head()
+    val qsig = qRow.getLong(0)
+    val qKeys = qRow.getSeq[Long](1)
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(confKey)
+    spark.conf.set(confKey, "false")
+    try {
+      val cands = spark.table(table)
+        .filter(col("bkey").isin(qKeys: _*))
+        .filter(shiftright(col("bkey"), bandBits) === Lsh.firstMatchingBand(
+          col("sig").bitwiseXOR(lit(qsig)), bandBits, nBands))
+        .select(col("vec_id"))
+      val probe = cands.join(vectors, "vec_id")
+        .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(k)
+      probe.queryExecution.executedPlan // force physical planning now
+      probe
+    } finally spark.conf.set(confKey, prev)
   }
 }

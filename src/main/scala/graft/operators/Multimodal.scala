@@ -75,8 +75,16 @@ object Multimodal {
 
   /** REAL pure-JVM image decode via javax.imageio: mean R/G/B, mean luma,
     * luma contrast (max-min), and pixel dimensions as an 8-dim feature
-    * vector. Returns None when ImageIO has no reader for the bytes. */
-  private[operators] def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    * vector. Returns None when ImageIO has no reader for the bytes OR the
+    * decode throws — real corpora contain truncated/corrupt files, and a
+    * text payload that merely starts with "BM" passes the magic sniff but
+    * makes the BMP reader throw mid-header; a bad row must fall back to
+    * the stub, never kill the task. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try decodeImageUnsafe(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImageUnsafe(payload: Array[Byte]): Option[Array[Float]] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     if (img == null) None
     else {

@@ -52,6 +52,24 @@ class MultimodalSpec extends AnyFunSuite {
       "not an image".getBytes("UTF-8")).toSeq)
   }
 
+  test("corrupt or magic-colliding payloads fall back to the stub, never crash") {
+    import graft.operators.MediaRow
+    import spark.implicits._
+    // "BMW ..." passes the 2-byte BMP sniff; truncated PNG magic passes
+    // the PNG sniff; both make ImageIO throw or bail mid-header. A real
+    // corpus has rows like these — the task must survive all of them.
+    val bmText = "BMW group annual report".getBytes("UTF-8")
+    val truncatedPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0)
+    val ds = Seq(
+      MediaRow(1L, "jpeg", 8, 8, bmText),
+      MediaRow(2L, "png", 8, 8, truncatedPng)).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).features.toSeq ==
+      graft.operators.Multimodal.decodeStub(bmText).toSeq)
+    assert(out(2L).features.toSeq ==
+      graft.operators.Multimodal.decodeStub(truncatedPng).toSeq)
+  }
+
   test("m02 samples every 4th fixed-size frame per payload") {
     val rows = Multimodal.defs.find(_._1 == "m02_frame_sample").get
       ._2(spark, TestSpark.sf).collect()
