@@ -405,6 +405,53 @@ object Dedup {
               FROM sh5 s JOIN bench b ON s.sg = b.sg
               WHERE s.doc_id >= 5 GROUP BY s.doc_id""")),
 
+    // ---- d10: decontamination with a Bloom prefilter ------------------
+    // d08's exact form broadcasts the distinct bench-gram set — right
+    // until the bench set itself is huge (every eval suite × every
+    // n-gram = billions of keys), where an exact set broadcast is
+    // ~30+ bytes/key and dies. The scale path: a Bloom filter over the
+    // bench grams (~1.2 bytes/key at 1% fpp — built distributed via
+    // stat.bloomFilter, probed map-side inside codegen by the native
+    // BloomMightContainLong expression), with the EXACT joins kept
+    // behind it so the output is bit-identical to d08: Bloom filters
+    // have no false negatives, and false positives die in the exact
+    // join. The joins carry no broadcast hint — after the prefilter the
+    // corpus side is matches + fpp·corpus rows, so the shuffle join
+    // that replaces the impossible broadcast moves survivor-sized data
+    // (AQE still broadcasts at small SF). Same oracle as d08; equality
+    // also asserted in DedupSpec, prefilter selectivity gated there.
+    ("d10_contamination_bloom",
+      (s, d) => {
+        import org.apache.spark.sql.graft.BloomExpressions
+        val g = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingleHashSet(col("text"), 5)).as("h"))
+        val bench0 = g.filter(col("doc_id") < 5).select(col("h")).distinct()
+        // Distributed build; only the sketch (and a scalar count for
+        // sizing) reaches the driver.
+        val bloom = bench0.stat.bloomFilter("h", math.max(bench0.count(), 1L), 0.01)
+        val gPre = g.filter(BloomExpressions.mightContainLong(col("h"), bloom))
+        val bench = gPre.join(bench0, "h")
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= GramDfCap).select(col("h"))
+        gPre.filter(col("doc_id") >= 5)
+          .join(bench, "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("n_shared_grams"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks WHERE len(w) >= 5),
+              sh5 AS (SELECT DISTINCT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sg
+                      FROM idx
+                      UNION ALL
+                      SELECT doc_id, text AS sg FROM documents WHERE len(string_split(text, ' ')) < 5),
+              bench0 AS (SELECT DISTINCT sg FROM sh5 WHERE doc_id < 5),
+              bench AS (SELECT b.sg FROM sh5 s JOIN bench0 b ON s.sg = b.sg
+                        GROUP BY b.sg HAVING count(*) <= $GramDfCap)
+              SELECT s.doc_id, count(DISTINCT s.sg) AS n_shared_grams
+              FROM sh5 s JOIN bench b ON s.sg = b.sg
+              WHERE s.doc_id >= 5 GROUP BY s.doc_id""")),
+
     // ---- d05: embedding-cosine near-dup pairs -------------------------
     // Banded hyperplane-LSH candidate generation + exact-cosine verify —
     // the d02 shape applied to vectors, replacing the former all-pairs

@@ -115,6 +115,26 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${allPairs.diff(lsh).take(5)}")
   }
 
+  test("d10 Bloom-prefiltered decontamination equals d08 and actually prunes") {
+    val exact = run("d08_contamination").collect().map(_.toSeq).toSet
+    val bloomed = run("d10_contamination_bloom").collect().map(_.toSeq).toSet
+    assert(bloomed == exact, s"bloom=${bloomed.size} exact=${exact.size}")
+    // The prefilter must do real work: with a small bench set and 1%
+    // fpp, the surviving corpus gram stream is a small fraction of the
+    // full one (matches + ~1% false positives).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.TextHash.shingleHashSet
+    import org.apache.spark.sql.graft.BloomExpressions
+    val g = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(shingleHashSet(col("text"), 5)).as("h"))
+    val bench0 = g.filter(col("doc_id") < 5).select(col("h")).distinct()
+    val bloom = bench0.stat.bloomFilter("h", math.max(bench0.count(), 1L), 0.01)
+    val total = g.count().toDouble
+    val survivors = g.filter(BloomExpressions.mightContainLong(col("h"), bloom)).count()
+    assert(survivors < total * 0.30,
+      s"prefilter passed $survivors of ${total.toLong} grams — not pruning")
+  }
+
   test("d04 df-cap keeps candidates linear under a planted stop-gram") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hotgram").toString
