@@ -20,6 +20,40 @@ class UtilitySpec extends AnyFunSuite {
     assert(salted.columns.toSeq == Seq("k", "payload", "name"))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the non-salt path)") {
+    // The other half of the Skew story: salting is only for keys AQE
+    // CANNOT fix, so pin that AQE's skew-join split actually fires on an
+    // ordinary skewed join. Thresholds are lowered to make the ~MB-scale
+    // test partition qualify; on a cluster the defaults (256 MB) play the
+    // same role.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id") % 1000).as("k"),
+          concat(lit("payload_"), col("id")).as("pay"))
+      val right = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+      val j = left.join(right, "k")
+      // Execute j ITSELF (count() would plan a different query) so its
+      // adaptive plan is finalized before inspecting it.
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE skew split did not fire:\n" + plan.take(800))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedCount equals plain count by key") {
     val df = spark.range(5000)
       .select(when(col("id") % 100 =!= 0, lit("hot")).otherwise(lit("rare")).as("k"))
