@@ -64,6 +64,23 @@ object EventPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** d08/d10's streaming twin: decontamination at ingest. Flags each
+    * incoming document map-side when ANY of its 5-gram hashes may be in
+    * the bench-gram Bloom filter (the same native might_contain probe
+    * d10 uses), and passes only clean docs through. Completely
+    * STATELESS — no watermark, no state store — so it runs at ingest
+    * rate with O(1) memory; the filter's no-false-negative guarantee
+    * means no contaminated doc ever reaches the clean stream, and the
+    * ≤fpp over-quarantine is adjudicated by the exact offline pass
+    * (d08), never the ingest path. */
+  def decontaminateStream(docs: DataFrame,
+      benchBloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    import org.apache.spark.sql.graft.BloomExpressions.mightContainLong
+    import org.apache.spark.sql.graft.TextHash.shingleHashSet
+    docs.filter(!exists(shingleHashSet(col("text"), 5),
+      h => mightContainLong(h, benchBloom)))
+  }
+
   /** s03's streaming twin: stream-stream interval join. Each click pairs
     * with same-user errors from the preceding 30 minutes. The watermarks
     * + the interval bound are what make unbounded stream-stream join
