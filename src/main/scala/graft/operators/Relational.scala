@@ -483,6 +483,53 @@ object Relational {
               SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
               FROM part WHERE p_partkey <= 100""")),
 
+    // ---- q41: recursive CTE ------------------------------------------
+    // The DataFrame form is the finite equivalent (a generated month
+    // spine joined to the fact); the SQL text in RelationalSql drives
+    // Spark 4's WITH RECURSIVE through the parser — SqlParitySpec
+    // asserts both produce identical results. Oracle uses DuckDB's own
+    // recursion. A 12-row recursion is driver-side negligible; at scale
+    // the spine side stays tiny and broadcast while the fact side does
+    // the work.
+    ("q41_recursive_cte",
+      (s, d) => {
+        val months = s.range(1, 13).select(col("id").cast("int").as("month_num"))
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 2000)
+          .join(broadcast(months), month(col("o_orderdate")) === col("month_num"))
+          .groupBy(col("month_num"))
+          .agg(count(lit(1)).as("n_orders"),
+            (floor(sum(col("o_totalprice")) * 100 + 0.5) / 100).as("revenue"))
+      },
+      Some("""WITH RECURSIVE months(month_num) AS (
+                SELECT 1 UNION ALL SELECT month_num + 1 FROM months WHERE month_num < 12)
+              SELECT month_num, count(*) AS n_orders,
+                     FLOOR(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+              FROM months JOIN orders
+                ON month(o_orderdate) = month_num AND year(o_orderdate) = 2000
+              GROUP BY month_num""")),
+
+    // ---- q42: LATERAL correlated subquery ----------------------------
+    // The per-outer-row subquery shape (DuckDB/Postgres LATERAL, Spark 4
+    // LATERAL). DataFrame form = the decorrelated aggregate-then-join
+    // plan Catalyst itself rewrites a lateral into — at scale ONE
+    // aggregate over the inner table plus a broadcast join, never a
+    // subquery per row.
+    ("q42_lateral",
+      (s, d) => {
+        val maxBal = Tables.customer(s, d)
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey"))
+          .agg(max(col("c_acctbal")).as("max_bal"))
+        Tables.region(s, d)
+          .join(maxBal, col("r_regionkey") === col("n_regionkey"))
+          .select(col("r_name"), col("max_bal"))
+      },
+      Some("""SELECT r_name, t.max_bal FROM region,
+              LATERAL (SELECT max(c_acctbal) AS max_bal
+                       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       WHERE n_regionkey = r_regionkey) t""")),
+
     // ---- RANGE-frame window (value-based sliding aggregate) ------------
     // 30-day trailing spend per customer: RANGE frames bound by VALUE
     // distance, not row count — the time-series form row frames miss.

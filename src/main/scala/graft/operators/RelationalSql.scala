@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
-/** The relational block (q01–q38) as executable Spark SQL TEXT — the
+/** The relational block (q01–q42) as executable Spark SQL TEXT — the
   * interface a user of the reference actually writes first, since AnDB's
   * entire user surface is SQL strings through its parser
   * (andb/sql/parser/lexer.py:11-131). Each entry produces the same result
@@ -287,6 +287,21 @@ object RelationalSql {
         |       stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)
         |         AS (metric, value)
         |FROM part WHERE p_partkey <= 100""".stripMargin,
+
+    "q41_recursive_cte" ->
+      """WITH RECURSIVE months(month_num) AS (
+        |  SELECT 1 UNION ALL SELECT month_num + 1 FROM months WHERE month_num < 12)
+        |SELECT month_num, count(*) AS n_orders,
+        |       FLOOR(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        |FROM months JOIN orders
+        |  ON month(o_orderdate) = month_num AND year(o_orderdate) = 2000
+        |GROUP BY month_num""".stripMargin,
+
+    "q42_lateral" ->
+      """SELECT r_name, t.max_bal FROM region,
+        |LATERAL (SELECT max(c_acctbal) AS max_bal
+        |         FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |         WHERE n_regionkey = r_regionkey) t""".stripMargin,
 
     "q35_window_range" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
