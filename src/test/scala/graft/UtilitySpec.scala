@@ -63,6 +63,22 @@ class UtilitySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("Bloom might_contain has no false negatives and bounded false positives") {
+    // Pins the native expression itself (including its codegen path, which
+    // runs inside the filter): every inserted key must probe true; a
+    // disjoint key set must probe true at ~fpp, not more than a few x it.
+    val n = 20000L
+    val inserted = spark.range(n).select((col("id") * 2654435761L).as("h"))
+    val bloom = inserted.stat.bloomFilter("h", n, 0.01)
+    import org.apache.spark.sql.graft.BloomExpressions.mightContainLong
+    val hits = inserted.filter(mightContainLong(col("h"), bloom)).count()
+    assert(hits == n, s"false negatives: ${n - hits} of $n")
+    val disjoint = spark.range(n)
+      .select((col("id") * 2654435761L + 1234567L).as("h"))
+    val fp = disjoint.filter(mightContainLong(col("h"), bloom)).count()
+    assert(fp < n * 0.05, s"fp rate ${fp.toDouble / n} exceeds 5x the 1% target")
+  }
+
   test("q33 approximate aggregates stay within sketch error bounds") {
     val sf = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("q33_approx_agg")(spark, sf)
