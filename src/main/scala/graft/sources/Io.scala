@@ -45,6 +45,18 @@ object Io {
       .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** The canonical 100 TB fact-table layout: partitioned by the
+    * low-cardinality filter columns AND bucketed by the recurring join
+    * key — a probe prunes partitions first, then the join on the bucket
+    * key needs no exchange. IoSpec proves both properties together. */
+  def writePartitionedBucketed(df: DataFrame, table: String,
+      partitionCols: Seq[String], bucketKeys: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

@@ -62,6 +62,48 @@ class IoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS bands_bkt")
   }
 
+  test("partitioned+bucketed fact layout: pruning AND exchange-free join together") {
+    // The canonical 100 TB arrangement: partition by the filter column,
+    // bucket by the join key — one layout serves both access paths.
+    spark.sql("DROP TABLE IF EXISTS events_pb")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "events_pb")
+    if (wh.exists())
+      Files.walk(wh.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Io.writePartitionedBucketed(events, "events_pb",
+      Seq("event_type"), Seq("user_id"), buckets = 4)
+    val users = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id")).distinct().limit(50)
+      .withColumn("segment", col("user_id") % 3)
+    val j = spark.table("events_pb")
+      .filter(col("event_type") === "click")
+      .hint("merge")
+      .join(users.hint("shuffle_merge"), Seq("user_id"))
+    val plan = j.queryExecution.executedPlan.treeString
+    // Partition pruning from the filter reached the fact scan...
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(500))
+    // ...the scan is bucketed...
+    assert(plan.contains("Bucketed: true"), plan.take(500))
+    // ...and the FACT branch (join → bucketed scan) has no exchange: only
+    // the small probe side may shuffle to meet the buckets. Walk the plan
+    // lines from the join to the events_pb scan and reject any Exchange
+    // in between.
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("events_pb["))
+    val joinIdx = lines.lastIndexWhere(_.contains("SortMergeJoin"), scanIdx)
+    assert(joinIdx >= 0 && scanIdx > joinIdx, plan.take(600))
+    val factBranch = lines.slice(joinIdx + 1, scanIdx)
+    assert(!factBranch.exists(_.contains("Exchange")),
+      s"exchange on the bucketed fact side:\n${factBranch.mkString("\n")}")
+    val expected = events.filter(col("event_type") === "click")
+      .join(users, Seq("user_id")).count()
+    assert(j.count() == expected)
+    spark.sql("DROP TABLE IF EXISTS events_pb")
+  }
+
   test("csv and json roundtrip preserve values") {
     val nation = Tables.nation(spark, TestSpark.sf)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
