@@ -38,7 +38,7 @@ object ScaleSmokeMain {
     println(s"[smoke] corpus: $n docs (${rep}x sf0.1)")
 
     for (name <- Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
-                     "d06_dedup_groups", "d08_contamination", "d09_dedup_best_keeper",
+                     "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
                      "t05_normalize", "t06_vocab", "t07_tfidf", "t08_redact",
                      "t09_length_stats", "p01_curation_pipeline")) {
       val t0 = System.nanoTime()
