@@ -159,13 +159,16 @@ object Dedup {
     while (changed > 0 && iter < 10) {
       val nbr = sym.join(labels, sym("b_id") === labels("doc_id"))
         .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
+      // Carry the previous label through the update so the fixpoint check
+      // is a narrow filter-count over the checkpoint — not another join
+      // (which would re-shuffle the label table every round).
       val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     labels
