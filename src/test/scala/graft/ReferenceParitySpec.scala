@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dml
+
+/** Replays the reference engine's OWN acceptance scenario —
+  * `/root/reference/tests/unit/test_execution.py::test_execute_simple_query`
+  * (create / insert / order-by / delete / update / filters / group-having /
+  * cross join / equi-join / explain / index / drop) — through graft's
+  * surface, asserting the row-level outcomes the reference's storage
+  * would hold at each step. This is the literal "a user of the reference
+  * could switch" check: every statement in their test maps to a graft
+  * call, and the visible results are identical. */
+class ReferenceParitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[(Option[Int], Option[String])] =
+    df.collect().map(r => (
+      if (r.isNullAt(0)) None else Some(r.getInt(0)),
+      if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
+
+  test("the reference's test_execute_simple_query scenario runs identically") {
+    def reg(name: String, df: DataFrame): DataFrame = { df.createOrReplaceTempView(name); df }
+
+    // create table t1 (a int not null, b text)
+    var t1 = reg("t1", Seq.empty[(Int, String)].toDF("a", "b")
+      .select(col("a").cast("int"), col("b")))
+    // 4 inserts
+    t1 = reg("t1", Dml.insert(t1, Seq(1 -> "aaa", 2 -> "bbb", 3 -> null, 4 -> "ccc"), spark))
+
+    // select * from t1 order by a, b / ... b DESC
+    assert(rows(spark.sql("SELECT * FROM t1 ORDER BY a, b")) ==
+      Seq(Some(1) -> Some("aaa"), Some(2) -> Some("bbb"), Some(3) -> None, Some(4) -> Some("ccc")))
+    assert(spark.sql("SELECT * FROM t1 ORDER BY a, b DESC").collect().length == 4)
+
+    // delete from t1 where a = 4; delete from t1
+    t1 = reg("t1", Dml.delete(t1, col("a") === 4))
+    assert(spark.table("t1").count() == 3)
+    t1 = reg("t1", Dml.delete(t1, lit(true)))
+    assert(spark.table("t1").count() == 0)
+
+    // re-insert, then update t1 set a = 5 where b = 'ccc'
+    t1 = reg("t1", Dml.insert(t1, Seq(1 -> "aaa", 2 -> "bbb", 3 -> null, 4 -> "ccc"), spark))
+    t1 = reg("t1", Dml.update(t1, col("b") === "ccc", Map("a" -> lit(5))))
+    // two more inserts of (4, 'ccc')
+    t1 = reg("t1", Dml.insert(t1, Seq(4 -> "ccc", 4 -> "ccc"), spark))
+
+    // select * from t1
+    assert(rows(spark.sql("SELECT * FROM t1 ORDER BY a, b")).map(_._1.get) ==
+      Seq(1, 2, 3, 4, 4, 5))
+    // where a = 1 / a > 2 / select b where a > 2
+    assert(rows(spark.sql("SELECT * FROM t1 WHERE a = 1")) == Seq(Some(1) -> Some("aaa")))
+    assert(spark.sql("SELECT * FROM t1 WHERE a > 2").count() == 4)
+    assert(spark.sql("SELECT b FROM t1 WHERE a > 2").collect()
+      .map(r => Option(r.getString(0))).sortBy(_.getOrElse("")).toSeq ==
+      Seq(None, Some("ccc"), Some("ccc"), Some("ccc")))
+    // group by / having
+    assert(spark.sql("SELECT a, count(a) AS c FROM t1 WHERE a > 2 GROUP BY a ORDER BY a")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq(3 -> 1L, 4 -> 2L, 5 -> 1L))
+    assert(spark.sql(
+      "SELECT a, count(a) AS c FROM t1 WHERE a > 2 GROUP BY a HAVING a > 3 ORDER BY a")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq(4 -> 2L, 5 -> 1L))
+
+    // create table t2 (a int, city text) + inserts
+    var t2 = reg("t2", Seq(1 -> "beijing", 2 -> "shanghai", 3 -> "guangdong", 4 -> "shenzhen")
+      .toDF("a", "city").select(col("a").cast("int"), col("city")))
+
+    // implicit cross join: select t1.a, t2.city from t1, t2
+    assert(spark.sql("SELECT t1.a, t2.city FROM t1, t2").count() == 6 * 4)
+
+    // explain select ... (the reference's EXPLAIN surface)
+    val plan = Explain.plan(spark.sql(
+      "SELECT t1.a, city FROM t1, t2 WHERE t1.a = t2.a"))
+    assert(plan.count() > 0)
+
+    // equi-join through the comma syntax: a values {1,2,3,4,4,5} meet
+    // t2 keys {1,2,3,4} -> 5 rows (4 matches twice, 5 drops out)
+    assert(spark.sql("SELECT t1.a, t2.city FROM t1, t2 WHERE t1.a = t2.a ORDER BY a, city")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "beijing", 2 -> "shanghai", 3 -> "guangdong",
+          4 -> "shenzhen", 4 -> "shenzhen"))
+
+    // create index idx1 on t1 (a): on columnar storage the "index" is
+    // write-time layout; the statement maps to the documented recipe.
+    assert(Ddl.indexHint(Seq("a")).contains("sortWithinPartitions"))
+    assert(spark.sql("SELECT a FROM t1").count() == 6)
+
+    // drop index idx1 / drop table t1 / drop table t2
+    assert(Ddl.drop(spark, "t1") && Ddl.drop(spark, "t2"))
+    assert(intercept[Exception](spark.sql("SELECT * FROM t1").collect()) != null)
+  }
+}
