@@ -45,16 +45,22 @@ class PlanCache(maxEntries: Int = 128) {
 
   /** The cached analyzed/optimizable plan for `text`, building it on
     * first sight. Thread-safe; same (session, database, text) ⇒ same
-    * DataFrame object. */
-  def sql(spark: SparkSession, text: String): DataFrame = synchronized {
+    * DataFrame object. The miss path runs spark.sql OUTSIDE the lock
+    * (double-checked put): one slow parse/analyze must not serialize
+    * every other session's cache hits — that would be the cache
+    * blocking the very work it amortizes. A racing duplicate build is
+    * possible and harmless (last put wins). */
+  def sql(spark: SparkSession, text: String): DataFrame = {
     val key = Key(spark, spark.catalog.currentDatabase, text)
-    val cached = lru.get(key)
-    if (cached != null) { hitCount += 1; cached }
-    else {
-      missCount += 1
-      val df = spark.sql(text)
-      lru.put(key, df)
-      df
+    synchronized {
+      val cached = lru.get(key)
+      if (cached != null) { hitCount += 1; return cached }
+    }
+    val df = spark.sql(text)
+    synchronized {
+      val cached = lru.get(key)
+      if (cached != null) { hitCount += 1; cached }
+      else { missCount += 1; lru.put(key, df); df }
     }
   }
 

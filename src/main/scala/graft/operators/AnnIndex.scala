@@ -140,7 +140,16 @@ object AnnIndex {
     * bucket-FILTER pruning, so with it on, a probe falls back to a full
     * scan ("Bucketed: false (disabled by query planner)"). The physical
     * plan is forced eagerly while the conf is off, then the previous
-    * value is put back so the session's other queries keep the rule. */
+    * value is put back so the session's other queries keep the rule.
+    *
+    * Scope caveat: the pruned plan is pinned on the RETURNED DataFrame's
+    * memoized QueryExecution — execute it as-is (collect / write /
+    * foreach). Deriving a new plan from it (adding a filter, calling
+    * .count(), re-submitting the logical plan) replans under the
+    * restored session conf and loses the pruning; probe-heavy workloads
+    * that need derived plans should set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * session-wide instead. */
   def probeLsh(spark: SparkSession, table: String, vectors: DataFrame,
       qv: Array[Float], bandBits: Int, nBands: Int, k: Int): DataFrame = {
     // One 1-row job yields the query signature AND its packed band keys

@@ -514,7 +514,10 @@ object Relational {
     // LATERAL). DataFrame form = the decorrelated aggregate-then-join
     // plan Catalyst itself rewrites a lateral into — at scale ONE
     // aggregate over the inner table plus a broadcast join, never a
-    // subquery per row.
+    // subquery per row. LEFT join, not inner: a scalar aggregate in a
+    // LATERAL returns exactly one row per outer row — (r_name, NULL)
+    // for a region with no customers — so the decorrelated form must
+    // keep unmatched outer rows.
     ("q42_lateral",
       (s, d) => {
         val maxBal = Tables.customer(s, d)
@@ -522,7 +525,7 @@ object Relational {
           .groupBy(col("n_regionkey"))
           .agg(max(col("c_acctbal")).as("max_bal"))
         Tables.region(s, d)
-          .join(maxBal, col("r_regionkey") === col("n_regionkey"))
+          .join(maxBal, col("r_regionkey") === col("n_regionkey"), "left")
           .select(col("r_name"), col("max_bal"))
       },
       Some("""SELECT r_name, t.max_bal FROM region,

@@ -77,8 +77,12 @@ object EventPipeline {
       benchBloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.graft.BloomExpressions.mightContainLong
     import org.apache.spark.sql.graft.TextHash.shingleHashSet
-    docs.filter(!exists(shingleHashSet(col("text"), 5),
-      h => mightContainLong(h, benchBloom)))
+    // coalesce(…, false): a null-text doc has no grams, so it is CLEAN
+    // (matching batch d08, where it explodes to zero rows and is never
+    // flagged) — without the coalesce the null-propagating exists would
+    // silently quarantine it.
+    docs.filter(!coalesce(exists(shingleHashSet(col("text"), 5),
+      h => mightContainLong(h, benchBloom)), lit(false)))
   }
 
   /** s03's streaming twin: stream-stream interval join. Each click pairs

@@ -39,6 +39,19 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_might_contain"
 
+  // Array[Byte] compares by reference under case-class equality, which
+  // would make semantically identical probes never semanticEquals —
+  // defeating subexpression elimination and exchange reuse. Compare the
+  // bytes structurally (hash cached; equals short-circuits on it).
+  @transient private lazy val bytesHash: Int = java.util.Arrays.hashCode(filterBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomMightContainLong =>
+      child == b.child && bytesHash == b.bytesHash &&
+        java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
 
@@ -57,12 +70,20 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 
 object BloomExpressions {
 
+  // One serialization per filter instance, not per expression built from
+  // it (an O(filter-size) copy each time otherwise). Weak keys: the memo
+  // never outlives the filter.
+  private val serialized =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[BloomFilter, Array[Byte]]())
+
   /** Serialize a built filter once for plan embedding. */
-  def serialize(bf: BloomFilter): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    bf.writeTo(out)
-    out.toByteArray
-  }
+  def serialize(bf: BloomFilter): Array[Byte] =
+    serialized.computeIfAbsent(bf, { b =>
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out)
+      out.toByteArray
+    })
 
   /** `mightContainLong(col, bf)` — true iff the long-valued column may be
     * in the filter (exact-join afterwards for exactness). */

@@ -75,9 +75,10 @@ class IoSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     Io.writePartitionedBucketed(events, "events_pb",
       Seq("event_type"), Seq("user_id"), buckets = 4)
+    // Deterministic probe set: an unordered distinct().limit(50) could
+    // pick different users in the two independent executions below.
     val users = Tables.events(spark, TestSpark.sf)
-      .select(col("user_id")).distinct().limit(50)
-      .withColumn("segment", col("user_id") % 3)
+      .select(col("user_id")).distinct().orderBy(col("user_id")).limit(50)
     val j = spark.table("events_pb")
       .filter(col("event_type") === "click")
       .hint("merge")

@@ -46,6 +46,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream treats null-text docs as clean (batch-twin parity)") {
+    // In batch d08 a null-text doc explodes to zero grams and is never
+    // flagged; the stream filter must agree instead of null-dropping it.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.TextHash.shingleHashSet
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(explode(shingleHashSet(col("text"), 5)).as("h")).distinct()
+    val bloom = bench.stat.bloomFilter("h", 16L, 0.01)
+    // The transform is DataFrame => DataFrame — run it on a batch frame
+    // containing a null text.
+    val docs = Seq(Some("clean words only here truly"), None,
+      Some("alpha beta gamma delta epsilon tail")).toDF("text")
+    val out = EventPipeline.decontaminateStream(docs, bloom)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(out == Set(Some("clean words only here truly"), None))
+  }
+
   test("windowedCounts aggregates per hour and event_type incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[WindowTestEvent]
