@@ -40,10 +40,15 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal floats: the consumer captures only the TAIL of this
+    // process's output, and the full-precision form of ~76 entries
+    // overflowed that buffer (round-3 bench line arrived truncated →
+    // unparseable). 1 ms resolution is below the box's noise floor anyway.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * guesses — the Spark seat of the reference's statistics module. */
 object Ddl {
 
+  /** Backtick-quote an identifier for splicing into SQL text — the only
+    * safe way to interpolate a caller-supplied name (a raw splice lets a
+    * name with backticks/semicolons break out of the statement; CASCADE
+    * forms would then execute unintended SQL). */
+  private[graft] def ident(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Single-quote a string literal (paths) for SQL text. */
+  private def strLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** CREATE TABLE t AS <parquet dir>/name.parquet. */
   def createTable(spark: SparkSession, name: String, sfDir: String): Unit =
     Tables.load(spark, sfDir, name).createOrReplaceTempView(name)
@@ -51,7 +61,7 @@ object Ddl {
     * the unit of access control and of per-team table layout; here it
     * scopes table names exactly as the reference's database does. */
   def createDatabase(spark: SparkSession, name: String): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ident(name)}")
 
   /** USE <db> analog — unqualified table names resolve here afterwards. */
   def useDatabase(spark: SparkSession, name: String): Unit =
@@ -62,7 +72,7 @@ object Ddl {
 
   /** DROP DATABASE ... CASCADE analog. */
   def dropDatabase(spark: SparkSession, name: String): Unit =
-    spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS ${ident(name)} CASCADE")
 
   // ---- ALTER TABLE analogs (catalog-only; no data rewrite) -------------
 
@@ -112,12 +122,12 @@ object Ddl {
     * same table cardinalities. */
   def analyzeTable(spark: SparkSession, name: String, sfDir: String,
       cols: Seq[String] = Nil): (BigInt, Option[BigInt]) = {
-    val cat = s"${name}_analyzed"
+    val cat = ident(s"${name}_analyzed")
     spark.sql(s"DROP TABLE IF EXISTS $cat")
-    spark.sql(s"CREATE TABLE $cat USING parquet LOCATION '$sfDir/$name.parquet'")
+    spark.sql(s"CREATE TABLE $cat USING parquet LOCATION ${strLit(s"$sfDir/$name.parquet")}")
     spark.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS")
     if (cols.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+      spark.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS FOR COLUMNS ${cols.map(ident).mkString(", ")}")
     // Catalog truth (plan-level stats only carry rowCount under CBO).
     val statsLine = spark.sql(s"DESCRIBE TABLE EXTENDED $cat").collect()
       .find(_.getString(0) == "Statistics").map(_.getString(1)).getOrElse("")

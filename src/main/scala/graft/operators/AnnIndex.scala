@@ -110,6 +110,7 @@ object AnnIndex {
     * signature — single-column because Spark bucket pruning only fires
     * on single-column bucket specs. */
   def bandKeys(sig: Column, bandBits: Int, nBands: Int): Column = {
+    requireBandGeometry(bandBits, nBands)
     val mask = (1L << bandBits) - 1
     array((0 until nBands).map(b =>
       shiftright(sig, b * bandBits).bitwiseAND(lit(mask)) + lit(b.toLong << bandBits)): _*)
@@ -119,8 +120,19 @@ object AnnIndex {
     * band) — bucketed by the packed band key. `sig` rides along so the
     * probe can drop multi-band duplicates map-side (first matching band)
     * instead of with a distinct. */
+  /** The signature is a single long, so the band lattice must fit in 64
+    * bits — beyond that the shifts silently alias band groups (capped
+    * hyperplaneSig), corrupting the index with no error. Fail loud. */
+  private def requireBandGeometry(bandBits: Int, nBands: Int): Unit = {
+    require(bandBits > 0 && nBands > 0, s"bandBits=$bandBits nBands=$nBands must be positive")
+    require(bandBits * nBands <= 64,
+      s"bandBits*nBands = ${bandBits * nBands} exceeds the 64-bit signature " +
+        "(hyperplaneSig caps at 64 bits; extra bands would alias)")
+  }
+
   def writeLsh(e: DataFrame, bandBits: Int, nBands: Int,
       table: String, buckets: Int): Unit = {
+    requireBandGeometry(bandBits, nBands)
     val banded = e
       .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
       .select(col("vec_id"), col("sig"),
@@ -134,48 +146,42 @@ object AnnIndex {
     * map-side, and a candidate-sized join back to `vectors` re-ranks by
     * exact cosine. The band table itself is never scanned in full.
     *
-    * Plans under `autoBucketedScan=false` (restored afterwards): Spark's
+    * Plans under `autoBucketedScan=false`, on a CLONED session: Spark's
     * DisableUnnecessaryBucketedScan planner rule only credits bucketing
     * when a downstream operator needs the partitioning — it cannot see
     * bucket-FILTER pruning, so with it on, a probe falls back to a full
-    * scan ("Bucketed: false (disabled by query planner)"). The physical
-    * plan is forced eagerly while the conf is off, then the previous
-    * value is put back so the session's other queries keep the rule.
-    *
-    * Scope caveat: the pruned plan is pinned on the RETURNED DataFrame's
-    * memoized QueryExecution — execute it as-is (collect / write /
-    * foreach). Deriving a new plan from it (adding a filter, calling
-    * .count(), re-submitting the logical plan) replans under the
-    * restored session conf and loses the pruning; probe-heavy workloads
-    * that need derived plans should set
-    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
-    * session-wide instead. */
+    * scan ("Bucketed: false (disabled by query planner)"). Rather than
+    * flipping the caller's session conf (a race for any other query
+    * planning concurrently on the same session), the probe plans on
+    * `spark.newSession()` — shared catalog and cluster, isolated conf —
+    * so the rule stays enabled for everything else and the returned
+    * DataFrame (and any plan derived from it: added filters, .count())
+    * keeps pruning under the clone's conf. */
   def probeLsh(spark: SparkSession, table: String, vectors: DataFrame,
       qv: Array[Float], bandBits: Int, nBands: Int, k: Int): DataFrame = {
+    requireBandGeometry(bandBits, nBands)
+    val probeSession = spark.newSession()
+    probeSession.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     // One 1-row job yields the query signature AND its packed band keys
     // through the SAME bandKeys expression the writer used — the packing
     // cannot diverge between the index and the probe.
-    val qRow = spark.range(1)
+    val qRow = probeSession.range(1)
       .select(hyperplaneSig(lit(qv), bandBits * nBands).as("sig"))
       .select(col("sig"), bandKeys(col("sig"), bandBits, nBands).as("bkeys"))
       .head()
     val qsig = qRow.getLong(0)
     val qKeys = qRow.getSeq[Long](1)
-    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(confKey)
-    spark.conf.set(confKey, "false")
-    try {
-      val cands = spark.table(table)
-        .filter(col("bkey").isin(qKeys: _*))
-        .filter(shiftright(col("bkey"), bandBits) === Lsh.firstMatchingBand(
-          col("sig").bitwiseXOR(lit(qsig)), bandBits, nBands))
-        .select(col("vec_id"))
-      val probe = cands.join(vectors, "vec_id")
-        .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        .limit(k)
-      probe.queryExecution.executedPlan // force physical planning now
-      probe
-    } finally spark.conf.set(confKey, prev)
+    val cands = probeSession.table(table)
+      .filter(col("bkey").isin(qKeys: _*))
+      .filter(shiftright(col("bkey"), bandBits) === Lsh.firstMatchingBand(
+        col("sig").bitwiseXOR(lit(qsig)), bandBits, nBands))
+      .select(col("vec_id"))
+    // `cands` is the left side, so the combined plan is analyzed and
+    // planned under the probe session's conf; `vectors`' logical plan is
+    // a session-free tree that joins in as-is.
+    cands.join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
   }
 }

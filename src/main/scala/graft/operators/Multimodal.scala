@@ -84,8 +84,32 @@ object Multimodal {
     try decodeImageUnsafe(payload)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decompression-bomb bound: a malicious container can declare huge
+    * pixel dimensions in a tiny payload; a full decode then allocates
+    * width×height×4 bytes and OOMs the executor (killing the task — the
+    * one failure the NonFatal catch above cannot absorb). Dimensions are
+    * read from the header FIRST (ImageReader.getWidth/getHeight decode no
+    * pixel data) and anything over this cap falls back to the stub. */
+  private[operators] val MaxDecodePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
+
   private def decodeImageUnsafe(payload: Array[Byte]): Option[Array[Float]] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val dw = reader.getWidth(0); val dh = reader.getHeight(0)
+        if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) None
+        else featuresOf(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  private def featuresOf(img: java.awt.image.BufferedImage): Option[Array[Float]] = {
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight

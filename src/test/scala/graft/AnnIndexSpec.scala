@@ -78,8 +78,12 @@ class AnnIndexSpec extends AnyFunSuite {
         .forEach(p => Files.delete(p))
     AnnIndex.writeLsh(e, bandBits, nBands, "lsh_band_idx", buckets)
 
+    val callerConf = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     val probe = AnnIndex.probeLsh(spark, "lsh_band_idx", e, queryVec,
       bandBits, nBands, k = 21)
+    // The probe plans on a cloned session — the caller's conf is never
+    // touched (no restore window for concurrent planners to race).
+    assert(spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled") == callerConf)
     val plan = probe.queryExecution.executedPlan.treeString
     // Bucket pruning fired: the scan reads the query's ≤ nBands buckets,
     // never all of them.
@@ -97,5 +101,23 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == v03)
     spark.sql("DROP TABLE IF EXISTS lsh_band_idx")
+  }
+
+  test("band lattices beyond the 64-bit signature are rejected loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // hyperplaneSig caps at 64 bits; 5×16 = 80 would silently alias band
+    // groups (index corruption, recall loss with no error) — fail fast.
+    intercept[IllegalArgumentException] {
+      AnnIndex.bandKeys(lit(0L), bandBits = 5, nBands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.writeLsh(embeddings, bandBits = 8, nBands = 9, "never_written", 4)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.probeLsh(spark, "never_written", embeddings, queryVec,
+        bandBits = 13, nBands = 5, k = 1)
+    }
+    // The boundary itself is legal.
+    AnnIndex.bandKeys(col("sig"), bandBits = 4, nBands = 16)
   }
 }

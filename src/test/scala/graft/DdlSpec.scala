@@ -50,6 +50,29 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile database names cannot break out of the DDL statement") {
+    // A raw splice of this name would parse as TWO statements (or a
+    // CASCADE drop of the wrong database); the quoted form treats the
+    // whole string as one identifier, so it either round-trips as a
+    // literal name or is rejected by the catalog's name validation —
+    // never executed as SQL. The sibling database must survive.
+    Ddl.dropDatabase(spark, "graft_sibling")
+    Ddl.createDatabase(spark, "graft_sibling")
+    val hostile = "x` CASCADE; DROP DATABASE graft_sibling; --"
+    try {
+      try {
+        Ddl.createDatabase(spark, hostile)
+        Ddl.dropDatabase(spark, hostile)
+      } catch {
+        case e: Exception => // catalog-level invalid-name rejection is fine
+          assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException] ||
+            e.getMessage.contains("`"), s"broke out of the statement: ${e.getMessage}")
+      }
+      assert(spark.catalog.databaseExists("graft_sibling"),
+        "hostile name executed a DROP on a different database")
+    } finally Ddl.dropDatabase(spark, "graft_sibling")
+  }
+
   test("plan cache returns the identical plan object on repeat statements") {
     Ddl.createTable(spark, "nation", TestSpark.sf)
     val pc = new PlanCache(maxEntries = 2)
