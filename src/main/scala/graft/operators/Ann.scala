@@ -179,6 +179,40 @@ object Ann {
                   ON a.vec_id < 10 AND b.vec_id >= 10)
               WHERE rn <= 5""")),
 
+    // ---- v08: product-quantization ANN (ADC scan + exact re-rank) ------
+    // The compression rung of the ANN ladder: train per-subspace
+    // codebooks on a bounded driver-side sample (Pq.train), encode every
+    // vector to ONE long (8 subspaces × 8-bit codes — 32× smaller than
+    // the 64-float embedding), score with asymmetric-distance lookups
+    // (PqAdcCosine: m table reads + one sqrt per row, both LUTs driver-
+    // computed per query), take the top `rerank` by ADC (TakeOrdered —
+    // per-partition heaps, never a full sort), and re-rank ONLY those
+    // candidates with exact cosine against the full vectors. At scale the
+    // encode runs once at write time and the ADC pass reads the 8-byte
+    // code column, not the embeddings. Approximate ⇒ rows-only driver
+    // check; recall vs v02 asserted in AnnSpec.
+    ("v08_knn_pq",
+      (s, d) => {
+        val m = 8; val ksub = 32; val k = 20; val rerank = 150
+        val e = Tables.embeddings(s, d)
+        val books = Pq.train(e, m, ksub)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val (dotL, nrmL) = Pq.luts(qv, books, m, ksub)
+        val cands = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            org.apache.spark.sql.graft.VectorExpressions.pqEncode(
+              col("embedding"), books.toSeq, m, ksub).as("codes"))
+          .select(col("vec_id"),
+            org.apache.spark.sql.graft.VectorExpressions.pqAdcCosine(
+              col("codes"), dotL.toSeq, nrmL.toSeq, m, ksub).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+        cands.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      },
+      None),
+
     // Norms + dot products: native expressions next to the HOF
     // composition (zip_with/aggregate) the built-in surface offers.
     ("v04_vector_norm",

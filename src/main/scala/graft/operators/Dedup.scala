@@ -499,6 +499,43 @@ object Dedup {
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                      list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""))
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""")),
+
+    // ---- d11: fuzzy near-dup via bounded edit distance -----------------
+    // Levenshtein ≤ k over short documents — the title/URL/snippet fuzzy-
+    // match shape, where character-level edits (typos, boilerplate
+    // suffixes) beat token-level Jaccard. Candidate generation is a
+    // LOSSLESS length-band join: edit distance ≥ |len(a) − len(b)|, so
+    // banding lengths into (k+1)-wide bins and probing the 3 adjacent
+    // bins can never drop a true pair (unlike prefix/first-char blocking,
+    // which drops pairs that differ at the block key). The DP runs
+    // through Spark's threshold form (levenshtein(a, b, k): O(k·len)
+    // banded with early exit, −1 beyond k), and only on band candidates
+    // (~O(n · docs-per-length-band)) — never all pairs, never an
+    // unbounded O(len²) per pair.
+    ("d11_dedup_editdist",
+      (s, d) => {
+        val k = 15; val w = k + 1
+        val docs = Tables.documents(s, d).filter(col("n_chars") <= 256)
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            floor(col("n_chars") / w).cast("long").as("bin"))
+        val probes = docs.select(col("doc_id").as("a_id"), col("text").as("ta"),
+          col("n_chars").as("la"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+        probes.join(
+            docs.select(col("doc_id").as("b_id"), col("text").as("tb"),
+              col("n_chars").as("lb"), col("bin")),
+            Seq("bin"))
+          .filter(col("a_id") < col("b_id") && abs(col("la") - col("lb")) <= k)
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("ta"), col("tb"), k).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") >= 0)
+      },
+      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     levenshtein(a.text, b.text) AS edit_dist
+              FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
+              WHERE a.n_chars <= 256 AND b.n_chars <= 256
+                AND levenshtein(a.text, b.text) <= 15"""))
   )
 }

@@ -445,6 +445,27 @@ object Relational {
                      FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
 
+    // ---- grouping sets (explicit subtotal selection) -------------------
+    // The general form q32/q39 are sugar for: exactly the requested
+    // grouping combinations, nothing else — here each single-key margin
+    // plus the grand total, skipping the full (flag, status) cross level.
+    // Still ONE expand + hash-aggregate pass; the expand factor is the
+    // number of requested sets (3), not 2^keys.
+    ("q43_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+             count(lit(1)).as("n_rows"),
+             cents(sum(col("l_quantity"))).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                     count(*) AS n_rows,
+                     FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
     // ---- pivot (long → wide conditional aggregation) -------------------
     // Explicit value list ⇒ single-pass hash aggregate, no extra job to
     // discover pivot values (which at 100 TB would be a full scan).

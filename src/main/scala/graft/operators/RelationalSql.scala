@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
-/** The relational block (q01–q42) as executable Spark SQL TEXT — the
+/** The relational block (q01–q43) as executable Spark SQL TEXT — the
   * interface a user of the reference actually writes first, since AnDB's
   * entire user surface is SQL strings through its parser
   * (andb/sql/parser/lexer.py:11-131). Each entry produces the same result
@@ -265,6 +265,13 @@ object RelationalSql {
         |       count(*) AS n_rows,
         |       FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+        |       count(*) AS n_rows,
+        |       FLOOR(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q33_approx_agg" ->
       """SELECT l_returnflag,

@@ -248,6 +248,138 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Product-quantization encode: split the vector into `m` equal
+    * subvectors, assign each to its nearest (L2) centroid among `ksub`
+    * per-subspace centroids, and pack the `m` code bytes into ONE long
+    * (code j in bits [8j, 8j+8)). The codebook is tiny model state
+    * (m·ksub·subDim floats) embedded as a codegen reference — the 100 TB
+    * point: the corpus afterwards travels as 8-byte codes (32× smaller
+    * than a 64-float embedding), and ADC scans read codes, not vectors.
+    *
+    * `books` layout: ((j·ksub)+c)·subDim + t. Held as Seq so structurally
+    * equal expressions are semanticEquals (array params break CSE — see
+    * the Array[Byte] lesson in round 3). Length-mismatched input → null. */
+  case class PqEncode(child: Expression, books: Seq[Float], m: Int, ksub: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(m >= 1 && m <= 8, "m must be in [1, 8] (8-bit codes packed into one long)")
+    require(ksub >= 1 && ksub <= 256, "ksub must fit an 8-bit code")
+    require(books.nonEmpty && books.length % (m * ksub) == 0,
+      s"codebook length ${books.length} must be a multiple of m*ksub = ${m * ksub}")
+    private val subDim: Int = books.length / (m * ksub)
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_encode"
+
+    @transient private lazy val arr: Array[Float] = books.toArray
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != m * subDim) null
+      else {
+        var codes = 0L; var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < ksub) {
+            var dist = 0.0; var t = 0
+            val base = (j * ksub + c) * subDim
+            while (t < subDim) {
+              val diff = x.getFloat(j * subDim + t).toDouble - arr(base + t)
+              dist += diff * diff; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          codes |= best.toLong << (8 * j); j += 1
+        }
+        codes
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val bk = ctx.addReferenceObj("pqbooks", arr, "float[]")
+        val j = ctx.freshName("j"); val c = ctx.freshName("c"); val t = ctx.freshName("t")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val dist = ctx.freshName("dist"); val diff = ctx.freshName("diff")
+        val base = ctx.freshName("base"); val codes = ctx.freshName("codes")
+        s"""
+          if ($x.numElements() != ${m * subDim}) {
+            ${ev.isNull} = true;
+          } else {
+            long $codes = 0L;
+            for (int $j = 0; $j < $m; $j++) {
+              int $best = 0; double $bestD = Double.MAX_VALUE;
+              for (int $c = 0; $c < $ksub; $c++) {
+                double $dist = 0.0;
+                int $base = ($j * $ksub + $c) * $subDim;
+                for (int $t = 0; $t < $subDim; $t++) {
+                  double $diff = (double) $x.getFloat($j * $subDim + $t) - (double) $bk[$base + $t];
+                  $dist += $diff * $diff;
+                }
+                if ($dist < $bestD) { $bestD = $dist; $best = $c; }
+              }
+              $codes |= ((long) $best) << (8 * $j);
+            }
+            ${ev.value} = $codes;
+          }
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Asymmetric-distance cosine over PQ codes: approximate
+    * cos(q, x) ≈ Σ_j dot(q_j, c_{j,code_j}) / sqrt(Σ_j ‖c_{j,code_j}‖²)
+    * (‖q‖ is constant across rows and cancels in the ranking). Both
+    * lookup tables are m·ksub doubles computed ONCE on the driver from
+    * the query — per row this is m table lookups and one sqrt, no float
+    * array ever touched. Zero reconstruction norm → 0.0 (matches
+    * CosineSimilarity's zero-vector contract). */
+  case class PqAdcCosine(child: Expression, dotLut: Seq[Double], nrmLut: Seq[Double],
+      m: Int, ksub: Int) extends UnaryExpression with ExpectsInputTypes {
+    require(dotLut.length == m * ksub && nrmLut.length == m * ksub,
+      s"LUTs must be m*ksub = ${m * ksub} entries")
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(org.apache.spark.sql.types.LongType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc"
+
+    @transient private lazy val dArr: Array[Double] = dotLut.toArray
+    @transient private lazy val nArr: Array[Double] = nrmLut.toArray
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val codes = a.asInstanceOf[Long]
+      var sdot = 0.0; var snrm = 0.0; var j = 0
+      while (j < m) {
+        val c = ((codes >>> (8 * j)) & 0xFF).toInt
+        sdot += dArr(j * ksub + c); snrm += nArr(j * ksub + c); j += 1
+      }
+      if (snrm == 0.0) 0.0 else sdot / math.sqrt(snrm)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, codes => {
+        val d = ctx.addReferenceObj("pqdotlut", dArr, "double[]")
+        val nr = ctx.addReferenceObj("pqnrmlut", nArr, "double[]")
+        val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val sdot = ctx.freshName("sdot"); val snrm = ctx.freshName("snrm")
+        s"""
+          double $sdot = 0.0, $snrm = 0.0;
+          for (int $j = 0; $j < $m; $j++) {
+            int $c = (int) (($codes >>> (8 * $j)) & 0xFFL);
+            $sdot += $d[$j * $ksub + $c]; $snrm += $nr[$j * $ksub + $c];
+          }
+          ${ev.value} = ($snrm == 0.0) ? 0.0 : $sdot / java.lang.Math.sqrt($snrm);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ------------------------------------------------
   private def mk(e: Expression): Column = ExpressionUtils.column(e)
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
@@ -256,6 +388,10 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = mk(DotProduct(ex(a), ex(b)))
   def l2norm(a: Column): Column = mk(L2Norm(ex(a)))
   def hyperplaneSig(a: Column, bits: Int): Column = mk(HyperplaneSignature(ex(a), bits))
+  def pqEncode(a: Column, books: Seq[Float], m: Int, ksub: Int): Column =
+    mk(PqEncode(ex(a), books, m, ksub))
+  def pqAdcCosine(codes: Column, dotLut: Seq[Double], nrmLut: Seq[Double],
+      m: Int, ksub: Int): Column = mk(PqAdcCosine(ex(codes), dotLut, nrmLut, m, ksub))
 
   /** SQL registration (idempotent) so `spark.sql("... graft_cosine(a,b) ...")`
     * works on any session, mirroring the reference's function catalog

@@ -33,6 +33,56 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("v08 PQ ADC + exact re-rank reaches recall@20 >= 0.7 against exact search") {
+    // PQ quantization error is bounded by the re-rank: the ADC pass only
+    // has to land the true neighbors inside the top-`rerank` (100 of ~500
+    // here), after which exact cosine restores the ordering. Near-uniform
+    // corpus = quantization's worst case, same as v03/v05.
+    val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet
+    val approx = run("v08_knn_pq").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+    // Re-ranked scores are exact cosine: every returned score must match
+    // the brute-force score for the same vec_id bit-for-bit.
+    val exactScores = run("v02_knn_bruteforce").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    val pqScores = run("v08_knn_pq").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim"))
+    for ((id, s) <- pqScores if exactScores.contains(id))
+      assert(s == exactScores(id), s"vec $id: pq-reranked $s != exact ${exactScores(id)}")
+  }
+
+  test("PQ codes are deterministic and ADC approximates true cosine") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.VectorExpressions
+    import graft.operators.Pq
+    import graft.Tables
+    val m = 8; val ksub = 16
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val books = Pq.train(e, m, ksub)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val (dotL, nrmL) = Pq.luts(qv, books, m, ksub)
+    val rows = e.filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        VectorExpressions.pqEncode(col("embedding"), books.toSeq, m, ksub).as("codes"),
+        VectorExpressions.pqAdcCosine(
+          VectorExpressions.pqEncode(col("embedding"), books.toSeq, m, ksub),
+          dotL.toSeq, nrmL.toSeq, m, ksub).as("adc"),
+        VectorExpressions.cosine(col("embedding"), lit(qv)).as("cos"))
+      .collect()
+    // Same input → same codes on a second pass (encode is pure model state).
+    val again = e.filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        VectorExpressions.pqEncode(col("embedding"), books.toSeq, m, ksub).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == again(r.getLong(0))))
+    // ADC tracks true cosine: mean absolute error well under the spread
+    // of the score distribution (it only has to preserve coarse order).
+    val mae = rows.map(r => math.abs(r.getAs[Double]("adc") - r.getAs[Double]("cos"))).sum / rows.length
+    assert(mae < 0.15, s"ADC mean abs error $mae")
+  }
+
   test("banded LSH reaches recall@20 >= 0.9 on a CLUSTERED corpus") {
     // The testdata embeddings are near-uniform (max cosine ~0.5) — LSH's
     // worst case, which is why v03's gate above is 0.5. Real embedding

@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite {
       s"prefilter passed $survivors of ${total.toLong} grams — not pruning")
   }
 
+  test("d11 length-band edit-distance join equals brute-force levenshtein") {
+    // The length-band candidate generation claims losslessness (edit
+    // distance >= |len(a)-len(b)|, bands are (k+1)-wide, probe 3 adjacent
+    // bins). Pin it against the all-pairs form computed in Spark itself.
+    val k = 15
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .filter(col("n_chars") <= 256)
+      .select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("b_id"), col("text").as("tb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), levenshtein(col("ta"), col("tb")).as("ed"))
+      .filter(col("ed") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val banded = run("d11_dedup_editdist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture has no near-identical short docs — test is vacuous")
+  }
+
   test("d04 df-cap keeps candidates linear under a planted stop-gram") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hotgram").toString
