@@ -104,6 +104,46 @@ object AnnIndex {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
 
+  // ---- IVF + PQ composed layout ---------------------------------------
+
+  /** Write the IVF layout WITH product-quantization codes computed at
+    * write time: rows partitioned by cell carry (vec_id, embedding,
+    * codes) where `codes` is the one-long PQ encoding. The probe below
+    * then reads, from the nProbe pruned directories, only the 8-byte
+    * code column for scoring — full embeddings are materialized only for
+    * the `rerank` surviving candidates. At 100 TB this stacks the two
+    * reductions: directory pruning drops (k−nProbe)/k of the corpus,
+    * and ADC drops 32× of the remaining scan bytes (codes vs 64-float
+    * vectors; parquet reads only the projected column). */
+  def writeIvfPq(e: DataFrame, cents: Array[Array[Float]], books: Array[Float],
+      m: Int, ksub: Int, path: String): Unit =
+    Io.writePartitioned(
+      e.withColumn("cell", cellOf(col("embedding"), cents))
+        .withColumn("codes", org.apache.spark.sql.graft.VectorExpressions
+          .pqEncode(col("embedding"), books.toSeq, m, ksub)),
+      path, Seq("cell"))
+
+  /** Probe the IVF+PQ layout: partition-pruned ADC scan over the code
+    * column (never touches `embedding`), TakeOrdered top-`rerank` by
+    * approximate score, then exact cosine re-rank of those candidates
+    * only — reading embeddings through the SAME pruned directories. */
+  def probeIvfPq(spark: SparkSession, path: String, qv: Array[Float],
+      cents: Array[Array[Float]], books: Array[Float], m: Int, ksub: Int,
+      nProbe: Int, rerank: Int, k: Int): DataFrame = {
+    val (dotL, nrmL) = Pq.luts(qv, books, m, ksub)
+    val cells = probeCells(qv, cents, nProbe)
+    def pruned = Io.readParquet(spark, path).filter(col("cell").isin(cells: _*))
+    val cands = pruned
+      .select(col("vec_id"), org.apache.spark.sql.graft.VectorExpressions
+        .pqAdcCosine(col("codes"), dotL.toSeq,
+          nrmL.toSeq, m, ksub).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+    cands.join(pruned.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- LSH band-table persistent layout -------------------------------
 
   /** Packed single-column band keys (band << bandBits | bv) for one

@@ -65,6 +65,53 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("IVF+PQ probe: ADC scan is partition-pruned, reads codes not embeddings, re-rank is exact") {
+    val kCells = 16; val nProbe = 6; val m = 8; val ksub = 32
+    val e = embeddings
+    val cents = AnnIndex.trainCentroids(e, kCells)
+    val books = graft.operators.Pq.train(e, m, ksub)
+    AnnIndex.writeIvfPq(e, cents, books, m, ksub, s"$tmp/ivfpq")
+
+    val qv = queryVec
+    val cells = AnnIndex.probeCells(qv, cents, nProbe).toSet
+    val probe = AnnIndex.probeIvfPq(spark, s"$tmp/ivfpq", qv, cents, books,
+      m, ksub, nProbe, rerank = 150, k = 20)
+    val plan = probe.queryExecution.executedPlan.treeString
+
+    // Both scans (ADC pass and re-rank fetch) are partition-pruned.
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(800))
+    // Column pruning: the ADC pass reads ONLY (vec_id, codes) — there
+    // must be a scan whose ReadSchema has codes and no embedding, so at
+    // 100 TB the scoring scan touches 8 bytes/vector, not the vectors.
+    val schemas = "ReadSchema: ([^\\n]+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only scan in:\n${schemas.mkString("\n")}")
+
+    // The probe's answer equals the same two-phase computation over the
+    // unpartitioned in-memory table (cell filter + ADC top-rerank + exact
+    // re-rank) — layout changes I/O, never results.
+    import org.apache.spark.sql.graft.VectorExpressions
+    val (dotL, nrmL) = graft.operators.Pq.luts(qv, books, m, ksub)
+    val mem = e.withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val memCands = mem.select(col("vec_id"),
+        VectorExpressions.pqAdcCosine(
+          VectorExpressions.pqEncode(col("embedding"), books.toSeq, m, ksub),
+          dotL.toSeq, nrmL.toSeq, m, ksub).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(150)
+    val expected = memCands.join(mem.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), VectorExpressions.cosine(col("embedding"), lit(qv)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    // Returned scores are EXACT cosines (re-rank restored full precision).
+    val exact = e.select(col("vec_id"),
+        VectorExpressions.cosine(col("embedding"), lit(qv)).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => assert(s == exact(id), s"vec $id score $s != ${exact(id)}") }
+  }
+
   test("LSH band-table probe is bucket-pruned and matches v03's answer") {
     val bandBits = 4; val nBands = 16; val buckets = 32
     val e = embeddings
