@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import org.apache.spark.sql.graft.VectorExpressions.{cosine, hyperplaneSig}
-import org.apache.spark.sql.graft.TextHash.{minHashSignature, qualityFeaturesCol, shingleHashSet, simHash64}
+import org.apache.spark.sql.graft.TextHash.{gramHashList, minHashSignature, qualityFeaturesCol, shingleHashSet, simHash64}
 
 /** Deduplication over the `documents` table — the training-data-pipeline
   * surface the reference lacks, designed for the 100 TB regime.
@@ -536,6 +536,47 @@ object Dedup {
               FROM documents a JOIN documents b
                 ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
               WHERE a.n_chars <= 256 AND b.n_chars <= 256
-                AND levenshtein(a.text, b.text) <= 15"""))
+                AND levenshtein(a.text, b.text) <= 15""")),
+
+    // ---- d12: repeated-span detection (exact substring dedup signal) ---
+    // Document-level dedup misses REPEATED SPANS — boilerplate headers,
+    // quoted passages, templated paragraphs — that exact-substring dedup
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better") removes at the span level. The distributed analog
+    // of their suffix-array pass: every word position emits its 5-gram
+    // hash (positional GramHashList — multiplicity kept, one codegen'd
+    // pass per doc), a count window over the gram's own exchange marks
+    // grams occurring ≥2 times anywhere in the corpus, and a per-doc
+    // aggregate yields the duplicated-position fraction — the score a
+    // curation pipeline thresholds on (or uses to route docs to span
+    // excision). Shuffle budget: one corpus-gram exchange (keyed, no
+    // pair blowup — hot boilerplate grams COUNT here, they never join)
+    // + one doc-keyed aggregate.
+    ("d12_dedup_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, d)
+          .select(col("doc_id"), explode(gramHashList(col("text"), 5)).as("h"))
+        g.withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+               count(when(col("cnt") >= 2, 1)).as("n_dup_grams"))
+          .withColumn("dup_fraction",
+            floor(col("n_dup_grams") * 1e6 / col("n_grams") + 0.5) / 1e6)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               g AS (SELECT doc_id,
+                            w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sg
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                           FROM toks WHERE len(w) >= 5)
+                     UNION ALL
+                     SELECT doc_id, text AS sg FROM documents
+                     WHERE len(string_split(text, ' ')) < 5),
+               c AS (SELECT doc_id, count(*) OVER (PARTITION BY sg) AS cnt FROM g)
+               SELECT doc_id, count(*) AS n_grams,
+                      CAST(count(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_dup_grams,
+                      FLOOR(count(*) FILTER (WHERE cnt >= 2) * 1e6 / count(*) + 0.5) / 1e6
+                        AS dup_fraction
+               FROM c GROUP BY doc_id"""))
   )
 }

@@ -239,6 +239,19 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** POSITIONAL word-n-gram hashes — one entry per gram occurrence, in
+    * document order (multiplicity preserved, unlike ShingleHashSet).
+    * This is the substring-dedup view: position p duplicated ⟺ the gram
+    * starting at p occurs elsewhere in the corpus. */
+  case class GramHashList(child: Expression, n: Int) extends LongArrayExpr {
+    override def prettyName: String = "graft_gram_hash_list"
+    override protected def nullSafeEval(a: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(gramHashes(a.asInstanceOf[UTF8String], n))
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.gramHashes($x, $n)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** k-hash MinHash signature. */
   case class MinHashSignature(child: Expression, n: Int, k: Int) extends LongArrayExpr {
     override def prettyName: String = "graft_minhash"
@@ -292,6 +305,7 @@ object TextHash {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
 
   def shingleHashSet(c: Column, n: Int = 3): Column = mk(ShingleHashSet(ex(c), n))
+  def gramHashList(c: Column, n: Int = 3): Column = mk(GramHashList(ex(c), n))
   def minHashSignature(c: Column, n: Int = 3, k: Int = 32): Column = mk(MinHashSignature(ex(c), n, k))
   def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
   def qualityFeaturesCol(c: Column, stop: Seq[String], normalize: Boolean = true): Column =
