@@ -111,6 +111,59 @@ object Pipeline {
                      FLOOR(d.quality * 1000000 + 0.5) / 1000000 AS quality
               FROM deduped d
               WHERE d.doc_id >= 5
-                AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"""))
+                AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)""")),
+
+    // ---- p02: sequence packing (concat-and-chunk) ----------------------
+    // The last step before the trainer: documents are concatenated in a
+    // deterministic order and chunked into fixed context-length
+    // sequences (the GPT pretraining layout). Each doc gets its global
+    // token offset, the id of the sequence holding its first token, and
+    // how many sequences it spans.
+    //
+    // The naive form is a GLOBAL running sum — `sum() over (order by
+    // doc_id)` with no partition key, which Spark executes in ONE task:
+    // the whole corpus through a single thread, the definitive 100 TB
+    // killer. This plan splits the prefix sum: doc_id buckets give a
+    // PARALLEL local cumsum (window partitioned by bucket), the global
+    // window runs only over the per-bucket totals (corpus/bucketSize
+    // rows — at 100 TB with 1e9 docs and 1e6-doc buckets, 1000 rows on
+    // one task), and a broadcast join stitches offsets back. Same
+    // numbers, no single-task corpus pass.
+    ("p02_pack_sequences",
+      (s, d) => {
+        val cap = 512L; val bucketSize = 1000L
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          floor(col("doc_id") / bucketSize).cast("long").as("bkt"))
+        val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = t.withColumn("local_start",
+          coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+        val wBkt = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btok"))
+          .withColumn("boff", coalesce(sum(col("btok")).over(wBkt), lit(0L)))
+          .select(col("bkt"), col("boff"))
+        local.join(broadcast(offsets), "bkt")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("local_start") + col("boff")).as("tok_start"))
+          .withColumn("seq_id", floor(col("tok_start") / cap).cast("long"))
+          .withColumn("n_seqs",
+            (floor((col("tok_start") + col("n_tokens") - lit(1)) / cap)
+              - col("seq_id") + lit(1)).cast("long"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+              c AS (SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tok_start
+                    FROM t)
+              SELECT doc_id, n_tokens, tok_start,
+                     CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_id,
+                     CAST(FLOOR((tok_start + n_tokens - 1) / 512.0)
+                          - FLOOR(tok_start / 512.0) + 1 AS BIGINT) AS n_seqs
+              FROM c"""))
   )
 }

@@ -73,4 +73,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"unexpected exchange count $exchanges")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("p02 packing runs no corpus-scale single-partition window") {
+    // The global prefix sum must be split: the corpus-scale window is
+    // PARTITIONED by bucket (parallel), and the only SinglePartition
+    // exchange feeds the bucket-totals window (corpus/bucketSize rows,
+    // downstream of an aggregate). A `sum() over (order by)` on the raw
+    // docs would show as a SinglePartition exchange with no aggregate
+    // beneath it — the definitive 100 TB killer this gate pins out.
+    val df = SparkEntry.queries("p02_pack_sequences")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local + bucket-total windows, got ${wins.size}")
+    val (global, parted) = wins.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty, "doc-level cumsum must be bucket-partitioned (parallel)")
+    assert(global.nonEmpty, "bucket-offset window missing")
+    // The unpartitioned (single-task) window may only see AGGREGATED
+    // rows — one per bucket — never the raw document stream.
+    global.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+  }
 }
