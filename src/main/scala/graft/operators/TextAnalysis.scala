@@ -307,6 +307,53 @@ object TextAnalysis {
                        row_number() OVER (PARTITION BY doc_id
                          ORDER BY tfidf DESC, term ASC) AS rn
                 FROM scored)
-              WHERE rn <= 5"""))
+              WHERE rn <= 5""")),
+
+    // ---- t10: repetition / boilerplate signals -------------------------
+    // The Gopher/MassiveText repetition filters: share of the most
+    // frequent unigram and bigram, and the distinct-word ratio — docs
+    // dominated by one phrase (navigation chrome, keyword stuffing,
+    // degenerate generations) score high/low and get filtered. The
+    // declarative form is explode + two groupBy rounds = two corpus
+    // shuffles for a PER-DOC statistic; RepetitionFeatures computes all
+    // five counters in one map-side kernel pass, zero exchanges (the
+    // shares below stay inside one codegen'd projection — Catalyst's
+    // codegen-level CSE dedups the repeated array refs within a single
+    // Project, unlike the cross-operator case that bit p01).
+    ("t10_repetition",
+      (s, d) => {
+        def ppm(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            org.apache.spark.sql.graft.TextHash.repetitionFeaturesCol(col("text")).as("r"))
+          .select(col("doc_id"),
+            col("r")(0).as("n_words"),
+            ppm(col("r")(2) * lit(1.0) / col("r")(0)).as("top_word_share"),
+            when(col("r")(3) > 0, ppm(col("r")(4) * lit(1.0) / col("r")(3)))
+              .otherwise(lit(0.0)).as("top_bigram_share"),
+            ppm(col("r")(1) * lit(1.0) / col("r")(0)).as("distinct_ratio"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              uc AS (SELECT doc_id, word, count(*) AS c
+                     FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                     GROUP BY doc_id, word),
+              us AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word,
+                            CAST(sum(c) AS BIGINT) AS n_words,
+                            CAST(count(*) AS BIGINT) AS n_distinct
+                     FROM uc GROUP BY doc_id),
+              bc AS (SELECT doc_id, bg, count(*) AS c
+                     FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+                           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                                 FROM w WHERE len(ws) >= 2))
+                     GROUP BY doc_id, bg),
+              bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram,
+                            CAST(sum(c) AS BIGINT) AS n_bigrams
+                     FROM bc GROUP BY doc_id)
+              SELECT u.doc_id, u.n_words,
+                     FLOOR(u.top_word * 1e6 / u.n_words + 0.5) / 1e6 AS top_word_share,
+                     coalesce(FLOOR(b.top_bigram * 1e6 / b.n_bigrams + 0.5) / 1e6, 0.0)
+                       AS top_bigram_share,
+                     FLOOR(u.n_distinct * 1e6 / u.n_words + 0.5) / 1e6 AS distinct_ratio
+              FROM us u LEFT JOIN bs b ON u.doc_id = b.doc_id"""))
   )
 }

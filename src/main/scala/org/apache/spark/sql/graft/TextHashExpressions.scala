@@ -137,6 +137,51 @@ object TextHash {
     sig
   }
 
+  /** One-pass repetition features (the Gopher/MassiveText-style signals
+    * boilerplate filtering thresholds on): word hashes stream through two
+    * small open-chained count maps — unigrams and position-chained
+    * bigrams — and out come [n_words, n_distinct, top_word_count,
+    * n_bigrams, top_bigram_count]. Declaratively this is
+    * explode + two groupBy rounds (two corpus shuffles for a per-doc
+    * statistic); here it is map-side, one pass, zero exchanges. Bigram
+    * hash uses the SAME position-sensitive chain as gramHashes(n=2), so
+    * spans hashing equal there count equal here. */
+  def repetitionFeatures(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val wh = new Array[Long](nWords)
+    var w = 0; var start = 0; i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        wh(w) = wordHash(bytes, start, i); w += 1; start = i + 1
+      }
+      i += 1
+    }
+    val uni = new java.util.HashMap[Long, Long](nWords * 2)
+    var topWord = 0L
+    i = 0
+    while (i < nWords) {
+      val c = uni.merge(wh(i), 1L, (a, b) => a + b)
+      if (c > topWord) topWord = c
+      i += 1
+    }
+    var topBigram = 0L
+    val nBigrams = math.max(nWords - 1, 0)
+    if (nBigrams > 0) {
+      val bi = new java.util.HashMap[Long, Long](nBigrams * 2)
+      i = 0
+      while (i < nWords - 1) {
+        val h = mix(wh(i) * 0x100000001B3L ^ wh(i + 1))
+        val c = bi.merge(h, 1L, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    Array(nWords.toLong, uni.size.toLong, topWord, nBigrams.toLong, topBigram)
+  }
+
   /** Single-pass normalize + quality features: builds the canonical text
     * (lowercase → strip non-[a-z0-9 ] → collapse space runs → trim) and
     * counts words, distinct words, and stop-word hits over it in ONE scan
@@ -252,6 +297,16 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** [n_words, n_distinct, top_word_count, n_bigrams, top_bigram_count]. */
+  case class RepetitionFeatures(child: Expression) extends LongArrayExpr {
+    override def prettyName: String = "graft_repetition_features"
+    override protected def nullSafeEval(a: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(repetitionFeatures(a.asInstanceOf[UTF8String]))
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.repetitionFeatures($x)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** k-hash MinHash signature. */
   case class MinHashSignature(child: Expression, n: Int, k: Int) extends LongArrayExpr {
     override def prettyName: String = "graft_minhash"
@@ -306,6 +361,7 @@ object TextHash {
 
   def shingleHashSet(c: Column, n: Int = 3): Column = mk(ShingleHashSet(ex(c), n))
   def gramHashList(c: Column, n: Int = 3): Column = mk(GramHashList(ex(c), n))
+  def repetitionFeaturesCol(c: Column): Column = mk(RepetitionFeatures(ex(c)))
   def minHashSignature(c: Column, n: Int = 3, k: Int = 32): Column = mk(MinHashSignature(ex(c), n, k))
   def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
   def qualityFeaturesCol(c: Column, stop: Seq[String], normalize: Boolean = true): Column =

@@ -57,6 +57,30 @@ class TextHashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionFeatures matches the naive count-map reference") {
+    def naive(text: String): Array[Long] = {
+      val ws = text.split(" ", -1)
+      val uni = ws.groupBy(identity).view.mapValues(_.length.toLong)
+      val bi = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong)
+      Array(ws.length.toLong, uni.size.toLong, uni.values.max,
+        math.max(ws.length - 1, 0).toLong,
+        if (bi.isEmpty) 0L else bi.values.max)
+    }
+    // Planted extremes + edge shapes (empty words via double spaces).
+    val cases = Seq("a b a b a", "x x x x", "solo",
+      "nav home nav home nav home about", "a  b", " lead", "trail ",
+      "the quick brown fox jumps over the lazy dog the quick brown fox")
+    for (t <- cases) {
+      val got = TextHash.repetitionFeatures(UTF8String.fromString(t))
+      assert(got.toSeq == naive(t).toSeq, s"[$t]: ${got.toSeq} vs ${naive(t).toSeq}")
+    }
+    // Hand-checked anchor: "a b a b a" = 5 words, 2 distinct, 'a'×3,
+    // 4 bigrams, top bigram ("a b") ×2.
+    assert(TextHash.repetitionFeatures(UTF8String.fromString("a b a b a")).toSeq
+      == Seq(5L, 2L, 3L, 4L, 2L))
+  }
+
   test("qualityFeatures matches the naive normalize+split reference") {
     val stop = Seq("a", "key", "zz")
     val stopH = TextHash.stopWordHashes(stop)
