@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
@@ -135,6 +135,26 @@ object TextHash {
     var b = 0
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  /** 28-bucket character histogram ('a'..'z', space, other) — the cheap
+    * side of the edit-distance lower bound: one unit edit (insert /
+    * delete / substitute) changes at most two bucket counts by one each,
+    * so editDistance(a, b) >= L1(hist(a), hist(b)) / 2. A lossless
+    * prefilter for bounded-edit-distance joins: L1 > 2k pairs can never
+    * be within k edits, and the L1 loop is ~28 ops vs the O(k*len) DP. */
+  def charHistogram(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val h = new Array[Long](28)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') h(b - 'a') += 1
+      else if (b == ' ') h(26) += 1
+      else h(27) += 1
+      i += 1
+    }
+    h
   }
 
   /** One-pass repetition features (the Gopher/MassiveText-style signals
@@ -297,6 +317,56 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 28-bucket character histogram (see [[charHistogram]]). */
+  case class CharHistogram(child: Expression) extends LongArrayExpr {
+    override def prettyName: String = "graft_char_histogram"
+    override protected def nullSafeEval(a: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(charHistogram(a.asInstanceOf[UTF8String]))
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.charHistogram($x)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** L1 distance between equal-length long arrays — codegen'd tight loop
+    * (the HOF zip_with/aggregate form is interpreted per element).
+    * Length mismatch → null. */
+  case class L1LongDistance(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongArray, LongArray)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_l1_long"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) null
+      else {
+        var s = 0L; var i = 0
+        while (i < n) { s += math.abs(x.getLong(i) - y.getLong(i)); i += 1 }
+        s
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        s"""
+          int $n = $x.numElements();
+          if ($n != $y.numElements()) {
+            ${ev.isNull} = true;
+          } else {
+            long $s = 0L;
+            for (int $i = 0; $i < $n; $i++) {
+              $s += java.lang.Math.abs($x.getLong($i) - $y.getLong($i));
+            }
+            ${ev.value} = $s;
+          }
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** [n_words, n_distinct, top_word_count, n_bigrams, top_bigram_count]. */
   case class RepetitionFeatures(child: Expression) extends LongArrayExpr {
     override def prettyName: String = "graft_repetition_features"
@@ -362,6 +432,8 @@ object TextHash {
   def shingleHashSet(c: Column, n: Int = 3): Column = mk(ShingleHashSet(ex(c), n))
   def gramHashList(c: Column, n: Int = 3): Column = mk(GramHashList(ex(c), n))
   def repetitionFeaturesCol(c: Column): Column = mk(RepetitionFeatures(ex(c)))
+  def charHistogramCol(c: Column): Column = mk(CharHistogram(ex(c)))
+  def l1Long(a: Column, b: Column): Column = mk(L1LongDistance(ex(a), ex(b)))
   def minHashSignature(c: Column, n: Int = 3, k: Int = 32): Column = mk(MinHashSignature(ex(c), n, k))
   def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
   def qualityFeaturesCol(c: Column, stop: Seq[String], normalize: Boolean = true): Column =

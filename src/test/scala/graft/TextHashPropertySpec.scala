@@ -57,6 +57,38 @@ class TextHashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("char-histogram L1/2 never exceeds true edit distance (lossless bound)") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    def l1(a: String, b: String): Long = {
+      val ha = TextHash.charHistogram(UTF8String.fromString(a))
+      val hb = TextHash.charHistogram(UTF8String.fromString(b))
+      ha.zip(hb).map { case (x, y) => math.abs(x - y) }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdef g"
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 300) {
+      val a = randStr(rnd.nextInt(40))
+      // Mix of independent strings and mutated copies (the near-dup case).
+      val b = if (rnd.nextBoolean()) randStr(rnd.nextInt(40))
+        else a.map(c => if (rnd.nextInt(10) == 0) alpha(rnd.nextInt(alpha.length)) else c)
+      val bound = (l1(a, b) + 1) / 2
+      assert(bound <= lev(a, b), s"[$a] vs [$b]: L1/2=$bound > ed=${lev(a, b)}")
+    }
+  }
+
   test("repetitionFeatures matches the naive count-map reference") {
     def naive(text: String): Array[Long] = {
       val ws = text.split(" ", -1)
