@@ -175,6 +175,39 @@ object Events {
                      b.ts_us - a.ts_us AS dt_us
               FROM e a JOIN e b
                 ON a.event_id < b.event_id
-               AND abs(a.ts_us - b.ts_us) <= 60000000"""))
+               AND abs(a.ts_us - b.ts_us) <= 60000000""")),
+
+    // ---- s06: cohort retention (first-seen week × week offset) ---------
+    // The product-analytics staple: users cohorted by first-activity
+    // week, activity counted per (cohort, weeks-since). Shape at scale:
+    // one user-keyed aggregate for the cohort table, a user-keyed join
+    // back (both sides co-partitioned on user_id — AQE reuses the
+    // exchange), and a two-phase countDistinct whose shuffle carries one
+    // row per (cohort, offset, user) — never raw events. Week arithmetic
+    // stays in epoch micros: truncated weeks differ by exact multiples
+    // of 604800000000, so the division is IEEE-exact on both engines.
+    ("s06_retention",
+      (s, d) => {
+        val weekUs = 604800000000L
+        val e = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort"),
+            ((unix_micros(col("wk")) - unix_micros(col("cohort"))) / weekUs)
+              .cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(unix_micros(col("cohort")).as("cohort_week_us"),
+            col("week_offset"), col("n_active"))
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS wk
+                         FROM events),
+              f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+              SELECT epoch_us(cohort) AS cohort_week_us,
+                     CAST((epoch_us(wk) - epoch_us(cohort)) / 604800000000 AS BIGINT)
+                       AS week_offset,
+                     count(DISTINCT e.user_id) AS n_active
+              FROM e JOIN f USING (user_id)
+              GROUP BY 1, 2"""))
   )
 }

@@ -354,6 +354,59 @@ object TextAnalysis {
                      coalesce(FLOOR(b.top_bigram * 1e6 / b.n_bigrams + 0.5) / 1e6, 0.0)
                        AS top_bigram_share,
                      FLOOR(u.n_distinct * 1e6 / u.n_words + 0.5) / 1e6 AS distinct_ratio
-              FROM us u LEFT JOIN bs b ON u.doc_id = b.doc_id"""))
+              FROM us u LEFT JOIN bs b ON u.doc_id = b.doc_id""")),
+
+    // ---- t11: collocation extraction (top bigrams by PMI) --------------
+    // The phrase-mining / tokenizer-merge primitive: bigrams whose joint
+    // frequency beats the independence assumption. Score is the RATIONAL
+    // form c_ab·N/(c_a·c_b) instead of its log (t07's lesson: monotone
+    // transform, identical ranking, but exact in IEEE where ln is only
+    // per-libm) with the identical double op order mirrored in the
+    // oracle. Shape at scale: two map-side-combined hash aggregates
+    // (token and bigram counts — shuffle rows are per-distinct-term per
+    // partition), min-support prunes the bigram table BEFORE the two
+    // vocabulary-keyed joins, the corpus total joins as a broadcast
+    // scalar, and the top-k is TakeOrdered — no global sort.
+    ("t11_pmi",
+      (s, d) => {
+        val ws = Tables.documents(s, d).select(words(col("text")).as("ws"))
+        val uni = ws.select(explode(col("ws")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).as("n"))
+        val bi = ws.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(ws) - 2), " +
+              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        bi.withColumn("w1", element_at(split(col("bigram"), " "), 1))
+          .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+          .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi_r",
+            col("c_ab") * lit(1.0) * col("n") / col("c1") / col("c2"))
+          .orderBy(col("pmi_r").desc, col("bigram").asc).limit(50)
+          .select(col("bigram"), col("c_ab"),
+            (floor(col("pmi_r") * 1e6 + 0.5) / 1e6).as("pmi"))
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+              uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+              bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+                     FROM (SELECT ws[i] || ' ' || ws[i+1] AS bg
+                           FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                                 FROM w WHERE len(ws) >= 2))
+                     GROUP BY bg HAVING count(*) >= 5),
+              s AS (SELECT bg, c_ab,
+                           c_ab * 1.0 * (SELECT n FROM tot)
+                             / ua.c / ub.c AS pmi_r
+                    FROM bi
+                    JOIN uni ua ON ua.word = string_split(bg, ' ')[1]
+                    JOIN uni ub ON ub.word = string_split(bg, ' ')[2])
+              SELECT bg AS bigram, c_ab,
+                     FLOOR(pmi_r * 1e6 + 0.5) / 1e6 AS pmi
+              FROM s ORDER BY pmi_r DESC, bg ASC LIMIT 50"""))
   )
 }
