@@ -513,6 +513,17 @@ object Dedup {
     // banded with early exit, −1 beyond k), and only on band candidates
     // (~O(n · docs-per-length-band)) — never all pairs, never an
     // unbounded O(len²) per pair.
+    //
+    // Scale bound, stated honestly: length blocking is content-blind, so
+    // candidates are Σ_bins n_b·(n_b + neighbors) — LINEAR in corpus
+    // size only while docs-per-length-band is bounded (true when the
+    // keyspace is per-domain titles/snippets; false for "every short doc
+    // on the web in one pot"). The char-histogram L1 prefilter below
+    // keeps the per-candidate cost at ~28 ops so a 10⁶-doc band costs a
+    // cheap 10¹²-op pass per band pair-block, but for open-web scale the
+    // next rung is PassJoin-style segment blocking (each string split
+    // into k+1 segments, exact-match on one — still lossless), which
+    // this operator's shape accommodates as a drop-in candidate stage.
     ("d11_dedup_editdist",
       (s, d) => {
         import org.apache.spark.sql.graft.TextHash.{charHistogramCol, l1Long}

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
 object ScaleSmokeMain {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(40)
+    // Extra args: query names to time (default: the whole family);
+    // "keep" as a name reuses the corpus already on disk (skips rewrite).
+    val keep = args.drop(1).contains("keep")
+    val only = args.drop(1).filterNot(_ == "keep")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("scale-smoke")
@@ -25,22 +29,31 @@ object ScaleSmokeMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = "/tmp/graft_scale_smoke"
-    val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    val reps = spark.range(rep).select(col("id").cast("int").as("rep"))
-    base.crossJoin(reps)
-      .select(
-        (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          w => concat(col("rep").cast("string"), lit("x"), w)), " ").as("text"),
-        col("n_chars"), col("lang"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    if (!keep) {
+      val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      val reps = spark.range(rep).select(col("id").cast("int").as("rep"))
+      base.crossJoin(reps)
+        .select(
+          (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(col("rep").cast("string"), lit("x"), w)), " ").as("text"),
+          col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"[smoke] corpus: $n docs (${rep}x sf0.1)")
 
-    for (name <- Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
-                     "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
-                     "t05_normalize", "t06_vocab", "t07_tfidf", "t08_redact",
-                     "t09_length_stats", "p01_curation_pipeline")) {
+    // d11 is intentionally absent: replica-scaling multiplies every
+    // length band's population by REP while lengths stay fixed, so its
+    // length-blocked candidates grow REP² BY CONSTRUCTION here — the
+    // real-corpus scaling question for d11 is docs-per-length-band, and
+    // its Scaladoc documents that bound.
+    val family = Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+      "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
+      "d12_dedup_spans", "t05_normalize", "t06_vocab", "t07_tfidf", "t08_redact",
+      "t09_length_stats", "t10_repetition", "t11_pmi",
+      "p01_curation_pipeline", "p02_pack_sequences")
+    for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
