@@ -60,6 +60,29 @@ object Ann {
               FROM embeddings, q WHERE vec_id <> 0
               ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""")),
 
+    // ---- v09: metadata-filtered KNN (hybrid search) --------------------
+    // The WHERE-clause-on-ANN shape every vector store grows into: exact
+    // top-k restricted to rows matching a metadata predicate. The filter
+    // is a plain pushed parquet predicate (PushedFilters shows label),
+    // so selective predicates skip row groups BEFORE any vector math,
+    // and the top-k stays TakeOrdered. At index scale the same predicate
+    // composes with the AnnIndex layouts: label as a partition column
+    // under cell (directory pruning × predicate), or post-filtered ADC
+    // with a deeper rerank pool.
+    ("v09_knn_filtered",
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") =!= 0 && col("label") === 3)
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), col("label"),
+          cosine(col("embedding"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10),
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id, label,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS cos_sim
+              FROM embeddings, q WHERE vec_id <> 0 AND label = 3
+              ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""")),
+
     // Multi-table (banded) hyperplane LSH: ONE 64-bit signature scan,
     // sliced into nBands tables of bandBits each — a candidate is any
     // vector sharing ≥1 band with the query (the minhash-LSH banding
