@@ -322,16 +322,20 @@ object TextAnalysis {
     // Project, unlike the cross-operator case that bit p01).
     ("t10_repetition",
       (s, d) => {
-        def ppm(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+        // Same double op order as the oracle (count*1e6 first — exact for
+        // counts < 2^53/1e6 — THEN the one division): a divide-then-
+        // multiply form double-rounds and can floor across a grid
+        // boundary the oracle doesn't.
+        def share(num: Column, den: Column) = floor(num * 1e6 / den + 0.5) / 1e6
         Tables.documents(s, d)
           .select(col("doc_id"),
             org.apache.spark.sql.graft.TextHash.repetitionFeaturesCol(col("text")).as("r"))
           .select(col("doc_id"),
             col("r")(0).as("n_words"),
-            ppm(col("r")(2) * lit(1.0) / col("r")(0)).as("top_word_share"),
-            when(col("r")(3) > 0, ppm(col("r")(4) * lit(1.0) / col("r")(3)))
+            share(col("r")(2), col("r")(0)).as("top_word_share"),
+            when(col("r")(3) > 0, share(col("r")(4), col("r")(3)))
               .otherwise(lit(0.0)).as("top_bigram_share"),
-            ppm(col("r")(1) * lit(1.0) / col("r")(0)).as("distinct_ratio"))
+            share(col("r")(1), col("r")(0)).as("distinct_ratio"))
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
               uc AS (SELECT doc_id, word, count(*) AS c

@@ -142,17 +142,35 @@ object TextHash {
     * delete / substitute) changes at most two bucket counts by one each,
     * so editDistance(a, b) >= L1(hist(a), hist(b)) / 2. A lossless
     * prefilter for bounded-edit-distance joins: L1 > 2k pairs can never
-    * be within k edits, and the L1 loop is ~28 ops vs the O(k*len) DP. */
+    * be within k edits, and the L1 loop is ~28 ops vs the O(k*len) DP.
+    *
+    * Counts CODE POINTS, not bytes: levenshtein edits characters, and a
+    * byte histogram would move by up to the encoded length per edit (a
+    * 'é' substitution shifts byte-L1 by 3), silently breaking the bound
+    * for non-ASCII text. A UTF-8 lead byte advances past its
+    * continuation bytes and contributes ONE count to the 'other'
+    * bucket. */
   def charHistogram(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val h = new Array[Long](28)
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)
-      if (b >= 'a' && b <= 'z') h(b - 'a') += 1
-      else if (b == ' ') h(26) += 1
-      else h(27) += 1
-      i += 1
+      if (b >= 'a' && b <= 'z') { h(b - 'a') += 1; i += 1 }
+      else if (b == ' ') { h(26) += 1; i += 1 }
+      else if ((b & 0x80) == 0) { h(27) += 1; i += 1 }
+      else {
+        // UTF-8 lead byte: 110xxxxx=2, 1110xxxx=3, 11110xxx=4 bytes;
+        // malformed continuation bytes count singly (never skipped past
+        // the end, never zero-advance).
+        val len =
+          if ((b & 0xE0) == 0xC0) 2
+          else if ((b & 0xF0) == 0xE0) 3
+          else if ((b & 0xF8) == 0xF0) 4
+          else 1
+        h(27) += 1
+        i += math.min(len, bytes.length - i)
+      }
     }
     h
   }

@@ -35,7 +35,7 @@ class AnnSpec extends AnyFunSuite {
 
   test("v08 PQ ADC + exact re-rank reaches recall@20 >= 0.7 against exact search") {
     // PQ quantization error is bounded by the re-rank: the ADC pass only
-    // has to land the true neighbors inside the top-`rerank` (100 of ~500
+    // has to land the true neighbors inside the top-`rerank` (150 of ~500
     // here), after which exact cosine restores the ordering. Near-uniform
     // corpus = quantization's worst case, same as v03/v05.
     val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet

@@ -40,8 +40,10 @@ object ScaleSmokeMain {
           col("n_chars"), col("lang"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
+    // Label from the corpus actually on disk (under `keep` the CLI rep
+    // may not match what a previous run wrote — 5000 base docs at sf0.1).
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
-    println(s"[smoke] corpus: $n docs (${rep}x sf0.1)")
+    println(s"[smoke] corpus: $n docs (${n / 5000}x sf0.1)")
 
     // d11 is intentionally absent: replica-scaling multiplies every
     // length band's population by REP while lengths stay fixed, so its

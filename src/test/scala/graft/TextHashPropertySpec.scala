@@ -77,15 +77,19 @@ class TextHashPropertySpec extends AnyFunSuite {
       ha.zip(hb).map { case (x, y) => math.abs(x - y) }.sum
     }
     val rnd = new scala.util.Random(7)
-    val alpha = "abcdef g"
-    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
-    for (_ <- 1 to 300) {
-      val a = randStr(rnd.nextInt(40))
-      // Mix of independent strings and mutated copies (the near-dup case).
-      val b = if (rnd.nextBoolean()) randStr(rnd.nextInt(40))
-        else a.map(c => if (rnd.nextInt(10) == 0) alpha(rnd.nextInt(alpha.length)) else c)
-      val bound = (l1(a, b) + 1) / 2
-      assert(bound <= lev(a, b), s"[$a] vs [$b]: L1/2=$bound > ed=${lev(a, b)}")
+    // Non-ASCII chars included: the histogram must count CODE POINTS
+    // (one 'é'→'a' substitution is ONE edit), or multi-byte encodings
+    // inflate L1 past 2·ed and the "lossless" prefilter drops true pairs.
+    for (alpha <- Seq("abcdef g", "abé☃ g")) {
+      def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      for (_ <- 1 to 300) {
+        val a = randStr(rnd.nextInt(40))
+        // Mix of independent strings and mutated copies (the near-dup case).
+        val b = if (rnd.nextBoolean()) randStr(rnd.nextInt(40))
+          else a.map(c => if (rnd.nextInt(10) == 0) alpha(rnd.nextInt(alpha.length)) else c)
+        val bound = (l1(a, b) + 1) / 2
+        assert(bound <= lev(a, b), s"[$a] vs [$b]: L1/2=$bound > ed=${lev(a, b)}")
+      }
     }
   }
 
