@@ -92,7 +92,12 @@ object Multimodal {
     * pixel data) and anything over this cap falls back to the stub. */
   private[operators] val MaxDecodePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
 
-  private def decodeImageUnsafe(payload: Array[Byte]): Option[Array[Float]] = {
+  private def decodeImageUnsafe(payload: Array[Byte]): Option[Array[Float]] =
+    readImageBounded(payload).flatMap(featuresOf)
+
+  /** Bounded full decode shared by feature extraction and dHash: header
+    * dimensions first (no pixel data), bomb cap, then the real read. */
+  private def readImageBounded(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     if (iis == null) return None
@@ -104,7 +109,7 @@ object Multimodal {
         reader.setInput(iis, true, true)
         val dw = reader.getWidth(0); val dh = reader.getHeight(0)
         if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) None
-        else featuresOf(reader.read(0))
+        else Option(reader.read(0))
       } finally reader.dispose()
     } finally iis.close()
   }
@@ -142,6 +147,92 @@ object Multimodal {
   private[operators] def decode(payload: Array[Byte]): Array[Float] =
     if (looksLikeImage(payload)) decodeImage(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
+
+  // ---- perceptual hash (dHash) ----------------------------------------
+
+  /** 64-bit difference hash over a decoded image: luma means on a 9×8
+    * proportional block grid; bit (r,c) = mean(r,c) > mean(r,c+1). The
+    * standard perceptual near-dup signature — stable under re-encode,
+    * resize, and brightness shifts (only RELATIVE horizontal gradients
+    * matter), which is exactly what byte-level dedup (d01) cannot see. */
+  private[operators] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val means = Array.ofDim[Double](gh, gw)
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw) {
+        val x0 = c * w / gw; val x1 = math.min(math.max(x0 + 1, (c + 1) * w / gw), w)
+        val y0 = r * h / gh; val y1 = math.min(math.max(y0 + 1, (r + 1) * h / gh), h)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val px = img.getRGB(x, y)
+            s += 0.299 * ((px >> 16) & 0xFF) + 0.587 * ((px >> 8) & 0xFF) + 0.114 * (px & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        means(r)(c) = if (n == 0) 0.0 else s / n
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L; var i = 0; r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (means(r)(c) > means(r)(c + 1)) bits |= 1L << i
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** STUB hash for payloads without a JVM codec (same contract as
+    * [[decodeStub]]): a deterministic chained byte hash standing in for
+    * the real media fingerprint. */
+  private[graft] def stubHash(payload: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h = org.apache.spark.sql.graft.TextHash.mix(h * 0x100000001B3L ^ (payload(i) & 0xFFL))
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual hash dispatcher: real dHash for decodable images, the
+    * declared stub hash otherwise (bomb-capped like the feature path). */
+  private[graft] def phash(payload: Array[Byte]): Long =
+    if (looksLikeImage(payload))
+      (try readImageBounded(payload).map(dHashOf)
+       catch { case scala.util.control.NonFatal(_) => None }).getOrElse(stubHash(payload))
+    else stubHash(payload)
+
+  /** Hamming-≤`maxHamming` pairs over (doc_id, phash) — d03's pigeonhole
+    * band join verbatim: 4×16-bit bands guarantee a shared band at
+    * hamming ≤ 3, first-matching-band keeps each pair exactly once, and
+    * candidates are corpus-linear while hashes are spread (near-dup
+    * clusters cost their own pair count, nothing more). */
+  def phashPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit pigeonhole bands only guarantee hamming <= 3")
+    val banded = sig.select(col("doc_id"), col("phash"),
+      explode(Lsh.bandStructs(col("phash"), 16, 4)).as("bs"))
+      .select(col("doc_id"), col("phash"), col("bs.band"), col("bs.bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === Lsh.firstMatchingBand(
+        col("a.phash").bitwiseXOR(col("b.phash")), 16, 4))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** The decode seam: a (metadata-filtered) MediaRow dataset →
     * MediaFeatures, partition-wise. Shared by m01 and MultimodalSpec's
@@ -225,6 +316,33 @@ object Multimodal {
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_frames"),
                floor(avg(col("brightness")) * 1000000 + 0.5).as("avg_brightness_micros"))
+      },
+      None),
+
+    // ---- m03: perceptual-hash image near-dup ---------------------------
+    // Media dedup a training pipeline actually needs: byte-identical
+    // copies are d01's job, but RE-ENCODED / resized / brightness-shifted
+    // images need a perceptual signature. One mapPartitions decode pass
+    // emits (doc_id, dHash64); near-dups fall out of the SAME pigeonhole
+    // band join as text SimHash (d03) — the decode is the only
+    // modality-specific stage. Rows-only (signatures are
+    // engine-specific); real-PNG semantics pinned in MultimodalSpec.
+    ("m03_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        // Same planted re-crawl fixture as d01: every 10th payload is
+        // re-ingested under a new id (a re-encoded image hashes near, an
+        // identical payload hashes equal — hamming 0 here since the
+        // synthetic stand-ins are byte-identical). Real-image perceptual
+        // behavior (re-encode / resize / brightness) is pinned in
+        // MultimodalSpec with generated PNGs.
+        val media = mediaTable(s, d)
+        val recrawl = media.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000).as[MediaRow]
+        val sig = media.union(recrawl)
+          .mapPartitions(rows => rows.map(m => (m.doc_id, phash(m.payload))))
+          .toDF("doc_id", "phash")
+        phashPairs(sig, maxHamming = 3)
       },
       None)
   )

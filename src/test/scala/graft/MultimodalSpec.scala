@@ -108,6 +108,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out2.features.toSeq == Multimodal.decodeStub(ok).toSeq)
   }
 
+  test("m03 dHash finds re-encoded/brightness-shifted images, not distinct ones") {
+    import graft.operators.{MediaRow, Multimodal}
+    import spark.implicits._
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // Deterministic structured image: luma gradient + blocks.
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(36, 24)((x, y) =>
+      ((x * 7 + y * 3 + rnd.nextInt(40)) % 256))
+    def shade(v: Int) = (v << 16) | (v << 8) | v
+    val a = png(36, 24, (x, y) => shade(base(x)(y)))
+    // Brightness-shifted copy: relative horizontal gradients unchanged.
+    val b = png(36, 24, (x, y) => shade(math.min(255, base(x)(y) + 20)))
+    // Resized copy (2x): block means preserve the gradient structure.
+    val c = png(72, 48, (x, y) => shade(base(x / 2)(y / 2)))
+    // Genuinely different image: inverted gradient direction.
+    val e = png(36, 24, (x, y) => shade(((35 - x) * 7 + (23 - y) * 3) % 256))
+    // Run the REAL per-payload hash + the production band join.
+    val hashed = Seq((1L, a), (2L, b), (3L, c), (4L, e)).toDS()
+      .map { case (id, p) => (id, Multimodal.phash(p)) }
+      .toDF("doc_id", "phash")
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"brightness shift must match: $pairs")
+    assert(pairs.contains((1L, 3L)), s"2x resize must match: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct image must not match: $pairs")
+  }
+
+  test("m03 runs end-to-end on the synthetic media table") {
+    val rows = graft.operators.Multimodal.defs.find(_._1 == "m03_phash_dedup").get
+      ._2(spark, TestSpark.sf).collect()
+    // Stub hashes are well-spread 64-bit values: no false pairs expected,
+    // and every reported pair must satisfy the hamming contract.
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
   test("m02 samples every 4th fixed-size frame per payload") {
     val rows = Multimodal.defs.find(_._1 == "m02_frame_sample").get
       ._2(spark, TestSpark.sf).collect()
