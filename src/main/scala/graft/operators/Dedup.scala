@@ -174,6 +174,30 @@ object Dedup {
     labels
   }
 
+  /** d12 core over any (doc_id, text) frame: per-doc duplicated-position
+    * stats from positional 5-gram hashes. Positions collapse to
+    * (doc, gram, c) FIRST — a hot boilerplate gram spreads across docs,
+    * so that aggregate is skew-free — and the corpus-wide occurrence
+    * count reduces map-side (one row per distinct gram per partition).
+    * Dup marking is then a JOIN on the gram hash, not a count window:
+    * hot grams here are the SIGNAL (d04's df-cap trick can't drop them),
+    * a window would pin every occurrence of one gram in a single task
+    * with no runtime remedy, while AQE splits a skewed join partition
+    * automatically (gate pinned in UtilitySpec's skew spec). */
+  private[graft] def spanStats(docs: DataFrame): DataFrame = {
+    val g1 = docs
+      .select(col("doc_id"), explode(gramHashList(col("text"), 5)).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val dup = g1.groupBy(col("h")).agg(sum(col("c")).as("tot"))
+      .filter(col("tot") >= 2).select(col("h"), lit(1L).as("isdup"))
+    g1.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+           sum(when(col("isdup").isNotNull, col("c")).otherwise(lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        floor(col("n_dup_grams") * 1e6 / col("n_grams") + 0.5) / 1e6)
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- d01: exact dedup by content hash -----------------------------
@@ -574,17 +598,7 @@ object Dedup {
     // pair blowup — hot boilerplate grams COUNT here, they never join)
     // + one doc-keyed aggregate.
     ("d12_dedup_spans",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val g = Tables.documents(s, d)
-          .select(col("doc_id"), explode(gramHashList(col("text"), 5)).as("h"))
-        g.withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-               count(when(col("cnt") >= 2, 1)).as("n_dup_grams"))
-          .withColumn("dup_fraction",
-            floor(col("n_dup_grams") * 1e6 / col("n_grams") + 0.5) / 1e6)
-      },
+      (s, d) => spanStats(Tables.documents(s, d)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
                g AS (SELECT doc_id,
                             w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sg

@@ -165,24 +165,20 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(rows.size == 500)
 
-    // Planted fixture: doc B copies a 10-word span from doc A; doc C is
-    // fully unique. Exactly the 5-grams lying INSIDE the shared span are
-    // duplicated — 10-5+1 = 6 positions in each of A and B (their
-    // surrounding words differ, so straddling grams stay unique).
+    // Planted fixture THROUGH THE PRODUCTION PATH (Dedup.spanStats):
+    // doc B copies a 10-word span from doc A; doc C is fully unique.
+    // Exactly the 5-grams lying INSIDE the shared span are duplicated —
+    // 10-5+1 = 6 positions in each of A and B (their surrounding words
+    // differ, so straddling grams stay unique).
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graft.TextHash.gramHashList
     val span = (0 until 10).map(i => s"s$i").mkString(" ")
     val docs = Seq(
       (1L, (0 until 10).map(i => s"a$i").mkString(" ") + " " + span),
       (2L, span + " " + (0 until 10).map(i => s"b$i").mkString(" ")),
       (3L, (0 until 20).map(i => s"c$i").mkString(" "))
     ).toDF("doc_id", "text")
-    val g = docs.select(col("doc_id"), explode(gramHashList(col("text"), 5)).as("h"))
-    val got = g.withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(when(col("cnt") >= 2, 1)).as("n_dup"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Dedup.spanStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got(1L) == ((16L, 6L)), s"A: ${got(1L)}")  // 20 words → 16 grams
     assert(got(2L) == ((16L, 6L)), s"B: ${got(2L)}")
     assert(got(3L) == ((16L, 0L)), s"C: ${got(3L)}")
