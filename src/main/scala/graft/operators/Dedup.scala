@@ -275,22 +275,12 @@ object Dedup {
     // are engine-specific; validated against d04 in DedupSpec) -----------
     ("d03_dedup_simhash",
       (s, d) => {
+        // Hamming ≤ 3 via Lsh.hammingPairs' 4×16-bit pigeonhole band
+        // join (first-matching-band dedup, exact popcount filter) —
+        // shared verbatim with m03's image dHash.
         val sig = Tables.documents(s, d)
           .select(col("doc_id"), simHash64(col("text")).as("sig"))
-        // Hamming ≤ 3 via 4×16-bit band join (pigeonhole guarantees a
-        // shared band), then exact popcount filter.
-        val banded = sig.select(col("doc_id"), col("sig"),
-          explode(Lsh.bandStructs(col("sig"), 16, 4)).as("bs"))
-          .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bv"))
-        // First-matching-band filter replaces the candidate distinct.
-        banded.as("a").join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-              && col("a.doc_id") < col("b.doc_id"))
-          .filter(col("a.band") === Lsh.firstMatchingBand(
-            col("a.sig").bitwiseXOR(col("b.sig")), 16, 4))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-          .filter(col("hamming") <= 3)
+        Lsh.hammingPairs(sig, bandBits = 16, nBands = 4, maxHamming = 3)
       },
       None),
 
@@ -590,13 +580,12 @@ object Dedup {
     // Models Better") removes at the span level. The distributed analog
     // of their suffix-array pass: every word position emits its 5-gram
     // hash (positional GramHashList — multiplicity kept, one codegen'd
-    // pass per doc), a count window over the gram's own exchange marks
-    // grams occurring ≥2 times anywhere in the corpus, and a per-doc
-    // aggregate yields the duplicated-position fraction — the score a
-    // curation pipeline thresholds on (or uses to route docs to span
-    // excision). Shuffle budget: one corpus-gram exchange (keyed, no
-    // pair blowup — hot boilerplate grams COUNT here, they never join)
-    // + one doc-keyed aggregate.
+    // pass per doc), and [[spanStats]] marks positions whose gram occurs
+    // ≥2 times anywhere in the corpus via a skew-free (doc, gram)
+    // aggregate + an AQE-splittable join on the gram hash (see its
+    // Scaladoc for why not a count window), yielding the per-doc
+    // duplicated-position fraction a curation pipeline thresholds on
+    // (or uses to route docs to span excision).
     ("d12_dedup_spans",
       (s, d) => spanStats(Tables.documents(s, d)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared banded-LSH plumbing.
@@ -49,4 +49,53 @@ object Lsh {
     * closing the last candidate-sized `distinct()` in the LSH family. */
   def firstMatchingBandArrays(a: Column, b: Column): Column =
     (array_position(zip_with(a, b, (x, y) => x === y), true) - 1).cast("int")
+
+  /** Hamming-≤`maxHamming` pairs over a (doc_id, sig) frame via the
+    * pigeonhole band join — the ONE implementation behind text SimHash
+    * (d03) and image dHash (m03), so the subtle parts (band equality,
+    * per-pair-once dedup, popcount filter) can never drift between
+    * modalities. Requires maxHamming < nBands (pigeonhole: ≤ maxHamming
+    * differing bits can ruin at most maxHamming bands).
+    *
+    * `bucketCap` guards against DEGENERATE signature pileup: constant
+    * media (blank thumbnails, tracking pixels, solid placeholders) all
+    * hash to the same signature, and m of them in one band bucket emit
+    * m²/2 pairs — an output-size blowup no join strategy can split.
+    * Buckets holding more members than the cap are excluded from pair
+    * generation (the d04 df-cap contract: pairs similar ONLY through a
+    * degenerate bucket are exact-equality groups — route them through
+    * d01-style hash grouping, whose output is linear, not pairwise).
+    * Uncapped, dedup is the zero-exchange first-matching-band filter;
+    * capped, surviving shared bands can differ from the XOR's first
+    * match (a capped bucket may BE the first match), so the pair set is
+    * deduped with a distinct over the cap-bounded candidates instead. */
+  def hammingPairs(sig: DataFrame, bandBits: Int, nBands: Int,
+      maxHamming: Int, bucketCap: Option[Long] = None): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val banded0 = sig.select(col("doc_id"), col("sig"),
+      explode(bandStructs(col("sig"), bandBits, nBands)).as("bs"))
+      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    def pairsOf(banded: DataFrame): DataFrame =
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sig").bitwiseXOR(col("b.sig")).as("xor"), col("a.band").as("band"))
+        .filter(bit_count(col("xor")) <= maxHamming)
+    bucketCap match {
+      case None =>
+        pairsOf(banded0)
+          .filter(col("band") === firstMatchingBand(col("xor"), bandBits, nBands))
+          .select(col("a_id"), col("b_id"), bit_count(col("xor")).as("hamming"))
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bv"))
+        val capped = banded0.withColumn("pop", count(lit(1)).over(w))
+          .filter(col("pop") <= cap).drop("pop")
+        pairsOf(capped)
+          .select(col("a_id"), col("b_id"), bit_count(col("xor")).as("hamming"))
+          .distinct()
+    }
+  }
 }

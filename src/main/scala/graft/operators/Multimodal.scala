@@ -214,25 +214,17 @@ object Multimodal {
        catch { case scala.util.control.NonFatal(_) => None }).getOrElse(stubHash(payload))
     else stubHash(payload)
 
-  /** Hamming-≤`maxHamming` pairs over (doc_id, phash) — d03's pigeonhole
-    * band join verbatim: 4×16-bit bands guarantee a shared band at
-    * hamming ≤ 3, first-matching-band keeps each pair exactly once, and
-    * candidates are corpus-linear while hashes are spread (near-dup
-    * clusters cost their own pair count, nothing more). */
-  def phashPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x16-bit pigeonhole bands only guarantee hamming <= 3")
-    val banded = sig.select(col("doc_id"), col("phash"),
-      explode(Lsh.bandStructs(col("phash"), 16, 4)).as("bs"))
-      .select(col("doc_id"), col("phash"), col("bs.band"), col("bs.bv"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.band") === Lsh.firstMatchingBand(
-        col("a.phash").bitwiseXOR(col("b.phash")), 16, 4))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+  /** Pairs within `maxHamming` over (doc_id, phash) — d03's pigeonhole
+    * band join via the SHARED Lsh.hammingPairs. Media-specific twist:
+    * degenerate images (blank thumbnails, solid placeholders, tracking
+    * pixels — all dHash 0 or near it) would pile one band bucket into
+    * m²/2 output pairs, so a bucket-population cap routes those through
+    * the exact-equality grouping path instead of pairwise emission. */
+  def phashPairs(sig: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = 1024L): DataFrame =
+    Lsh.hammingPairs(sig.withColumnRenamed("phash", "sig"),
+      bandBits = 16, nBands = 4, maxHamming = maxHamming,
+      bucketCap = Some(bucketCap))
 
   /** The decode seam: a (metadata-filtered) MediaRow dataset →
     * MediaFeatures, partition-wise. Shared by m01 and MultimodalSpec's

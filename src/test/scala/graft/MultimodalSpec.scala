@@ -143,12 +143,21 @@ class MultimodalSpec extends AnyFunSuite {
       s"distinct image must not match: $pairs")
   }
 
-  test("m03 runs end-to-end on the synthetic media table") {
-    val rows = graft.operators.Multimodal.defs.find(_._1 == "m03_phash_dedup").get
+  test("m03 finds every planted re-crawl copy on the synthetic media table") {
+    val pairs = graft.operators.Multimodal.defs.find(_._1 == "m03_phash_dedup").get
       ._2(spark, TestSpark.sf).collect()
-    // Stub hashes are well-spread 64-bit values: no false pairs expected,
-    // and every reported pair must satisfy the hamming contract.
-    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    // The fixture re-ingests every 10th payload under id+1000000: those
+    // byte-identical pairs MUST come back at hamming 0 (an empty result
+    // here would mean the band join or hash path silently broke).
+    val planted = (0L until 500L by 10L).map(id => (id, id + 1000000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(got),
+      s"missing planted copies: ${(planted -- got).take(5)} of ${planted.size}")
+    pairs.filter(p => planted.contains((p._1, p._2)))
+      .foreach(p => assert(p._3 == 0, s"planted copy at hamming ${p._3}"))
+    // Stub hashes are well-spread: every reported pair obeys the contract.
+    pairs.foreach(p => assert(p._3 <= 3))
   }
 
   test("m02 samples every 4th fixed-size frame per payload") {
