@@ -83,6 +83,26 @@ object Ann {
               FROM embeddings, q WHERE vec_id <> 0 AND label = 3
               ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""")),
 
+    // ---- v10: range search (all vectors within a similarity radius) ----
+    // The other half of the vector-search API: not "the k nearest" but
+    // "everything at least this similar" (dedup thresholds, recall-first
+    // retrieval). Shape at scale: ONE map-side codegen'd cosine + filter —
+    // no top-k state, no sort, no exchange at all; output size is the
+    // result size. Composes with the AnnIndex layouts the same way v02
+    // does: LSH bands prune candidates first when the radius is tight,
+    // IVF cells bound the scan when the corpus is partitioned.
+    ("v10_range_search",
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.2),
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS cos_sim
+              FROM embeddings, q WHERE vec_id <> 0
+                AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.2""")),
+
     // Multi-table (banded) hyperplane LSH: ONE 64-bit signature scan,
     // sliced into nBands tables of bandBits each — a candidate is any
     // vector sharing ≥1 band with the query (the minhash-LSH banding

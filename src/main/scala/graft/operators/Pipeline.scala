@@ -164,6 +164,50 @@ object Pipeline {
                      CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_id,
                      CAST(FLOOR((tok_start + n_tokens - 1) / 512.0)
                           - FLOOR(tok_start / 512.0) + 1 AS BIGINT) AS n_seqs
-              FROM c"""))
+              FROM c""")),
+
+    // ---- p03: mixture sampling (per-source token budgets) --------------
+    // The data-mixing step of every pretraining run: each source
+    // contributes at most a target budget, downsampled uniformly —
+    // sources under budget keep everything, heavy sources are thinned to
+    // rate = budget/total. The sampler is DETERMINISTIC (md5 of doc_id →
+    // 32-bit uniform, compared against floor(rate·2³²)), so reruns —
+    // and the DuckDB oracle — select the identical rows; d07 is the
+    // seeded-RNG variant this replaces when auditability matters.
+    // Shape at 100 TB: per-source totals are a tiny hash aggregate
+    // (sources ≪ rows, map-side combined), rates ride back as a
+    // BROADCAST, and the keep/drop decision is pure map-side expression
+    // work at scan speed — the corpus itself never shuffles.
+    ("p03_mixture_sample",
+      (s, d) => {
+        val budgetChars = 4000L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val rates = docs.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("total_chars"))
+          .select(col("source"),
+            floor(least(lit(1.0), lit(budgetChars).cast("double") / col("total_chars"))
+              * lit(4294967296.0)).as("threshold"))
+        // u = first 8 md5 hex digits as an integer — exact in double, and
+        // bit-identical to the oracle's digit-by-digit evaluation.
+        docs.join(broadcast(rates), "source")
+          .withColumn("u",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double"))
+          .filter(col("u") < col("threshold"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      Some("""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+                           FROM documents GROUP BY source),
+              r AS (SELECT source,
+                           FLOOR(least(1.0, 4000.0 / total_chars) * 4294967296.0) AS threshold
+                    FROM tot),
+              u AS (SELECT doc_id, source, n_chars,
+                           list_sum(list_transform(range(1, 9),
+                             i -> (strpos('0123456789abcdef',
+                                     substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                  * 16.0 ** (8 - i))) AS u
+                    FROM documents)
+              SELECT doc_id, source, n_chars
+              FROM u JOIN r USING (source) WHERE u < threshold"""))
   )
 }

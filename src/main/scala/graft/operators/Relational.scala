@@ -654,6 +654,98 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
                .as("approx_median_price")),
-      None)
+      None),
+
+    // ---- q44: correlated scalar subquery (per-group, decorrelated) -----
+    // "Orders above 1.5× their customer's average" — the per-outer-group
+    // correlated form (q23 is the global-scalar one). The textbook
+    // decorrelation is aggregate + join-back = TWO exchanges of orders on
+    // o_custkey; the window form computes the same per-customer average on
+    // ONE exchange and never materializes a second orders scan. At 100 TB
+    // that halves the shuffle bill of every "compare to my group's
+    // aggregate" query.
+    ("q44_corr_subquery",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        Tables.orders(s, d)
+          .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            cents(col("cust_avg")).as("cust_avg"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                     FLOOR((SELECT avg(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey) * 100 + 0.5) / 100 AS cust_avg
+              FROM orders o
+              WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey) * 1.5""")),
+
+    // ---- q45: string-function surface -----------------------------------
+    // The scalar string toolkit (reference expression surface: lexer.py
+    // LIKE/|| plus the functions any SQL user reaches for next). All
+    // map-side, all inside whole-stage codegen — the point of the row is
+    // that none of these need a UDF.
+    ("q45_string_funcs",
+      (s, d) => Tables.part(s, d).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 3, 5).as("sub"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("p_name"), "e", "3").as("swapped"),
+          reverse(col("p_name")).as("rev"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          instr(col("p_name"), "i").cast("long").as("pos_i"),
+          expr("right(p_name, 3)").as("last3"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("long").as("brand_num")),
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+                     CAST(len(p_name) AS BIGINT) AS name_len,
+                     substr(p_name, 3, 5) AS sub,
+                     lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+                     regexp_replace(p_name, 'e', '3', 'g') AS swapped,
+                     reverse(p_name) AS rev,
+                     split_part(p_name, ' ', 1) AS first_word,
+                     CAST(strpos(p_name, 'i') AS BIGINT) AS pos_i,
+                     right(p_name, 3) AS last3,
+                     CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num
+              FROM part WHERE p_partkey < 1000""")),
+
+    // ---- q46: grouped string aggregation (listagg / string_agg) --------
+    // Order-sensitive aggregation into a scalar: collect_set is bounded
+    // here by the segment domain (5 values), so the per-group state is
+    // O(domain), not O(rows) — the only safe shape for collect at scale.
+    // The deterministic sort + join makes the result engine-comparable.
+    ("q46_string_agg",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+             countDistinct(col("c_mktsegment")).as("n_segs"),
+             array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs")),
+      Some("""SELECT c_nationkey, count(*) AS n_cust,
+                     CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segs,
+                     string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+              FROM customer GROUP BY c_nationkey""")),
+
+    // ---- q47: conditional / filtered / distinct aggregates --------------
+    // FILTER-clause aggregates (one pass computes every conditional
+    // variant — the alternative is one scan per condition), DISTINCT
+    // aggregation, and boolean aggregation. sum(DISTINCT l_quantity) is
+    // order-safe across engines because the distinct values are small
+    // integers (exact in double under any summation order).
+    ("q47_cond_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             expr("count(*) FILTER (WHERE l_quantity < 10)").as("n_cheap"),
+             (floor(expr("avg(l_extendedprice) FILTER (WHERE l_discount > 0.05)") * 100 + 0.5) / 100)
+               .as("avg_hi_disc"),
+             sum_distinct(col("l_quantity")).as("sum_dq"),
+             expr("bool_or(l_quantity >= 49)").as("has_big")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     count(*) FILTER (WHERE l_quantity < 10) AS n_cheap,
+                     FLOOR(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05) * 100 + 0.5) / 100 AS avg_hi_disc,
+                     sum(DISTINCT l_quantity) AS sum_dq,
+                     bool_or(l_quantity >= 49) AS has_big
+              FROM lineitem GROUP BY l_returnflag"""))
   )
 }

@@ -346,6 +346,44 @@ object RelationalSql {
         |  FROM base WHERE o_orderkey % 1000 = 0)
         |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
         |       FLOOR(coalesce(u.o_totalprice, b.o_totalprice) * 100 + 0.5) / 100 AS total
-        |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey""".stripMargin
+        |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey""".stripMargin,
+
+    // Spark's parser accepts the window form directly; Catalyst would
+    // rewrite the correlated-subquery spelling into the same aggregate —
+    // the window text IS the efficient decorrelation (one exchange).
+    "q44_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       FLOOR(cust_avg * 100 + 0.5) / 100 AS cust_avg
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |      FROM orders)
+        |WHERE o_totalprice > cust_avg * 1.5""".stripMargin,
+
+    "q45_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       substring(p_name, 3, 5) AS sub,
+        |       lpad(CAST(p_partkey AS STRING), 8, '0') AS padded,
+        |       regexp_replace(p_name, 'e', '3') AS swapped,
+        |       reverse(p_name) AS rev,
+        |       split_part(p_name, ' ', 1) AS first_word,
+        |       CAST(instr(p_name, 'i') AS BIGINT) AS pos_i,
+        |       right(p_name, 3) AS last3,
+        |       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num
+        |FROM part WHERE p_partkey < 1000""".stripMargin,
+
+    "q46_string_agg" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       count(DISTINCT c_mktsegment) AS n_segs,
+        |       array_join(array_sort(collect_set(c_mktsegment)), ',') AS segs
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q47_cond_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       count(*) FILTER (WHERE l_quantity < 10) AS n_cheap,
+        |       FLOOR(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05) * 100 + 0.5) / 100 AS avg_hi_disc,
+        |       sum(DISTINCT l_quantity) AS sum_dq,
+        |       bool_or(l_quantity >= 49) AS has_big
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

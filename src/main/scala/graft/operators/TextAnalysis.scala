@@ -411,6 +411,39 @@ object TextAnalysis {
                     JOIN uni ub ON ub.word = string_split(bg, ' ')[2])
               SELECT bg AS bigram, c_ab,
                      FLOOR(pmi_r * 1e6 + 0.5) / 1e6 AS pmi
-              FROM s ORDER BY pmi_r DESC, bg ASC LIMIT 50"""))
+              FROM s ORDER BY pmi_r DESC, bg ASC LIMIT 50""")),
+
+    // ---- t12: per-document vocabulary rarity ----------------------------
+    // The "does this doc use unusual vocabulary" quality signal (rare-word
+    // ratio in production filters; on this synthetic corpus the vocabulary
+    // is tiny and uniformly common, so the statistics reported are the df
+    // moments themselves — min/sum/mean document frequency over the doc's
+    // distinct words). Integer-exact except the one final division.
+    // Shape at scale: t07's lesson applied — df is a count window OVER the
+    // (doc, word)-distinct stream keyed by word, so nothing
+    // vocabulary-sized is ever broadcast or joined; then one doc-keyed
+    // aggregate. Two exchanges total, both of the distinct-pair stream.
+    ("t12_doc_rarity",
+      (s, d) => {
+        val dw = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(words(col("text")))).as("word"))
+        val wWord = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+        dw.withColumn("df", count(lit(1)).over(wWord))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct"),
+               min(col("df")).as("min_df"),
+               sum(col("df")).as("sum_df"))
+          .select(col("doc_id"), col("n_distinct"), col("min_df"), col("sum_df"),
+            (floor(col("sum_df") * 1e6 / col("n_distinct") + 0.5) / 1e6).as("mean_df"))
+      },
+      Some("""WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+              dw AS (SELECT DISTINCT doc_id, word FROM w0),
+              df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY word)
+              SELECT doc_id, count(*) AS n_distinct,
+                     min(df) AS min_df, CAST(sum(df) AS BIGINT) AS sum_df,
+                     FLOOR(CAST(sum(df) AS BIGINT) * 1e6 / count(*) + 0.5) / 1e6 AS mean_df
+              FROM dw JOIN df USING (word)
+              GROUP BY doc_id"""))
   )
 }
