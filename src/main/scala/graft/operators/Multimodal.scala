@@ -243,6 +243,24 @@ object Multimodal {
     }
   }
 
+  /** Ingest repack: rows from Spark's `binaryFile` source
+    * (Io.readBinaryFiles — path, modificationTime, length, content) into
+    * the MediaRow contract every m-op consumes. doc_id is the stable
+    * xxhash64 of the file path (re-ingesting the same tree reproduces the
+    * same ids); format is the lowercased file extension; dims are 0 at
+    * ingest — the decode stage discovers the real ones (featuresOf emits
+    * them), after which the corpus lives as parquet binary columns and
+    * the raw files are never touched again. Pure column expressions: the
+    * payload is never deserialized on the ingest path. */
+  def fromBinaryFiles(files: DataFrame): org.apache.spark.sql.Dataset[MediaRow] = {
+    import files.sparkSession.implicits._
+    files.select(
+      xxhash64(col("path")).as("doc_id"),
+      lower(element_at(split(col("path"), "\\."), -1)).as("format"),
+      lit(0).as("width"), lit(0).as("height"),
+      col("content").as("payload")).as[MediaRow]
+  }
+
   /** documents → MediaRow dataset: payload = UTF-8 bytes standing in for
     * media bytes; format/width/height are deterministic typed metadata. */
   private def mediaTable(s: SparkSession, d: String) = {

@@ -53,6 +53,22 @@ object EventPipeline {
       .select(unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** q33's streaming twin: distinct users per hourly window via HLL++
+    * (approx_count_distinct). The sketch is the only viable distinct
+    * shape on an unbounded stream: exact distinct would keep O(users)
+    * state per window (and a second stateful dedup stage), while the HLL
+    * register array is CONSTANT-size per (window) key — ~1.5 KB at
+    * rsd=0.02 — regardless of event rate, and merges associatively
+    * across partitions and micro-batches. Accuracy vs the exact batch
+    * answer is bounded in StreamingSpec. */
+  def windowedDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("approx_users"))
+
   /** Streaming exact dedup (d01's unbounded twin): keep the first
     * occurrence of each content hash, dropping re-deliveries and
     * re-crawls that arrive within the watermark window. State is bounded

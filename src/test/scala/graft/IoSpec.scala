@@ -130,4 +130,93 @@ class IoSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
       plan.take(500))
   }
+
+  test("compaction merges small files without losing rows") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // Simulate a streaming sink's droppings: 40 tiny files.
+    orders.repartition(40).write.mode("overwrite").parquet(s"$tmp/orders_small")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/orders_small") == 40)
+    // Target well above the total size ⇒ everything fits in one file.
+    val n = Io.compact(spark, s"$tmp/orders_small", s"$tmp/orders_compact",
+      targetFileBytes = 1L << 30)
+    assert(n == 1)
+    assert(parquetFiles(s"$tmp/orders_compact") == 1)
+    val back = Io.readParquet(spark, s"$tmp/orders_compact")
+    assert(back.count() == orders.count())
+    assert(back.agg(sum(col("o_orderkey"))).head().getLong(0) ==
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+    // Shuffled variant: exactly-even output across ~4 files (target =
+    // a quarter of the measured input bytes).
+    val total = new java.io.File(s"$tmp/orders_small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n4 = Io.compact(spark, s"$tmp/orders_small", s"$tmp/orders_compact4",
+      targetFileBytes = math.max(1L, total / 4), shuffle = true)
+    assert(n4 >= 4 && n4 <= 6, s"n4=$n4")
+    assert(parquetFiles(s"$tmp/orders_compact4") == n4)
+  }
+
+  test("z-order layout prunes on BOTH columns where a single-key sort serves one") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val files = 16
+    Io.writeZOrdered(orders, s"$tmp/orders_z", "o_custkey", "o_totalprice", files)
+    // The single-key clustered layout every warehouse writes by default.
+    orders.repartitionByRange(files, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmp/orders_lin")
+    // Per-file min/max of the SECOND column — exactly the stats parquet
+    // row-group/file skipping consults for a predicate on o_totalprice.
+    def fileRanges(p: String): Seq[(Double, Double)] =
+      Io.readParquet(spark, p)
+        .groupBy(input_file_name())
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    val (zr, lr) = (fileRanges(s"$tmp/orders_z"), fileRanges(s"$tmp/orders_lin"))
+    assert(zr.size == files && lr.size == files)
+    // A narrow predicate on o_totalprice: which files could contain it?
+    val all = orders.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val (gLo, gHi) = (all.getDouble(0), all.getDouble(1))
+    val probeLo = gLo + (gHi - gLo) * 0.40
+    val probeHi = gLo + (gHi - gLo) * 0.45
+    def overlapping(rs: Seq[(Double, Double)]) =
+      rs.count { case (lo, hi) => hi >= probeLo && lo <= probeHi }
+    val (zHit, lHit) = (overlapping(zr), overlapping(lr))
+    // Sorted-by-custkey files each span ~the whole price range: no skip.
+    // Z-ordered files cover price rectangles: most files are skippable.
+    assert(lHit == files, s"linear layout unexpectedly selective: $lHit/$files")
+    assert(zHit <= files / 2, s"z-order not selective on 2nd column: $zHit/$files")
+  }
+
+  test("binaryFile source ingests raw files with extension pruning at listing") {
+    val dir = Files.createTempDirectory("graft-bin")
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    Files.write(dir.resolve("red.png"), png(16, 8, 0xFF0000))
+    Files.write(dir.resolve("green.png"), png(10, 10, 0x00FF00))
+    Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+    val files = Io.readBinaryFiles(spark, dir.toString, glob = "*.png")
+    // The .txt never enters the scan — pruned at listing, not filtered.
+    assert(files.count() == 2)
+    val feats = graft.operators.Multimodal
+      .extractFeatures(graft.operators.Multimodal.fromBinaryFiles(files))
+      .collect().map(f => f.format -> f.features).toMap
+    assert(feats.keySet == Set("png"))
+    // Real decode, not the stub: dims ride in features(5)/(6), channel
+    // means in features(0..2).
+    val byDims = graft.operators.Multimodal
+      .extractFeatures(graft.operators.Multimodal.fromBinaryFiles(files))
+      .collect().map(f => (f.features(5).toInt, f.features(6).toInt) -> f.features).toMap
+    assert(byDims.keySet == Set((16, 8), (10, 10)))
+    assert(math.abs(byDims((16, 8))(0) - 1.0f) < 1e-3) // red channel mean
+    assert(math.abs(byDims((10, 10))(1) - 1.0f) < 1e-3) // green channel mean
+  }
 }

@@ -83,6 +83,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers tracks exact cardinality within the sketch bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = EventPipeline.windowedDistinctUsers(in.toDF())
+      .writeStream.format("memory").queryName("wdu").outputMode(OutputMode.Complete).start()
+    try {
+      // Hour 0: 400 distinct users, 100 of them re-visiting (the sketch
+      // must not double-count); hour 1: 250 distinct. Split across two
+      // micro-batches to exercise cross-batch sketch merge.
+      val h0 = (1 to 400).map(u => StreamEvent(u.toLong, ts(u % 59), 1.0)) ++
+        (1 to 100).map(u => StreamEvent(u.toLong, ts(u % 59 + 1), 1.0))
+      val h1 = (1 to 250).map(u => StreamEvent(u.toLong, ts(60 + u % 59), 1.0))
+      in.addData(h0: _*)
+      q.processAllAvailable()
+      in.addData(h1: _*)
+      q.processAllAvailable()
+      val rows = spark.table("wdu").as[(Long, Long)].collect().toMap
+      assert(rows.keySet == Set(baseUs, baseUs + 3600L * 1000000))
+      // HLL++ at rsd=0.02: assert within 3σ.
+      assert(math.abs(rows(baseUs) - 400L) / 400.0 <= 0.06, s"hour0=${rows(baseUs)}")
+      assert(math.abs(rows(baseUs + 3600L * 1000000) - 250L) / 250.0 <= 0.06,
+        s"hour1=${rows(baseUs + 3600L * 1000000)}")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
