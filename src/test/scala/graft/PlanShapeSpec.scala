@@ -74,6 +74,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q44 correlated subquery decorrelates to ONE exchange (the window)") {
+    // The aggregate+join-back spelling costs two shuffles of orders on
+    // o_custkey; the window form must keep it to one.
+    val p = planOf("q44_corr_subquery")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly the o_custkey window exchange, got $exchanges")
+    assert(p.contains("Window"))
+  }
+
+  test("t12 rarity never broadcasts or joins anything vocabulary-sized") {
+    // Same invariant as t07: df rides a word-keyed count window; the only
+    // exchanges are the word-keyed window and the doc-keyed aggregate.
+    val p = planOf("t12_doc_rarity")
+    assert(!p.contains("BroadcastExchange"), "nothing may broadcast in t12")
+    assert(p.contains("Window"), "df must come from the word-keyed count window")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected word-window + doc-agg exchanges only, got $exchanges")
+  }
+
+  test("p03 mixture sampling never shuffles the corpus") {
+    // The keep/drop decision is map-side: the only hash exchange feeds
+    // the per-source totals aggregate (sources ≪ rows), which returns as
+    // a broadcast. The docs stream itself goes scan → broadcast join →
+    // filter with no exchange.
+    val p = planOf("p03_mixture_sample")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"only the tiny per-source aggregate may shuffle, got $exchanges")
+    assert(p.contains("BroadcastHashJoin"), "rates must join back as a broadcast")
+  }
+
+  test("v10 range search is pure map-side (no exchange, no sort, no top-k state)") {
+    val p = planOf("v10_range_search")
+    assert(!p.contains("Exchange hashpartitioning"), "range search must not shuffle")
+    assert(!p.contains("TakeOrdered") && !p.contains("Sort "),
+      "range search must not rank or sort")
+  }
+
   test("p02 packing runs no corpus-scale single-partition window") {
     // The global prefix sum must be split: the corpus-scale window is
     // PARTITIONED by bucket (parallel), and the only SinglePartition
