@@ -115,9 +115,13 @@ object Dedup {
     val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
       .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
       .select(col("doc_id"), (col("n") - coalesce(col("n_cold"), lit(0L))).as("n_hot"))
+    // Rename the join key on one side: a self-join on the shared lineage
+    // ambiguously resolves a("h") === b("h") (Spark warns "trivially
+    // true" and falls back to positional disambiguation — correct today,
+    // fragile under plan rewrites).
     val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
-    val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h"))
-    val cands = a.join(b, a("h") === b("h") && col("a_id") < col("b_id"))
+    val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h").as("hb"))
+    val cands = a.join(b, col("h") === col("hb") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     // jac ≥ n/d ⟺ |A∩B|·(n+d) ≥ (|A|+|B|)·n (integer cross-multiply —

@@ -208,6 +208,35 @@ object Events {
                        AS week_offset,
                      count(DISTINCT e.user_id) AS n_active
               FROM e JOIN f USING (user_id)
-              GROUP BY 1, 2"""))
+              GROUP BY 1, 2""")),
+
+    // ---- s07: trending per window (windowed top-k) ----------------------
+    // "Top 3 event types per hour" — the dashboard/trending query, and a
+    // composition proof: the hourly hash-aggregate (map-side combined,
+    // shuffle carries group cardinality) feeds the custom GroupedTopK
+    // operator, whose partial heaps prune to ≤k rows per (window) group
+    // BEFORE its exchange — at 100 TB the ranking stage moves k·windows
+    // rows, never the aggregate output.
+    ("s07_window_topk",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("w.start")).as("hour_start_us"),
+            col("event_type"), col("n_events"))
+        org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
+          hourly, Seq("hour_start_us"),
+          Seq("n_events" -> true, "event_type" -> false), 3)
+      },
+      Some("""WITH hourly AS (
+                SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_start_us,
+                       event_type, count(*) AS n_events
+                FROM events GROUP BY 1, 2)
+              SELECT hour_start_us, event_type, n_events FROM (
+                SELECT hour_start_us, event_type, n_events,
+                       row_number() OVER (PARTITION BY hour_start_us
+                         ORDER BY n_events DESC, event_type ASC) AS rn
+                FROM hourly)
+              WHERE rn <= 3"""))
   )
 }

@@ -746,6 +746,29 @@ object Relational {
                      FLOOR(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05) * 100 + 0.5) / 100 AS avg_hi_disc,
                      sum(DISTINCT l_quantity) AS sum_dq,
                      bool_or(l_quantity >= 49) AS has_big
-              FROM lineitem GROUP BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- q48: three-valued-logic surface ---------------------------------
+    // NULLIF / COALESCE / null-safe equality / GREATEST / LEAST — the
+    // null-handling idioms (reference: IS [NOT] NULL, lexer.py:118). The
+    // inputs carry no NULLs, so NULLIF manufactures them and the rest of
+    // the row proves they flow through the three-valued operators the
+    // same way on both engines. All map-side codegen'd expressions.
+    ("q48_null_semantics",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("pri_or_null"),
+        coalesce(expr("nullif(o_orderpriority, '1-URGENT')"), lit("WAS-URGENT"))
+          .as("pri_filled"),
+        col("o_orderpriority").eqNullSafe(lit("1-URGENT")).as("is_urgent"),
+        greatest(col("o_totalprice"), lit(200000.0)).as("floor_200k"),
+        least(col("o_totalprice"), lit(200000.0)).as("cap_200k")),
+      Some("""SELECT o_orderkey,
+                     nullif(o_orderpriority, '1-URGENT') AS pri_or_null,
+                     coalesce(nullif(o_orderpriority, '1-URGENT'), 'WAS-URGENT') AS pri_filled,
+                     o_orderpriority IS NOT DISTINCT FROM '1-URGENT' AS is_urgent,
+                     greatest(o_totalprice, 200000.0) AS floor_200k,
+                     least(o_totalprice, 200000.0) AS cap_200k
+              FROM orders"""))
   )
 }

@@ -384,6 +384,15 @@ object RelationalSql {
         |       FLOOR(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05) * 100 + 0.5) / 100 AS avg_hi_disc,
         |       sum(DISTINCT l_quantity) AS sum_dq,
         |       bool_or(l_quantity >= 49) AS has_big
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q48_null_semantics" ->
+      """SELECT o_orderkey,
+        |       nullif(o_orderpriority, '1-URGENT') AS pri_or_null,
+        |       coalesce(nullif(o_orderpriority, '1-URGENT'), 'WAS-URGENT') AS pri_filled,
+        |       o_orderpriority <=> '1-URGENT' AS is_urgent,
+        |       greatest(o_totalprice, 200000.0D) AS floor_200k,
+        |       least(o_totalprice, 200000.0D) AS cap_200k
+        |FROM orders""".stripMargin
   )
 }
