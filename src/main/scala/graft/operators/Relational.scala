@@ -769,6 +769,172 @@ object Relational {
                      o_orderpriority IS NOT DISTINCT FROM '1-URGENT' AS is_urgent,
                      greatest(o_totalprice, 200000.0) AS floor_200k,
                      least(o_totalprice, 200000.0) AS cap_200k
-              FROM orders"""))
+              FROM orders""")),
+
+    // ---- q49: window navigation functions --------------------------------
+    // The full OVER-clause navigation surface (lead/lag/ntile/
+    // percent_rank/cume_dist/first_value/last_value/nth_value) on one
+    // totally-ordered window (o_orderdate, o_orderkey — the unique key
+    // breaks date ties, so every engine sees the same order). All
+    // navigation rides the SAME o_custkey exchange the ranking window
+    // (q20) uses — adding functions to a window is free; adding windows
+    // with different partitioning is another corpus shuffle.
+    // percent_rank/cume_dist are rational (small-int divisions), so the
+    // doubles are IEEE-identical cross-engine with no rounding grid.
+    ("q49_window_nav",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          lag(col("o_totalprice"), 2).over(w).as("lag2_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_totalprice")).over(wf).as("first_price"),
+          last_value(col("o_totalprice")).over(wf).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     lead(o_totalprice, 1) OVER w AS next_price,
+                     lag(o_totalprice, 2) OVER w AS lag2_price,
+                     ntile(4) OVER w AS quartile,
+                     percent_rank() OVER w AS pr,
+                     cume_dist() OVER w AS cd,
+                     first_value(o_totalprice) OVER wf AS first_price,
+                     last_value(o_totalprice) OVER wf AS last_price,
+                     nth_value(o_totalprice, 2) OVER wf AS second_price
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // ---- q50: statistical aggregates -------------------------------------
+    // Dispersion/association surface: stddev/variance (sample + pop),
+    // corr/covar, exact interpolated median. All are single-pass
+    // map-side-combinable moment aggregates (Spark merges central
+    // moments per partition — no second scan, no sort except median's
+    // per-group gather). Moment merges associate differently per engine,
+    // so order-sensitive floats land on the micro/cents grid (the q44
+    // precedent); median interpolates whole-valued quantities — exact.
+    ("q50_stats_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          micro(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          micro(var_samp(col("l_quantity"))).as("var_qty"),
+          micro(stddev_pop(col("l_quantity"))).as("sd_pop_qty"),
+          micro(corr(col("l_quantity"), col("l_partkey"))).as("corr_qp"),
+          cents(covar_samp(col("l_quantity"), col("l_partkey"))).as("covar_qp"),
+          median(col("l_quantity")).as("med_qty")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     FLOOR(stddev_samp(l_quantity) * 1000000 + 0.5) / 1000000 AS sd_qty,
+                     FLOOR(var_samp(l_quantity) * 1000000 + 0.5) / 1000000 AS var_qty,
+                     FLOOR(stddev_pop(l_quantity) * 1000000 + 0.5) / 1000000 AS sd_pop_qty,
+                     FLOOR(corr(l_quantity, l_partkey) * 1000000 + 0.5) / 1000000 AS corr_qp,
+                     FLOOR(covar_samp(l_quantity, l_partkey) * 100 + 0.5) / 100 AS covar_qp,
+                     median(l_quantity) AS med_qty
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- q51: array-function surface -------------------------------------
+    // Collection types as first-class columns (the reference's vector is
+    // its only collection; this is the general array toolkit). Arrays are
+    // built, sorted, dedup'd, sliced and searched entirely map-side
+    // inside codegen; outputs collapse to scalars (joined strings) so the
+    // cross-engine comparison is on exact values, not engine-specific
+    // array renderings.
+    ("q51_array_funcs",
+      (s, d) => {
+        val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+        val sorted = array_sort(array_distinct(toks))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          array_join(slice(sorted, 1, 5), "|").as("first5"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(sorted, 3).as("third_sorted"),
+          array_join(reverse(slice(toks, 1, 3)), "|").as("head3_rev"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                     regexp_extract_all(text, '[a-z0-9]+') AS toks,
+                     list_sort(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS sorted
+                   FROM documents)
+              SELECT doc_id,
+                     len(toks) AS n_toks,
+                     len(list_distinct(toks)) AS n_uniq,
+                     array_to_string(list_slice(sorted, 1, 5), '|') AS first5,
+                     list_contains(toks, 'spark') AS has_spark,
+                     sorted[3] AS third_sorted,
+                     array_to_string(list_reverse(list_slice(toks, 1, 3)), '|') AS head3_rev
+              FROM m""")),
+
+    // ---- q52: correlated EXISTS / NOT EXISTS -----------------------------
+    // EXISTS with a NON-EQUI correlated predicate (l_shipdate more than
+    // 60 days after the order's own date) — not reducible to the plain
+    // key-only semi-join of q13/q14. Spark plans the equi component
+    // (orderkey) as the hash-join key and evaluates the date inequality
+    // as a join residual, so the exchange is still key-partitioned —
+    // never a cartesian. The NOT EXISTS leg is a left-anti on the same
+    // key. Both inner scans are filtered BEFORE the join (pushed to
+    // parquet), so at 100 TB the join sees only qualifying lines.
+    ("q52_exists",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val late = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val hiDisc = Tables.lineitem(s, d)
+          .filter(col("l_discount") > 0.09)
+          .select(col("l_orderkey"))
+        o.join(late,
+            o("o_orderkey") === late("l_orderkey") &&
+              late("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .join(hiDisc, o("o_orderkey") === hiDisc("l_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders o
+              WHERE EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_quantity >= 48
+                              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                                WHERE l2.l_orderkey = o.o_orderkey
+                                  AND l2.l_discount > 0.09)""")),
+
+    // ---- q53: INTERSECT ALL / EXCEPT ALL ---------------------------------
+    // Multiset set operations — the bag semantics the reference's
+    // INTERSECT/EXCEPT (logical.py:298-311) lack. Spark rewrites both to
+    // aggregates over a union (count per side, replicate min/difference),
+    // so the cost is ONE exchange on the row value — no join, no sort.
+    // Tagged legs union into one result so both ops verify in one query.
+    ("q53_set_all",
+      (s, d) => {
+        def side(lo: String, hi: String) = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+            col("l_shipdate") < lit(hi).cast("timestamp"))
+          .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        val early = side("1995-01-01", "1998-01-01")
+        val lateS = side("1998-01-01", "2002-01-01")
+        early.intersectAll(lateS).withColumn("tag", lit("both"))
+          .unionAll(early.exceptAll(lateS).withColumn("tag", lit("only_early")))
+      },
+      Some("""SELECT l_suppkey, qty, 'both' AS tag FROM (
+                SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+                WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
+                INTERSECT ALL
+                SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+                WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')
+              UNION ALL
+              SELECT l_suppkey, qty, 'only_early' AS tag FROM (
+                SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+                WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
+                EXCEPT ALL
+                SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+                WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')"""))
   )
 }

@@ -393,6 +393,71 @@ object RelationalSql {
         |       o_orderpriority <=> '1-URGENT' AS is_urgent,
         |       greatest(o_totalprice, 200000.0D) AS floor_200k,
         |       least(o_totalprice, 200000.0D) AS cap_200k
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q49_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       lag(o_totalprice, 2) OVER w AS lag2_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       first_value(o_totalprice) OVER wf AS first_price,
+        |       last_value(o_totalprice) OVER wf AS last_price,
+        |       nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q50_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       FLOOR(stddev_samp(l_quantity) * 1000000 + 0.5) / 1000000 AS sd_qty,
+        |       FLOOR(var_samp(l_quantity) * 1000000 + 0.5) / 1000000 AS var_qty,
+        |       FLOOR(stddev_pop(l_quantity) * 1000000 + 0.5) / 1000000 AS sd_pop_qty,
+        |       FLOOR(corr(l_quantity, l_partkey) * 1000000 + 0.5) / 1000000 AS corr_qp,
+        |       FLOOR(covar_samp(l_quantity, l_partkey) * 100 + 0.5) / 100 AS covar_qp,
+        |       median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q51_array_funcs" ->
+      """WITH m AS (SELECT doc_id,
+        |       regexp_extract_all(text, '[a-z0-9]+', 0) AS toks,
+        |       array_sort(array_distinct(regexp_extract_all(text, '[a-z0-9]+', 0))) AS sorted
+        |     FROM documents)
+        |SELECT doc_id,
+        |       CAST(size(toks) AS BIGINT) AS n_toks,
+        |       CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq,
+        |       array_join(slice(sorted, 1, 5), '|') AS first5,
+        |       array_contains(toks, 'spark') AS has_spark,
+        |       element_at(sorted, 3) AS third_sorted,
+        |       array_join(reverse(slice(toks, 1, 3)), '|') AS head3_rev
+        |FROM m""".stripMargin,
+
+    "q52_exists" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 48
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_discount > 0.09)""".stripMargin,
+
+    "q53_set_all" ->
+      """SELECT l_suppkey, qty, 'both' AS tag FROM (
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |  WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
+        |  INTERSECT ALL
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |  WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')
+        |UNION ALL
+        |SELECT l_suppkey, qty, 'only_early' AS tag FROM (
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |  WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
+        |  EXCEPT ALL
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |  WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')""".stripMargin
   )
 }
