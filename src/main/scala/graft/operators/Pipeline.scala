@@ -208,6 +208,55 @@ object Pipeline {
                                   * 16.0 ** (8 - i))) AS u
                     FROM documents)
               SELECT doc_id, source, n_chars
-              FROM u JOIN r USING (source) WHERE u < threshold"""))
+              FROM u JOIN r USING (source) WHERE u < threshold""")),
+
+    // ---- p04: deterministic corpus shuffle + token-budget sharding ------
+    // The last step of a pretraining data pipeline: SHUFFLE the corpus
+    // (break source/time locality so every training batch is i.i.d.-ish)
+    // and pack it into fixed-token-budget output shards. The shuffle key
+    // is md5(doc_id) — deterministic, so reruns, audits and the oracle
+    // agree on the exact order (contrast with orderBy(rand())); shard
+    // assignment is the running token total over that order, divided by
+    // the budget. The prefix sum is p02's SPLIT form, but bucketed by the
+    // md5 prefix (256 buckets, contiguous under the skey sort): the
+    // corpus-scale cumsum is bucket-partitioned (parallel), the global
+    // window sees only the 256 bucket totals, and offsets ride back as a
+    // broadcast. At 100 TB: widen the prefix (3 hex chars = 4096
+    // buckets); the downstream write is partitionBy(shard_id), giving
+    // training-ready files of ~budget tokens each.
+    ("p04_shuffle_shard",
+      (s, d) => {
+        val budget = 2048L
+        val t = Tables.documents(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("skey"))
+          .withColumn("bkt", substring(col("skey"), 1, 2))
+        val wLocal = Window.partitionBy(col("bkt"))
+          .orderBy(col("skey"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = t.withColumn("local_start",
+          coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+        val wBkt = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btok"))
+          .withColumn("boff", coalesce(sum(col("btok")).over(wBkt), lit(0L)))
+          .select(col("bkt"), col("boff"))
+        local.join(broadcast(offsets), "bkt")
+          .select(col("doc_id"), col("skey"), col("n_tokens"),
+            (col("local_start") + col("boff")).as("tok_start"))
+          .withColumn("shard_id", floor(col("tok_start") / budget).cast("long"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS skey
+                   FROM documents),
+              c AS (SELECT doc_id, skey, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tok_start
+                    FROM t)
+              SELECT doc_id, skey, n_tokens, tok_start,
+                     CAST(FLOOR(tok_start / 2048.0) AS BIGINT) AS shard_id
+              FROM c"""))
   )
 }

@@ -444,6 +444,71 @@ object TextAnalysis {
                      min(df) AS min_df, CAST(sum(df) AS BIGINT) AS sum_df,
                      FLOOR(CAST(sum(df) AS BIGINT) * 1e6 / count(*) + 0.5) / 1e6 AS mean_df
               FROM dw JOIN df USING (word)
-              GROUP BY doc_id"""))
+              GROUP BY doc_id""")),
+
+    // ---- t13: keyword search with BM25 ranking --------------------------
+    // Full-text relevance search — the retrieval capability class (t07 is
+    // per-doc term EXTRACTION; this RANKS docs against a query). Scoring
+    // is Okapi BM25 with a RATIONAL idf ((N−df+0.5)/(df+0.5), no log):
+    // monotone in the standard idf, so the ranking is identical, and the
+    // score is a fixed sequence of IEEE ops both engines execute
+    // bit-identically — exact hash parity with no rounding grid.
+    // Shape at 100 TB: tf/dl are one map-side pass per doc; the corpus
+    // statistics (N, Σdl, per-term df) are ONE tiny aggregate row that
+    // returns as a broadcast; scoring is map-side expression work and the
+    // top-k is TakeOrdered (per-partition heaps, no global sort). The
+    // corpus is scanned twice (stats + score) and never shuffled; a
+    // standing deployment would persist the stats row and scan once.
+    ("t13_bm25_search",
+      (s, d) => {
+        val terms = Seq("spark", "join", "window")
+        val toks = words(col("text"))
+        val perDoc = Tables.documents(s, d).select(
+          col("doc_id") +:
+            size(toks).cast("long").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
+            }: _*)
+        val stats = perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl") +:
+            terms.indices.map(i =>
+              count(when(col(s"tf$i") > 0, 1)).as(s"df$i")): _*)
+        val scored = perDoc.crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("nrm", lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        val comps = terms.indices.map { i =>
+          ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+            ((col(s"tf$i") * lit(2.2)) / (col(s"tf$i") + col("nrm")))
+        }
+        scored
+          .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+          .select(col("doc_id"), col("dl"),
+            col("tf0").as("tf_spark"), col("tf1").as("tf_join"), col("tf2").as("tf_window"),
+            comps.reduce(_ + _).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf0,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf1,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf2
+                   FROM documents),
+              st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+                     count(*) FILTER (WHERE tf0 > 0) AS df0,
+                     count(*) FILTER (WHERE tf1 > 0) AS df1,
+                     count(*) FILTER (WHERE tf2 > 0) AS df2
+                   FROM p),
+              j AS (SELECT p.*, n_docs, df0, df1, df2,
+                     CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM p, st),
+              n AS (SELECT *, CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * dl / avgdl) AS nrm FROM j)
+              SELECT doc_id, dl, tf0 AS tf_spark, tf1 AS tf_join, tf2 AS tf_window,
+                     ((n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * ((tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + nrm))
+                     + ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * ((tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + nrm))
+                     + ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * ((tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + nrm)) AS score
+              FROM n WHERE tf0 + tf1 + tf2 > 0
+              ORDER BY score DESC, doc_id ASC LIMIT 20"""))
   )
 }

@@ -133,4 +133,31 @@ class PlanShapeSpec extends AnyFunSuite {
         s"global window over non-aggregated data:\n${w.treeString.take(400)}")
     }
   }
+
+  test("p04 shuffle-shard splits its prefix sum like p02") {
+    // Same 100 TB invariant as p02: the corpus-order cumsum must be
+    // bucket-partitioned, and any unpartitioned window may only see the
+    // aggregated bucket totals (256 rows), never the raw doc stream.
+    val df = SparkEntry.queries("p04_shuffle_shard")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local + bucket-total windows, got ${wins.size}")
+    val (global, parted) = wins.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty, "doc-level cumsum must be bucket-partitioned (parallel)")
+    global.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+  }
+
+  test("t13 search never shuffles the corpus and takes top-k without a global sort") {
+    // Corpus stats collapse to ONE aggregate row that joins back as a
+    // broadcast; scoring is map-side; the ranking is TakeOrdered
+    // (per-partition heaps), not Sort+Limit over the corpus.
+    val p = planOf("t13_bm25_search")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "search must not hash-shuffle the corpus")
+    assert(p.contains("TakeOrdered"), "top-k must be TakeOrdered, not a global sort")
+  }
 }
