@@ -273,6 +273,40 @@ object Ann {
                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
                      list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dot_self,
                      list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dot_hof
-              FROM embeddings WHERE vec_id < 50"""))
+              FROM embeddings WHERE vec_id < 50""")),
+
+    // ---- v11: SemDeDup (semantic dedup via cluster-scoped pairs) --------
+    // The embedding-space dedup recipe from SemDeDup (Abbas et al. 2023,
+    // arXiv:2303.09540): k-means-cluster the embeddings, then look for
+    // near-identical pairs ONLY WITHIN each cluster — clustering turns
+    // the quadratic all-pairs problem into Σ_cells (n_c²), tractable
+    // because cells are capped by construction (at 100 TB: k scales with
+    // n, cells stay ~constant-sized; the within-cell join runs
+    // partition-local when the table is the AnnIndex partitioned-by-cell
+    // layout — zero cross-cell traffic by DEFINITION of the algorithm,
+    // which is the property d05's global LSH can't give). Keeper rule:
+    // drop a vector iff a SMALLER-ID vector sits in the same cell at
+    // cosine ≥ τ (the paper keeps one representative per near-dup
+    // clique; min-id is its deterministic form — no RNG, rerun-stable).
+    // Cross-cell near-dups are out of contract (the paper accepts this
+    // recall trade; d05 is the exhaustive-recall path when it matters).
+    // Centroids are driver-side model state (spark.ml pattern), so no
+    // SQL oracle — AnnSpec pins soundness + completeness of the keeper
+    // rule against an independently computed within-cell all-pairs set.
+    ("v11_semdedup",
+      (s, d) => {
+        val k = 16; val tau = 0.45
+        val e = Tables.embeddings(s, d)
+        val cents = AnnIndex.trainCentroids(e, k)
+        val cells = e.select(col("vec_id"),
+          AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
+        val dropped = cells.as("a").join(cells.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+          .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+          .select(col("a.vec_id").as("vec_id"))
+        cells.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cell"))
+      },
+      None)
   )
 }

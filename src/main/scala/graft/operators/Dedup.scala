@@ -605,6 +605,83 @@ object Dedup {
                       CAST(count(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_dup_grams,
                       FLOOR(count(*) FILTER (WHERE cnt >= 2) * 1e6 / count(*) + 0.5) / 1e6
                         AS dup_fraction
-               FROM c GROUP BY doc_id"""))
+               FROM c GROUP BY doc_id""")),
+
+    // ---- d13: incremental dedup (new batch vs standing corpus) ----------
+    // The production shape dedup actually runs in: a NEW CRAWL BATCH
+    // (here: doc_id ≡ 0 mod 5, 20%) deduplicated against the standing
+    // corpus — never batch-vs-batch, never corpus-vs-corpus (the corpus
+    // was already deduped when it was ingested). Cheap-first cascade:
+    //   1. exact drop — md5(text) LEFT ANTI join against the corpus's
+    //      hash stream (no distinct needed: anti-join semantics absorb
+    //      duplicate keys), keyed shuffle of hashes only;
+    //   2. near-dup drop — d02's MinHash-LSH machinery verbatim, but the
+    //      band join is batch×corpus (asymmetric: the small batch side
+    //      probes the corpus band table — at 100 TB the corpus bands are
+    //      a standing AnnIndex-style layout and this is a pruned lookup,
+    //      not a rebuild), first-matching-band dedups candidates
+    //      map-side, exact Jaccard ≥ 0.9 verifies on full gram sets, and
+    //      the final drop is another LEFT ANTI (again distinct-free).
+    // Candidates are O(batch·dup_rate); the corpus never self-joins.
+    // Oracle-exact because exact-text dups have identical signatures
+    // (all bands match — unmissable) and 8×4 banding at jac ≥ 0.9 has
+    // per-pair miss probability < 1e-8 (the d02 measurement).
+    ("d13_incremental_dedup",
+      (s, d) => {
+        val bands = 8; val rows = 4
+        val docsT = Tables.documents(s, d)
+        val isBatch = col("doc_id") % 5 === 0
+        // Stage 1: exact cascade — drop batch docs whose raw text already
+        // exists in the corpus, BEFORE any signature work.
+        val exactSurv = docsT.filter(isBatch)
+          .withColumn("h", md5(col("text")))
+          .join(docsT.filter(!isBatch).select(md5(col("text")).as("h")),
+            Seq("h"), "left_anti")
+          .drop("h")
+        // Stage 2: MinHash-LSH candidates, batch-survivors × corpus.
+        def bandTable(df: DataFrame) = df
+          .select(col("doc_id"), minHashSignature(col("text"), 3, bands * rows).as("mh"))
+          .select(col("doc_id"),
+            array((0 until bands).map(b =>
+              xxhash64(slice(col("mh"), b * rows + 1, rows))): _*).as("bsig"))
+          .select(col("doc_id"), col("bsig"), posexplode(col("bsig")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+        val bat = bandTable(exactSurv)
+        val corp = bandTable(docsT.filter(!isBatch))
+        val cands = bat.as("a").join(corp.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+          .filter(col("a.band") === Lsh.firstMatchingBandArrays(col("a.bsig"), col("b.bsig")))
+          .select(col("a.doc_id").as("bat_id"), col("b.doc_id").as("corp_id"))
+        val hs = docsT.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
+        val dupIds = cands
+          .join(hs.select(col("doc_id").as("bat_id"), col("hs").as("sha")), "bat_id")
+          .join(hs.select(col("doc_id").as("corp_id"), col("hs").as("shb")), "corp_id")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .filter(col("inter").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.9)
+          .select(col("bat_id").as("doc_id"))
+        exactSurv.join(dupIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                       FROM toks WHERE len(w) >= 3),
+               sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg
+                      FROM idx
+                      UNION ALL
+                      SELECT doc_id, text AS sg FROM documents
+                      WHERE len(string_split(text, ' ')) < 3),
+               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               x AS (SELECT a.doc_id AS bat_id, b.doc_id AS corp_id, count(*) AS c
+                     FROM sh a JOIN sh b ON a.sg = b.sg
+                     WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                     GROUP BY 1, 2),
+               dup AS (SELECT DISTINCT bat_id FROM x
+                       JOIN sz sa ON sa.doc_id = x.bat_id
+                       JOIN sz sb ON sb.doc_id = x.corp_id
+                       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
+               SELECT doc_id, source, n_chars FROM documents
+               WHERE doc_id % 5 = 0
+                 AND doc_id NOT IN (SELECT bat_id FROM dup)"""))
   )
 }

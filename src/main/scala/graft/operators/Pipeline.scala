@@ -257,6 +257,42 @@ object Pipeline {
                     FROM t)
               SELECT doc_id, skey, n_tokens, tok_start,
                      CAST(FLOOR(tok_start / 2048.0) AS BIGINT) AS shard_id
-              FROM c"""))
+              FROM c""")),
+
+    // ---- p05: deterministic train/val/test split -------------------------
+    // The dataset-split step every training run needs: assign each doc to
+    // train (80%), val (10%) or test (10%) by hashing its IDENTITY —
+    // md5(doc_id) → 32-bit uniform against fixed thresholds — so the
+    // assignment is a pure function of the row: reruns, incremental
+    // appends and the oracle all agree, and a doc can never migrate
+    // between splits when the corpus grows (the failure mode of
+    // randomSplit/rand(), which reshuffle on every added partition).
+    // Shape at 100 TB: ZERO exchanges — the split is map-side expression
+    // work at scan speed, and the downstream write is
+    // partitionBy(split). p03 is the budget-thinning twin; this one
+    // partitions everything.
+    ("p05_dataset_split",
+      (s, d) => {
+        val scale = 4294967296.0
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("double").as("u"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            when(col("u") < scale * 0.8, "train")
+              .when(col("u") < scale * 0.9, "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""WITH u AS (SELECT doc_id, source, n_chars,
+                           list_sum(list_transform(range(1, 9),
+                             i -> (strpos('0123456789abcdef',
+                                     substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                                  * 16.0 ** (8 - i))) AS u
+                         FROM documents)
+              SELECT doc_id, source, n_chars,
+                     CASE WHEN u < 4294967296.0 * 0.8 THEN 'train'
+                          WHEN u < 4294967296.0 * 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM u"""))
   )
 }

@@ -935,6 +935,68 @@ object Relational {
                 WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
                 EXCEPT ALL
                 SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
-                WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')"""))
+                WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')""")),
+
+    // ---- q54: math-function surface ---------------------------------------
+    // The scalar math toolkit beyond q19's arithmetic (reference: arith
+    // ops only, lexer.py:104-131). All map-side codegen. Cross-engine
+    // float discipline: abs/sign/mod/ceil/floor/sqrt and x·x are
+    // IEEE-exact (sqrt is correctly rounded by spec); ln/exp/sin are
+    // libm-dependent in the last ulp, so they land on the micro grid
+    // like every transcendental in this suite.
+    ("q54_math_funcs",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 150000.0).as("abs_dev"),
+        signum(col("o_totalprice") - 150000.0).cast("long").as("sgn"),
+        (col("o_orderkey") % 7).cast("long").as("mod7"),
+        ceil(col("o_totalprice") / 1000.0).cast("long").as("k_ceil"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("k_floor"),
+        sqrt(col("o_totalprice")).as("sq"),
+        (col("o_totalprice") * col("o_totalprice")).as("sq2"),
+        micro(log(col("o_totalprice"))).as("ln_p"),
+        micro(exp(col("o_totalprice") / 500000.0)).as("exp_p"),
+        micro(sin(col("o_totalprice") / 100000.0)).as("sin_p")),
+      Some("""SELECT o_orderkey,
+                     abs(o_totalprice - 150000.0) AS abs_dev,
+                     CAST(sign(o_totalprice - 150000.0) AS BIGINT) AS sgn,
+                     CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+                     CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS k_ceil,
+                     CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS k_floor,
+                     sqrt(o_totalprice) AS sq,
+                     o_totalprice * o_totalprice AS sq2,
+                     FLOOR(ln(o_totalprice) * 1000000 + 0.5) / 1000000 AS ln_p,
+                     FLOOR(exp(o_totalprice / 500000.0) * 1000000 + 0.5) / 1000000 AS exp_p,
+                     FLOOR(sin(o_totalprice / 100000.0) * 1000000 + 0.5) / 1000000 AS sin_p
+              FROM orders""")),
+
+    // ---- q55: map-type surface ---------------------------------------------
+    // MapType as a first-class column: per-customer priority→count maps
+    // built with map_from_entries over a sorted entry list (sorted so
+    // map_keys iterates deterministically), probed with element_at, and
+    // collapsed to scalars for the cross-engine compare (the oracle
+    // computes the same values relationally — DuckDB's MAP calculus
+    // differs, the VALUES must not). Entry lists are bounded by the
+    // priority domain (5), so per-group state is O(domain) — the q46
+    // rule that makes collect safe at scale.
+    ("q55_map_funcs",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_custkey"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("o_orderpriority"), col("n")))))
+          .as("m"))
+        .select(col("o_custkey"),
+          size(map_keys(col("m"))).cast("long").as("n_pri"),
+          coalesce(element_at(col("m"), "1-URGENT"), lit(0L)).as("n_urgent"),
+          coalesce(element_at(col("m"), "5-LOW"), lit(0L)).as("n_low"),
+          array_join(map_keys(col("m")), ",").as("pris")),
+      Some("""SELECT o_custkey,
+                     CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_pri,
+                     count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+                     count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+                     string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS pris
+              FROM orders GROUP BY o_custkey"""))
   )
 }

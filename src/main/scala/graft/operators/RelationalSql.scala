@@ -458,6 +458,32 @@ object RelationalSql {
         |  WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
         |  EXCEPT ALL
         |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
-        |  WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')""".stripMargin
+        |  WHERE l_shipdate >= timestamp '1998-01-01' AND l_shipdate < timestamp '2002-01-01')""".stripMargin,
+
+    "q54_math_funcs" ->
+      """SELECT o_orderkey,
+        |       abs(o_totalprice - 150000.0) AS abs_dev,
+        |       CAST(signum(o_totalprice - 150000.0) AS BIGINT) AS sgn,
+        |       CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+        |       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS k_ceil,
+        |       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS k_floor,
+        |       sqrt(o_totalprice) AS sq,
+        |       o_totalprice * o_totalprice AS sq2,
+        |       FLOOR(ln(o_totalprice) * 1000000 + 0.5) / 1000000 AS ln_p,
+        |       FLOOR(exp(o_totalprice / 500000.0) * 1000000 + 0.5) / 1000000 AS exp_p,
+        |       FLOOR(sin(o_totalprice / 100000.0) * 1000000 + 0.5) / 1000000 AS sin_p
+        |FROM orders""".stripMargin,
+
+    "q55_map_funcs" ->
+      """SELECT o_custkey,
+        |       CAST(size(map_keys(m)) AS BIGINT) AS n_pri,
+        |       coalesce(element_at(m, '1-URGENT'), 0L) AS n_urgent,
+        |       coalesce(element_at(m, '5-LOW'), 0L) AS n_low,
+        |       array_join(map_keys(m), ',') AS pris
+        |FROM (SELECT o_custkey,
+        |             map_from_entries(sort_array(collect_list(struct(o_orderpriority, n)))) AS m
+        |      FROM (SELECT o_custkey, o_orderpriority, count(*) AS n
+        |            FROM orders GROUP BY o_custkey, o_orderpriority)
+        |      GROUP BY o_custkey)""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -31,6 +32,8 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et"))
 
   private def words(c: Column): Column = split(c, " ")
+
+  private def micro(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
 
   /** THE quality formula — single source of truth for t02, p01, and
     * d09, each of which must stay bit-identical to its DuckDB oracle
@@ -509,6 +512,93 @@ object TextAnalysis {
                      + ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * ((tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + nrm))
                      + ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * ((tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + nrm)) AS score
               FROM n WHERE tf0 + tf1 + tf2 > 0
-              ORDER BY score DESC, doc_id ASC LIMIT 20"""))
+              ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- t14: Zipf rank-frequency fit per source -------------------------
+    // Corpus-distribution diagnostics: fit ln(freq) = a·ln(rank) + b over
+    // each source's top terms (natural text slopes ≈ −1; a source whose
+    // slope collapses toward 0 is template/boilerplate output, one that
+    // steepens is degenerate repetition — a standard corpus-health check
+    // before training). Shape at 100 TB: unigram counts are ONE
+    // map-side-combined corpus exchange down to (source × vocab); the
+    // rank window partitions BY SOURCE (parallel, never a global sort),
+    // a min-support filter bounds what gets ranked, and the regression
+    // is a tiny mergeable aggregate (regr_slope/intercept/r2 are moment
+    // sums). ln is per-libm so the fit lands on the micro grid.
+    ("t14_zipf",
+      (s, d) => {
+        val wRank = Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("word").asc)
+        val counts = Tables.documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 30)
+        counts.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"),
+            micro(regr_slope(log(col("c")), log(col("rnk")))).as("zipf_slope"),
+            micro(regr_intercept(log(col("c")), log(col("rnk")))).as("zipf_icpt"),
+            micro(regr_r2(log(col("c")), log(col("rnk")))).as("fit_r2"))
+      },
+      Some("""WITH uc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+                          FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                                FROM documents)
+                          GROUP BY source, word HAVING count(*) >= 5),
+              rk AS (SELECT source, c,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, word ASC) AS rnk
+                     FROM uc)
+              SELECT source, count(*) AS n_terms,
+                     FLOOR(regr_slope(ln(c), ln(rnk)) * 1000000 + 0.5) / 1000000 AS zipf_slope,
+                     FLOOR(regr_intercept(ln(c), ln(rnk)) * 1000000 + 0.5) / 1000000 AS zipf_icpt,
+                     FLOOR(regr_r2(ln(c), ln(rnk)) * 1000000 + 0.5) / 1000000 AS fit_r2
+              FROM rk WHERE rnk <= 30
+              GROUP BY source""")),
+
+    // ---- t15: bigram language-model scoring (perplexity filter) ---------
+    // The CCNet/KenLM quality gate re-expressed: train a bigram model on
+    // the corpus (MLE: P(w2|w1) = c(w1w2) / c(w1 as bigram-left)) and
+    // score every doc by its average log-probability and pseudo-
+    // perplexity — fluent docs score near the corpus distribution,
+    // boilerplate and word salad fall outside. Shape at 100 TB: the
+    // bigram stream (kept WITH multiplicity) gets its model counts from
+    // two count WINDOWS riding the stream's own exchanges (bigram-keyed,
+    // then left-word-keyed) — t07/t12's invariant: nothing
+    // vocabulary-sized is ever broadcast or collected — then one
+    // doc-keyed aggregate. Three exchanges total, all of the bigram
+    // stream. ln per-libm + merge-order-dependent sum → micro grid.
+    ("t15_ngram_lm",
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 2), " +
+              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
+          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        val modeled = bg
+          .withColumn("c_ab", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+          .withColumn("c_a", count(lit(1)).over(Window.partitionBy(col("w1"))))
+        modeled.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(log(col("c_ab").cast("double") / col("c_a"))).as("slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            micro(col("slp") / col("n_bigrams")).as("avg_logp"),
+            micro(exp(-col("slp") / col("n_bigrams"))).as("ppl"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram, ws[i] AS w1
+                     FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                           FROM w WHERE len(ws) >= 2)),
+              cab AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+              ca AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY w1)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     FLOOR(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*) * 1000000 + 0.5)
+                       / 1000000 AS avg_logp,
+                     FLOOR(exp(-(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*))) * 1000000 + 0.5)
+                       / 1000000 AS ppl
+              FROM bg JOIN cab USING (bigram) JOIN ca USING (w1)
+              GROUP BY doc_id"""))
   )
 }

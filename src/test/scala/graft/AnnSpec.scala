@@ -133,6 +133,42 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered-corpus recall=$recall")
   }
 
+  test("v11 SemDeDup keeper rule is sound and complete within cells") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AnnIndex
+    // Independent reconstruction: take the SAME deterministic cell
+    // assignments (model state is pure), then re-derive the drop set by
+    // brute-force driver-side cosine over within-cell pairs — a different
+    // execution path (Scala loops) than the operator's join.
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val cents = AnnIndex.trainCentroids(e, 16)
+    val rows = e.select(col("vec_id"),
+        AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = rows.groupBy(_._2)
+    val droppedExpected = byCell.values.flatMap { cell =>
+      for {
+        a <- cell.toSeq
+        b <- cell.toSeq
+        if a._1 > b._1 && cos(a._3, b._3) >= 0.45
+      } yield a._1
+    }.toSet
+    val expectedSurvivors = rows.map(_._1).toSet -- droppedExpected
+    val out = run("v11_semdedup").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet == expectedSurvivors,
+      s"missing=${(expectedSurvivors -- out.keySet).take(5)} extra=${(out.keySet -- expectedSurvivors).take(5)}")
+    // Reported cells match the model's assignment.
+    val cellOfId = rows.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, c) => assert(c == cellOfId(id)) }
+  }
+
   test("v04 native l2norm/dot agree with the HOF composition") {
     val rows = run("v04_vector_norm").collect()
     rows.foreach { r =>

@@ -160,4 +160,59 @@ class PlanShapeSpec extends AnyFunSuite {
       "search must not hash-shuffle the corpus")
     assert(p.contains("TakeOrdered"), "top-k must be TakeOrdered, not a global sort")
   }
+
+  test("p05 dataset split is pure map-side work — zero exchanges") {
+    // The split is a function of each row alone; any exchange or
+    // broadcast in this plan is a regression (p03's broadcast is for its
+    // per-source rates; p05 has no such state).
+    val p = planOf("p05_dataset_split")
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n${p.take(400)}")
+  }
+
+  test("t15 LM scoring keeps model counts on the stream's own exchanges") {
+    // The bigram model must never materialize as a broadcast or a
+    // vocabulary-keyed dimension join: both counts ride count windows
+    // over the bigram stream (bigram-keyed, then left-word-keyed), plus
+    // one doc-keyed aggregate = at most 3 hash exchanges, 0 broadcasts.
+    val p = planOf("t15_ngram_lm")
+    assert(!p.contains("BroadcastExchange"), "no vocabulary-sized broadcast")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges")
+  }
+
+  test("t14 zipf ranks inside source partitions, never a global sort") {
+    // The rank window is partitioned by source — a global (empty
+    // partition spec) window would pull the whole vocabulary through one
+    // task at 100 TB.
+    val df = SparkEntry.queries("t14_zipf")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "rank window must be source-partitioned")
+  }
+
+  test("d13 incremental dedup: no cartesian, no candidate distinct") {
+    // Batch×corpus band join is equi-keyed; multi-band collisions are
+    // removed map-side (first-matching-band) and the final drops are
+    // LEFT ANTI joins — so the plan has no aggregate (a distinct would
+    // be one) and no cross product.
+    val p = planOf("d13_incremental_dedup")
+    assert(!p.contains("CartesianProduct"))
+    for (agg <- Seq("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
+      assert(!p.contains(agg), s"unexpected $agg — cascade must stay distinct-free")
+  }
+
+  test("v11 SemDeDup pairs only within cells (equi-join on cell, no cartesian)") {
+    val p = planOf("v11_semdedup")
+    assert(!p.contains("CartesianProduct"), "within-cell pairs must be cell-keyed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell pairs must be cell-keyed")
+  }
+
+  test("s08 gap fill: spine is dimension-sized and joins broadcast") {
+    // The corpus crosses ONE aggregate; the spine (bounds × types) must
+    // come back to the daily aggregate as a broadcast join, never a
+    // corpus-scale shuffle join.
+    val p = planOf("s08_gapfill")
+    assert(!p.contains("CartesianProduct"), "spine cross join must be broadcast (1-row side)")
+  }
 }
