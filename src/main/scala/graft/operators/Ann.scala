@@ -284,29 +284,38 @@ object Ann {
     // n, cells stay ~constant-sized; the within-cell join runs
     // partition-local when the table is the AnnIndex partitioned-by-cell
     // layout — zero cross-cell traffic by DEFINITION of the algorithm,
-    // which is the property d05's global LSH can't give). Keeper rule:
-    // drop a vector iff a SMALLER-ID vector sits in the same cell at
-    // cosine ≥ τ (the paper keeps one representative per near-dup
-    // clique; min-id is its deterministic form — no RNG, rerun-stable).
-    // Cross-cell near-dups are out of contract (the paper accepts this
-    // recall trade; d05 is the exhaustive-recall path when it matters).
-    // Centroids are driver-side model state (spark.ml pattern), so no
-    // SQL oracle — AnnSpec pins soundness + completeness of the keeper
-    // rule against an independently computed within-cell all-pairs set.
+    // which is the property d05's global LSH can't give). Centroids are
+    // driver-side model state (spark.ml pattern), so no SQL oracle —
+    // AnnSpec pins soundness + completeness of the keeper rule against
+    // an independently computed within-cell all-pairs set.
     ("v11_semdedup",
       (s, d) => {
-        val k = 16; val tau = 0.45
         val e = Tables.embeddings(s, d)
-        val cents = AnnIndex.trainCentroids(e, k)
-        val cells = e.select(col("vec_id"),
-          AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
-        val dropped = cells.as("a").join(cells.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
-          .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
-          .select(col("a.vec_id").as("vec_id"))
-        cells.join(dropped, Seq("vec_id"), "left_anti")
-          .select(col("vec_id"), col("cell"))
+        val cents = AnnIndex.trainCentroids(e, 16)
+        semDedup(e.select(col("vec_id"),
+          AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding")))
       },
       None)
   )
+
+  /** SemDeDup keeper pass over pre-assigned (vec_id, cell, embedding)
+    * rows. Keeper rule: drop a vector iff ANY smaller-id vector sits in
+    * the same cell at cosine ≥ τ — greedy and deterministic (no RNG,
+    * rerun-stable). NOTE this is the greedy approximation of the paper's
+    * one-representative-per-clique choice, not connected components: a
+    * chain a~c, b~c with a≁b keeps BOTH a and b (and drops c), where a
+    * CC-min-id keeper (the d06 pattern) would keep only a. Every kept
+    * vector is guaranteed to have no earlier near-duplicate; transitive
+    * chains may retain more than one representative — the conservative
+    * side of the trade (never drops a non-duplicate). Cross-cell
+    * near-dups are out of contract (the paper accepts this recall
+    * trade; d05 is the exhaustive-recall path when it matters). */
+  def semDedup(cells: DataFrame, tau: Double = 0.45): DataFrame = {
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

@@ -239,14 +239,9 @@ object Dedup {
         // multi-band collisions map-side and deletes what used to be a
         // candidate-sized `distinct()` exchange — the trade that wins at
         // 100 TB, where hot buckets make the candidate stream spiky and a
-        // second full shuffle of it is the bottleneck.
-        val buckets = docsT.select(col("doc_id"),
-            minHashSignature(col("text"), 3, bands * rows).as("mh"))
-          .select(col("doc_id"),
-            array((0 until bands).map(b =>
-              xxhash64(slice(col("mh"), b * rows + 1, rows))): _*).as("bsig"))
-          .select(col("doc_id"), col("bsig"), posexplode(col("bsig")))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+        // second full shuffle of it is the bottleneck. Builder + verify
+        // are shared with d13 (Lsh.minhashBandTable/jaccardVerifiedPairs).
+        val buckets = Lsh.minhashBandTable(docsT, 3, bands, rows)
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))
@@ -256,18 +251,8 @@ object Dedup {
           // XOR trick d03/d05 use). Map-side; no distinct, no exchange.
           .filter(col("a.band") === Lsh.firstMatchingBandArrays(col("a.bsig"), col("b.bsig")))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        // Exact Jaccard verify on candidates only: join the (few) pairs
-        // back to a doc→gram-set projection, so the wide arrays shuffle
-        // once keyed by doc_id instead of through the band join.
-        val hs = docsT.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
-        cands
-          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("sha")), "a_id")
-          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("shb")), "b_id")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("jac", col("inter").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("inter")))
-          .filter(col("jac") >= 0.9)
-          .select(col("a_id"), col("b_id"), col("jac"))
+        // Exact Jaccard verify on candidates only.
+        Lsh.jaccardVerifiedPairs(cands, docsT, 0.9)
       },
       // Oracle = exact all-pairs Jaccard ≥ 0.9 (LSH banding at 8×4 has
       // miss probability < 1e-8 per true pair at jac ≥ 0.95; the corpus'
@@ -632,34 +617,28 @@ object Dedup {
         val docsT = Tables.documents(s, d)
         val isBatch = col("doc_id") % 5 === 0
         // Stage 1: exact cascade — drop batch docs whose raw text already
-        // exists in the corpus, BEFORE any signature work.
+        // exists in the corpus, BEFORE any signature work. localCheckpoint
+        // because the survivor set feeds BOTH the band table and the final
+        // anti-join (the ngramPairs pattern — without it the md5 anti-join
+        // subtree plans and executes twice).
         val exactSurv = docsT.filter(isBatch)
           .withColumn("h", md5(col("text")))
           .join(docsT.filter(!isBatch).select(md5(col("text")).as("h")),
             Seq("h"), "left_anti")
           .drop("h")
-        // Stage 2: MinHash-LSH candidates, batch-survivors × corpus.
-        def bandTable(df: DataFrame) = df
-          .select(col("doc_id"), minHashSignature(col("text"), 3, bands * rows).as("mh"))
-          .select(col("doc_id"),
-            array((0 until bands).map(b =>
-              xxhash64(slice(col("mh"), b * rows + 1, rows))): _*).as("bsig"))
-          .select(col("doc_id"), col("bsig"), posexplode(col("bsig")))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
-        val bat = bandTable(exactSurv)
-        val corp = bandTable(docsT.filter(!isBatch))
+          .localCheckpoint()
+        // Stage 2: MinHash-LSH candidates, batch-survivors × corpus —
+        // band table + exact-Jaccard verify shared verbatim with d02
+        // (Lsh.minhashBandTable/jaccardVerifiedPairs), so the band
+        // geometry d02's recall measurement rests on cannot drift.
+        val bat = Lsh.minhashBandTable(exactSurv, 3, bands, rows)
+        val corp = Lsh.minhashBandTable(docsT.filter(!isBatch), 3, bands, rows)
         val cands = bat.as("a").join(corp.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
           .filter(col("a.band") === Lsh.firstMatchingBandArrays(col("a.bsig"), col("b.bsig")))
-          .select(col("a.doc_id").as("bat_id"), col("b.doc_id").as("corp_id"))
-        val hs = docsT.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
-        val dupIds = cands
-          .join(hs.select(col("doc_id").as("bat_id"), col("hs").as("sha")), "bat_id")
-          .join(hs.select(col("doc_id").as("corp_id"), col("hs").as("shb")), "corp_id")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .filter(col("inter").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.9)
-          .select(col("bat_id").as("doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        val dupIds = Lsh.jaccardVerifiedPairs(cands, docsT, 0.9)
+          .select(col("a_id").as("doc_id"))
         exactSurv.join(dupIds, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), col("n_chars"))
       },

@@ -239,42 +239,49 @@ object Events {
                 FROM hourly)
               WHERE rn <= 3""")),
 
-    // ---- s08: date-spine gap fill (time-series densification) -----------
-    // Daily per-type activity with missing days ZERO-FILLED — the spine
-    // every time-series chart/model needs (a day with no events must be
-    // a 0 row, not an absent row; naive GROUP BY can't produce it).
-    // Shape at 100 TB: the corpus crosses ONE hash-aggregate down to
-    // (day × type) cardinality; the spine is sequence(min_day, max_day)
-    // exploded CROSS JOIN the type domain — dimension-sized rows built
-    // from a 1-row bounds aggregate, never from the corpus — and the
-    // fill is a broadcast-able left join of spine against the aggregate.
-    // Everything after the first exchange is dimension-scale.
+    // ---- s08: time-spine gap fill (time-series densification) -----------
+    // Hourly per-type activity of HIGH-VALUE events with missing hours
+    // ZERO-FILLED — the spine every time-series chart/model needs (an
+    // hour with no qualifying events must be a 0 row, not an absent
+    // row; naive GROUP BY can't produce it). The value ≥ 99 filter is
+    // what makes the series genuinely sparse at every SF (the raw
+    // stream covers every hour; filtered series are the ones that need
+    // densification) — 94 to 3406 of the ~3600 spine slots are
+    // zero-filled across sf0.001–0.1, so the fill path is exercised,
+    // not decorative. Shape at 100 TB: the corpus crosses ONE
+    // hash-aggregate down to (hour × type) cardinality; the spine is
+    // sequence(min_hr, max_hr) exploded CROSS JOIN the type domain —
+    // dimension-sized rows built from a 1-row bounds aggregate, never
+    // from the corpus — and the fill is a broadcast left join of the
+    // aggregate onto the spine. Everything after the first exchange is
+    // dimension-scale.
     ("s08_gapfill",
       (s, d) => {
         val e = Tables.events(s, d)
-          .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
-        val daily = e.groupBy(col("day"), col("event_type"))
+          .filter(col("value") >= 99)
+          .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("value"))
+        val hourly = e.groupBy(col("hr"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-        val spine = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val spine = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
           .crossJoin(e.select(col("event_type")).distinct())
-        spine.join(daily, Seq("day", "event_type"), "left")
-          .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
+        spine.join(hourly, Seq("hr", "event_type"), "left")
+          .select(unix_micros(col("hr")).as("hour_us"),
             col("event_type"),
             coalesce(col("n"), lit(0L)).as("n_events"),
             cents(coalesce(col("sv"), lit(0.0))).as("sum_value"))
       },
-      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
-              daily AS (SELECT day, event_type, count(*) AS n, sum(value) AS sv
-                        FROM e GROUP BY 1, 2),
-              b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
-              spine AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
-                                 INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      Some("""WITH e AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hr, event_type, value
+                         FROM events WHERE value >= 99),
+              hourly AS (SELECT hr, event_type, count(*) AS n, sum(value) AS sv
+                         FROM e GROUP BY 1, 2),
+              b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+              spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
               types AS (SELECT DISTINCT event_type FROM e)
-              SELECT epoch_us(s.day::TIMESTAMP) AS day_us, t.event_type,
-                     coalesce(d.n, 0) AS n_events,
-                     FLOOR(coalesce(d.sv, 0) * 100 + 0.5) / 100 AS sum_value
+              SELECT epoch_us(s.hr) AS hour_us, t.event_type,
+                     coalesce(h.n, 0) AS n_events,
+                     FLOOR(coalesce(h.sv, 0) * 100 + 0.5) / 100 AS sum_value
               FROM spine s CROSS JOIN types t
-              LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type"""))
+              LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = t.event_type"""))
   )
 }

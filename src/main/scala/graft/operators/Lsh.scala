@@ -50,6 +50,44 @@ object Lsh {
   def firstMatchingBandArrays(a: Column, b: Column): Column =
     (array_position(zip_with(a, b, (x, y) => x === y), true) - 1).cast("int")
 
+  /** (doc_id, bsig, band, sig) MinHash band table over a documents frame
+    * — the ONE builder behind d02 (corpus self-dedup) and d13
+    * (incremental batch-vs-corpus dedup), so band geometry, slicing and
+    * the signature kernel can never drift between them (the
+    * [[hammingPairs]] rule applied to the minhash family). The table
+    * stays NARROW — no gram arrays ride the band exchange — but carries
+    * the full band-sig array (+8 B/band) so [[firstMatchingBandArrays]]
+    * can dedup multi-band collisions map-side, with no candidate-sized
+    * distinct. */
+  def minhashBandTable(docs: DataFrame, shingleN: Int, bands: Int, rows: Int): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextHash
+          .minHashSignature(col("text"), shingleN, bands * rows).as("mh"))
+      .select(col("doc_id"),
+        array((0 until bands).map(b =>
+          xxhash64(slice(col("mh"), b * rows + 1, rows))): _*).as("bsig"))
+      .select(col("doc_id"), col("bsig"), posexplode(col("bsig")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs: joins
+    * the (few) candidates back to a doc-keyed shingle-hash-set
+    * projection over `docs`, so the wide gram arrays shuffle once keyed
+    * by doc_id — never through the band join — and keeps pairs with
+    * jac ≥ `minJac`. Shared by d02/d13 for the same no-drift reason as
+    * [[minhashBandTable]]. */
+  def jaccardVerifiedPairs(cands: DataFrame, docs: DataFrame, minJac: Double): DataFrame = {
+    val hs = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextHash.shingleHashSet(col("text")).as("hs"))
+    cands
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("sha")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
   /** Hamming-≤`maxHamming` pairs over a (doc_id, sig) frame via the
     * pigeonhole band join — the ONE implementation behind text SimHash
     * (d03) and image dHash (m03), so the subtle parts (band equality,

@@ -136,15 +136,19 @@ class AnnSpec extends AnyFunSuite {
   test("v11 SemDeDup keeper rule is sound and complete within cells") {
     import org.apache.spark.sql.functions._
     import graft.operators.AnnIndex
-    // Independent reconstruction: take the SAME deterministic cell
-    // assignments (model state is pure), then re-derive the drop set by
-    // brute-force driver-side cosine over within-cell pairs — a different
-    // execution path (Scala loops) than the operator's join.
+    // Train ONCE and feed the same assignments to both the operator
+    // (Ann.semDedup) and this reconstruction: centroid means come from a
+    // distributed double-sum whose merge order Spark does not guarantee,
+    // so two independent trainings could disagree in the last ulp and
+    // flip a near-boundary argmax — the keeper LOGIC under test must not
+    // be hostage to that. The drop set is then re-derived by brute-force
+    // driver-side cosine over within-cell pairs — a different execution
+    // path (Scala loops) than the operator's join.
     val e = graft.Tables.embeddings(spark, TestSpark.sf)
     val cents = AnnIndex.trainCentroids(e, 16)
-    val rows = e.select(col("vec_id"),
-        AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
-      .collect()
+    val cellsDf = e.select(col("vec_id"),
+      AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
+    val rows = cellsDf.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -160,7 +164,7 @@ class AnnSpec extends AnyFunSuite {
       } yield a._1
     }.toSet
     val expectedSurvivors = rows.map(_._1).toSet -- droppedExpected
-    val out = run("v11_semdedup").collect()
+    val out = Ann.semDedup(cellsDf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out.keySet == expectedSurvivors,
       s"missing=${(expectedSurvivors -- out.keySet).take(5)} extra=${(out.keySet -- expectedSurvivors).take(5)}")

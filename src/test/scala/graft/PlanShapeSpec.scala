@@ -208,11 +208,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell pairs must be cell-keyed")
   }
 
-  test("s08 gap fill: spine is dimension-sized and joins broadcast") {
-    // The corpus crosses ONE aggregate; the spine (bounds × types) must
-    // come back to the daily aggregate as a broadcast join, never a
-    // corpus-scale shuffle join.
+  test("s08 gap fill: spine is dimension-sized and the fill join broadcasts") {
+    // The corpus crosses ONE aggregate; the spine (1-row bounds × type
+    // domain) and the hourly aggregate are both dimension-scale, so the
+    // fill must be a BROADCAST join — a sort-merge/shuffle-hash join
+    // here means Catalyst thinks one side is corpus-scale, which is the
+    // regression this pins against.
     val p = planOf("s08_gapfill")
     assert(!p.contains("CartesianProduct"), "spine cross join must be broadcast (1-row side)")
+    assert(p.contains("BroadcastHashJoin"), "fill join must broadcast a dimension-scale side")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-scale join strategy may appear in the gap-fill plan")
   }
 }
