@@ -997,6 +997,34 @@ object Relational {
                      count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
                      count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
                      string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS pris
-              FROM orders GROUP BY o_custkey"""))
+              FROM orders GROUP BY o_custkey""")),
+
+    // ---- q56: VARIANT semi-structured type --------------------------------
+    // Spark 4's native VARIANT — the typed semi-structured path beyond
+    // q31's schema-on-read from_json: parse once into the binary variant
+    // encoding, then typed point extractions (variant_get) with cast
+    // semantics per path — int/double/string views of the same field,
+    // absent paths → NULL. At 100 TB this is the ingestion pattern for
+    // heterogeneous event payloads: parse_json at write time, store
+    // VARIANT, extract lazily — point lookups read the variant's
+    // internal offsets, not a re-parse per field. All map-side codegen;
+    // outputs are plain scalars so the oracle (DuckDB JSON operators)
+    // compares on values, not engine encodings.
+    ("q56_variant",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k_int"),
+          expr("variant_get(parse_json(props), '$.k', 'double')").as("k_dbl"),
+          expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+          expr("variant_get(parse_json(props), '$.missing', 'long')").as("k_missing"),
+          (expr("variant_get(parse_json(props), '$.k', 'long')") % 2 === 0).as("k_even")),
+      Some("""SELECT event_id,
+                     CAST(props->>'$.k' AS BIGINT) AS k_int,
+                     CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+                     props->>'$.k' AS k_str,
+                     CAST(NULL AS BIGINT) AS k_missing,
+                     CAST(props->>'$.k' AS BIGINT) % 2 = 0 AS k_even
+              FROM events WHERE event_id < 500"""))
   )
 }

@@ -484,6 +484,15 @@ object RelationalSql {
         |             map_from_entries(sort_array(collect_list(struct(o_orderpriority, n)))) AS m
         |      FROM (SELECT o_custkey, o_orderpriority, count(*) AS n
         |            FROM orders GROUP BY o_custkey, o_orderpriority)
-        |      GROUP BY o_custkey)""".stripMargin
+        |      GROUP BY o_custkey)""".stripMargin,
+
+    "q56_variant" ->
+      """SELECT event_id,
+        |       variant_get(parse_json(props), '$.k', 'long') AS k_int,
+        |       variant_get(parse_json(props), '$.k', 'double') AS k_dbl,
+        |       variant_get(parse_json(props), '$.k', 'string') AS k_str,
+        |       variant_get(parse_json(props), '$.missing', 'long') AS k_missing,
+        |       variant_get(parse_json(props), '$.k', 'long') % 2 = 0 AS k_even
+        |FROM events WHERE event_id < 500""".stripMargin
   )
 }

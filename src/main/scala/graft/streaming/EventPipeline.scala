@@ -119,6 +119,26 @@ object EventPipeline {
         col("e.value").as("err_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution shape
+    * where the unmatched side matters (every click reports, with NULL
+    * error columns when no same-user error preceded it). Outer rows
+    * can only emit once BOTH watermarks pass the click's interval (the
+    * error side can no longer produce a match), so results for quiet
+    * keys arrive with watermark latency — the inherent outer-join
+    * trade; state stays O(rate × window) exactly like the inner form. */
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val e = errors.withWatermark("ts", "1 hour").alias("e")
+    c.join(e,
+      expr("""c.user_id = e.user_id AND
+              e.ts BETWEEN c.ts - INTERVAL 30 MINUTES AND c.ts"""),
+      "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        unix_micros(col("c.ts")).as("click_ts_us"),
+        unix_micros(col("e.ts")).as("err_ts_us"),
+        col("e.value").as("err_value"))
+  }
+
   /** s02 twin: gap-based sessionization via flatMapGroupsWithState.
     * Emits a session when a gap closes it or the event-time timeout fires
     * (watermark has passed last_event + gap). */

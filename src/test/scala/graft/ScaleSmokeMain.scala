@@ -37,7 +37,11 @@ object ScaleSmokeMain {
           (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
           array_join(transform(split(col("text"), " "),
             w => concat(col("rep").cast("string"), lit("x"), w)), " ").as("text"),
-          col("n_chars"), col("lang"))
+          col("n_chars"), col("lang"),
+          // Replica-prefixed source: the source DOMAIN scales with rep
+          // (20×rep sources), each with a constant per-source corpus —
+          // the right growth model for per-source aggregates (t14/p05).
+          concat(col("rep").cast("string"), lit("x"), col("source")).as("source"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
     // Label from the corpus actually on disk (under `keep` the CLI rep
@@ -52,9 +56,10 @@ object ScaleSmokeMain {
     // its Scaladoc documents that bound.
     val family = Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
       "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
-      "d12_dedup_spans", "t05_normalize", "t06_vocab", "t07_tfidf", "t08_redact",
-      "t09_length_stats", "t10_repetition", "t11_pmi",
-      "p01_curation_pipeline", "p02_pack_sequences")
+      "d12_dedup_spans", "d13_incremental_dedup", "t05_normalize", "t06_vocab",
+      "t07_tfidf", "t08_redact", "t09_length_stats", "t10_repetition", "t11_pmi",
+      "t14_zipf", "t15_ngram_lm",
+      "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()

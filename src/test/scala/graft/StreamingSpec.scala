@@ -172,6 +172,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val errors = MemoryStream[StreamEvent]
+    val q = EventPipeline.clickErrorLeftJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("celj").outputMode(OutputMode.Append).start()
+    try {
+      errors.addData(StreamEvent(1L, ts(0), 7.0))
+      clicks.addData(
+        StreamEvent(1L, ts(10), 1.0),  // pairs with error@0
+        StreamEvent(1L, ts(50), 1.0))  // no error within 30 min → outer row
+      q.processAllAvailable()
+      // The unmatched click can only emit once BOTH watermarks pass its
+      // interval: push them with far-future sentinels (user 99), then one
+      // more round so the advanced watermark evicts + emits outer state.
+      for (_ <- 1 to 2) {
+        clicks.addData(StreamEvent(99L, ts(300), 0.0))
+        errors.addData(StreamEvent(99L, ts(300), 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("celj").filter("user_id = 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, baseUs + 10L * 60000000, baseUs), // matched pair
+        (1L, baseUs + 50L * 60000000, -1L)))   // outer row, NULL error side
+    } finally q.stop()
+  }
+
   test("file-source stream over parquet matches the batch aggregate") {
     // The production wiring: readStream over a directory, one micro-batch
     // (Trigger.AvailableNow), memory sink — compared to the batch twin.
