@@ -293,6 +293,126 @@ object Pipeline {
                      CASE WHEN u < 4294967296.0 * 0.8 THEN 'train'
                           WHEN u < 4294967296.0 * 0.9 THEN 'val'
                           ELSE 'test' END AS split
-              FROM u"""))
+              FROM u""")),
+
+    // ---- p06: the END-TO-END pretraining data pipeline -------------------
+    // Every layout stage composed into ONE DAG — the proof that the
+    // pieces are compatible, not just individually correct: quality
+    // gate (p01's kernel) → exact-dedup keeper (window-min) → per-source
+    // budget thinning (p03's md5-uniform) → train/val/test assignment
+    // (p05, SALTED hash: the mix decision already truncated the unsalted
+    // u's range, so reusing it would skew split proportions on thinned
+    // sources) → deterministic-order sequence packing of the train split
+    // (p04's split prefix sum). Oracle-exact through all five stages.
+    // Exchange budget at 100 TB: the kernel + thinning + split stages
+    // are map-side; corpus-scale exchanges are the keeper window (1) and
+    // the packing's bucket window (1); everything else is tiny
+    // aggregates and broadcasts. TWO corpus exchanges for the whole
+    // pipeline — each stage run separately would pay its own scans and
+    // re-shuffles; composition amortizes them.
+    ("p06_pipeline_e2e",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "is")
+        val budgetChars = 4000L; val cap = 512L; val scale = 4294967296.0
+        def u8(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 8), 16, 10).cast("double")
+        // 1-2: gate + keeper (p01 stages 1-3).
+        val norm = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            qualityFeaturesCol(col("text"), stop).as("f"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens"),
+            col("f.norm_text").as("norm_text"),
+            TextAnalysis.qualityScore(col("f.n_words"), col("f.n_distinct"), col("f.n_stop"))
+              .as("q"))
+          .filter(col("q") >= 0.5)
+        val wKeep = Window.partitionBy(md5(col("norm_text")))
+        val kept = norm.withColumn("keeper", min(col("doc_id")).over(wKeep))
+          .filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens"))
+        // 3: per-source thinning (p03).
+        val rates = kept.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("tc"))
+          .select(col("source"),
+            floor(least(lit(1.0), lit(budgetChars).cast("double") / col("tc")) * scale)
+              .as("thr"))
+        val mixed = kept.join(broadcast(rates), "source")
+          .filter(u8(col("doc_id").cast("string")) < col("thr"))
+        // 4: split assignment (p05, salted).
+        val tagged = mixed.withColumn("us",
+            u8(concat(lit("split:"), col("doc_id").cast("string"))))
+          .withColumn("split",
+            when(col("us") < scale * 0.8, "train")
+              .when(col("us") < scale * 0.9, "val").otherwise("test"))
+        // 5: pack the train split in deterministic shuffled order (p04).
+        val t = tagged.filter(col("split") === "train")
+          .withColumn("skey", md5(concat(lit("order:"), col("doc_id").cast("string"))))
+          .withColumn("bkt", substring(col("skey"), 1, 2))
+        val wLocal = Window.partitionBy(col("bkt"))
+          .orderBy(col("skey"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = t.withColumn("local_start",
+          coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+        val wBkt = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btok"))
+          .withColumn("boff", coalesce(sum(col("btok")).over(wBkt), lit(0L)))
+          .select(col("bkt"), col("boff"))
+        local.join(broadcast(offsets), "bkt")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            (col("local_start") + col("boff")).as("tok_start"))
+          .withColumn("seq_id", floor(col("tok_start") / cap).cast("long"))
+      },
+      Some("""WITH norm AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         ' +', ' ', 'g')) AS norm_text
+                FROM documents),
+              feats AS (
+                SELECT *, len(string_split(norm_text, ' ')) AS n_words,
+                       len(list_distinct(string_split(norm_text, ' '))) * 1.0
+                         / len(string_split(norm_text, ' ')) AS ttr,
+                       len(list_filter(string_split(norm_text, ' '),
+                         x -> x IN ('the','a','of','and','is'))) * 1.0
+                         / len(string_split(norm_text, ' ')) AS stop_ratio
+                FROM norm),
+              qualified AS (
+                SELECT doc_id, source, n_chars, n_tokens, norm_text
+                FROM feats
+                WHERE least(1.0, n_words * 1.0 / 100.0) * 0.5 + ttr * 0.3
+                      + (1.0 - stop_ratio) * 0.2 >= 0.5),
+              keepers AS (SELECT md5(norm_text) AS h, min(doc_id) AS keeper_id
+                          FROM qualified GROUP BY md5(norm_text)),
+              kept AS (SELECT q.doc_id, q.source, q.n_chars, q.n_tokens
+                       FROM qualified q JOIN keepers k
+                         ON md5(q.norm_text) = k.h AND q.doc_id = k.keeper_id),
+              r AS (SELECT source,
+                           FLOOR(least(1.0, 4000.0 / CAST(sum(n_chars) AS BIGINT))
+                                 * 4294967296.0) AS thr
+                    FROM kept GROUP BY source),
+              hx AS (SELECT *,
+                       list_sum(list_transform(range(1, 9),
+                         i -> (strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                              * 16.0 ** (8 - i))) AS u_mix,
+                       list_sum(list_transform(range(1, 9),
+                         i -> (strpos('0123456789abcdef',
+                                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                              * 16.0 ** (8 - i))) AS u_split
+                     FROM kept),
+              mixed AS (SELECT hx.* FROM hx JOIN r USING (source) WHERE u_mix < thr),
+              train AS (SELECT doc_id, source, n_tokens,
+                               md5('order:' || CAST(doc_id AS VARCHAR)) AS skey
+                        FROM mixed WHERE u_split < 4294967296.0 * 0.8),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                             AS BIGINT) AS tok_start
+                    FROM train)
+              SELECT doc_id, source, n_tokens, tok_start,
+                     CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_id
+              FROM c"""))
   )
 }

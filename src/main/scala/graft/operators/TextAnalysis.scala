@@ -599,6 +599,61 @@ object TextAnalysis {
                      FLOOR(exp(-(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*))) * 1000000 + 0.5)
                        / 1000000 AS ppl
               FROM bg JOIN cab USING (bigram) JOIN ca USING (w1)
-              GROUP BY doc_id"""))
+              GROUP BY doc_id""")),
+
+    // ---- t16: perplexity bucketing (CCNet head/middle/tail) --------------
+    // CCNet's routing step: per LANGUAGE, rank docs by LM score and cut
+    // into terciles — "head" trains as-is, "middle" gets reviewed,
+    // "tail" is dropped or down-weighted. Buckets come from ntile(3)
+    // over (gridded avg_logp, doc_id): the grid first, THEN the rank,
+    // so the ordering both engines ntile over is the already-agreed
+    // value, not a raw libm double whose last ulp could flip a tercile
+    // boundary. Shape at 100 TB: t15's scoring plus one lang-keyed
+    // window over (doc, score) rows — per-language rank, never a global
+    // sort.
+    ("t16_ppl_buckets",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(0, size(ws) - 2), " +
+              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
+          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+          .withColumn("c_ab", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+          .withColumn("c_a", count(lit(1)).over(Window.partitionBy(col("w1"))))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(log(col("c_ab").cast("double") / col("c_a"))).as("slp"),
+            count(lit(1)).as("nb"))
+          .select(col("doc_id"), col("lang"),
+            micro(col("slp") / col("nb")).as("avg_logp"))
+        val wLang = Window.partitionBy(col("lang"))
+          .orderBy(col("avg_logp").desc, col("doc_id").asc)
+        scored.withColumn("tercile", ntile(3).over(wLang).cast("long"))
+          .withColumn("bucket",
+            when(col("tercile") === 1, "head")
+              .when(col("tercile") === 2, "middle")
+              .otherwise("tail"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+              bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bigram, ws[i] AS w1
+                     FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+                           FROM w WHERE len(ws) >= 2)),
+              cab AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+              ca AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY w1),
+              sc AS (SELECT doc_id, lang,
+                            FLOOR(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*) * 1000000 + 0.5)
+                              / 1000000 AS avg_logp
+                     FROM bg JOIN cab USING (bigram) JOIN ca USING (w1)
+                     GROUP BY doc_id, lang),
+              rk AS (SELECT doc_id, lang, avg_logp,
+                            CAST(ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logp DESC, doc_id ASC) AS BIGINT) AS tercile
+                     FROM sc)
+              SELECT doc_id, lang, avg_logp, tercile,
+                     CASE WHEN tercile = 1 THEN 'head'
+                          WHEN tercile = 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM rk"""))
   )
 }

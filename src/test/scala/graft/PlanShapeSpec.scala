@@ -208,6 +208,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell pairs must be cell-keyed")
   }
 
+  test("p06 end-to-end pipeline: every unpartitioned window sees only aggregated rows") {
+    // The composed pipeline inherits p02/p04's invariant: corpus-scale
+    // cumsums are bucket-partitioned (parallel); any single-task window
+    // (empty partition spec) may only run over an Aggregate's output —
+    // the 256 bucket totals — never raw documents.
+    val df = SparkEntry.queries("p06_pipeline_e2e")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+  }
+
+  test("t16 perplexity bucketing never ranks through a single task") {
+    // Both the LM count windows (bigram/w1-keyed) and the tercile rank
+    // (lang-keyed) must be partitioned — a global ntile would pull every
+    // scored doc through one task at 100 TB.
+    val df = SparkEntry.queries("t16_ppl_buckets")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "all t16 windows must be key-partitioned")
+  }
+
   test("s08 gap fill: spine is dimension-sized and the fill join broadcasts") {
     // The corpus crosses ONE aggregate; the spine (1-row bounds × type
     // domain) and the hourly aggregate are both dimension-scale, so the
