@@ -239,6 +239,56 @@ object Events {
                 FROM hourly)
               WHERE rn <= 3""")),
 
+    // ---- s09: trailing-window anomaly detection --------------------------
+    // The telemetry alerting shape: z-score each hour's per-type total
+    // against its own trailing 24-hour window, flag |z| > 2. The raw
+    // stream first collapses through ONE corpus-scale hash-aggregate to
+    // the (hour × type) series — detection math then runs on
+    // dimension-scale rows (the alternative, windowing raw events
+    // PARTITION BY type, would put an entire event type through one
+    // task). The trailing frame is a RANGE window on integer epoch
+    // hours; mean/stddev are order-dependent moment merges → the z
+    // lands on the micro grid with the SAME op order both engines
+    // execute, and the flag reads the gridded z so the two engines
+    // agree on boundaries.
+    ("s09_anomaly",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+          .agg(sum(col("value")).as("sv"))
+          .select((unix_micros(col("hr")) / 3600000000L).cast("long").as("hr_no"),
+            col("event_type"), col("sv"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("hr_no")).rangeBetween(-23, Window.currentRow)
+        hourly
+          .withColumn("m", avg(col("sv")).over(w))
+          .withColumn("sd", stddev_samp(col("sv")).over(w))
+          .withColumn("n_win", count(lit(1)).over(w))
+          .select(col("hr_no"), col("event_type"),
+            cents(col("sv")).as("sum_value"), col("n_win"),
+            when(col("sd").isNull || col("sd") === 0.0, lit(0.0))
+              .otherwise(floor((col("sv") - col("m")) / col("sd") * 1000000 + 0.5) / 1000000)
+              .as("z"))
+          .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      },
+      Some("""WITH hourly AS (
+                SELECT CAST(epoch_us(date_trunc('hour', ts::TIMESTAMP)) / 3600000000 AS BIGINT)
+                         AS hr_no,
+                       event_type, sum(value) AS sv
+                FROM events GROUP BY 1, 2),
+              z AS (SELECT hr_no, event_type,
+                           FLOOR(sv * 100 + 0.5) / 100 AS sum_value,
+                           count(*) OVER w AS n_win,
+                           CASE WHEN stddev_samp(sv) OVER w IS NULL
+                                  OR stddev_samp(sv) OVER w = 0 THEN 0.0
+                                ELSE FLOOR((sv - avg(sv) OVER w) / (stddev_samp(sv) OVER w)
+                                       * 1000000 + 0.5) / 1000000 END AS z
+                    FROM hourly
+                    WINDOW w AS (PARTITION BY event_type ORDER BY hr_no
+                                 RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+              SELECT hr_no, event_type, sum_value, n_win, z, abs(z) > 2.0 AS is_anomaly
+              FROM z""")),
+
     // ---- s08: time-spine gap fill (time-series densification) -----------
     // Hourly per-type activity of HIGH-VALUE events with missing hours
     // ZERO-FILLED — the spine every time-series chart/model needs (an

@@ -1025,6 +1025,27 @@ object Relational {
                      props->>'$.k' AS k_str,
                      CAST(NULL AS BIGINT) AS k_missing,
                      CAST(props->>'$.k' AS BIGINT) % 2 = 0 AS k_even
-              FROM events WHERE event_id < 500"""))
+              FROM events WHERE event_id < 500""")),
+
+    // ---- q57: ORDER BY null placement ------------------------------------
+    // NULLS FIRST / NULLS LAST on both sort directions. The driver's
+    // compare sorts rows before hashing, so ordering semantics are made
+    // OBSERVABLE through LIMIT: which 60 rows survive depends entirely
+    // on where the manufactured NULLs sort. Spark defaults (asc→nulls
+    // first, desc→nulls last) differ from engines like Postgres (nulls
+    // high), so both placements are written EXPLICITLY on both sides.
+    // TakeOrdered top-k — per-partition heaps, no global sort.
+    ("q57_null_ordering",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("nullif(o_orderpriority, '1-URGENT')").as("pri_n"),
+          col("o_totalprice"))
+        .orderBy(col("pri_n").desc_nulls_first, col("o_totalprice").asc_nulls_last,
+          col("o_orderkey").asc)
+        .limit(60),
+      Some("""SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri_n, o_totalprice
+              FROM orders
+              ORDER BY pri_n DESC NULLS FIRST, o_totalprice ASC NULLS LAST, o_orderkey ASC
+              LIMIT 60"""))
   )
 }

@@ -493,6 +493,12 @@ object RelationalSql {
         |       variant_get(parse_json(props), '$.k', 'string') AS k_str,
         |       variant_get(parse_json(props), '$.missing', 'long') AS k_missing,
         |       variant_get(parse_json(props), '$.k', 'long') % 2 = 0 AS k_even
-        |FROM events WHERE event_id < 500""".stripMargin
+        |FROM events WHERE event_id < 500""".stripMargin,
+
+    "q57_null_ordering" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri_n, o_totalprice
+        |FROM orders
+        |ORDER BY pri_n DESC NULLS FIRST, o_totalprice ASC NULLS LAST, o_orderkey ASC
+        |LIMIT 60""".stripMargin
   )
 }
