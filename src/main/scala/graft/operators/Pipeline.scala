@@ -309,7 +309,13 @@ object Pipeline {
     // the packing's bucket window (1); everything else is tiny
     // aggregates and broadcasts. TWO corpus exchanges for the whole
     // pipeline — each stage run separately would pay its own scans and
-    // re-shuffles; composition amortizes them.
+    // re-shuffles; composition amortizes them. The amortization is NOT
+    // free from the optimizer: `kept` fans out to two consumers (rates
+    // aggregate + main path) and the train set to two more (cumsum +
+    // bucket totals), and Spark re-plans a shared subtree per consumer
+    // (4 corpus scans, 0 reused exchanges — measured) — so both shared
+    // frames are localCheckpoint'd, the d13/ngramPairs pattern: the
+    // gate+keeper subtree executes exactly once.
     ("p06_pipeline_e2e",
       (s, d) => {
         val stop = Seq("the", "a", "of", "and", "is")
@@ -330,6 +336,7 @@ object Pipeline {
         val kept = norm.withColumn("keeper", min(col("doc_id")).over(wKeep))
           .filter(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens"))
+          .localCheckpoint()
         // 3: per-source thinning (p03).
         val rates = kept.groupBy(col("source"))
           .agg(sum(col("n_chars")).as("tc"))
@@ -348,6 +355,7 @@ object Pipeline {
         val t = tagged.filter(col("split") === "train")
           .withColumn("skey", md5(concat(lit("order:"), col("doc_id").cast("string"))))
           .withColumn("bkt", substring(col("skey"), 1, 2))
+          .localCheckpoint()
         val wLocal = Window.partitionBy(col("bkt"))
           .orderBy(col("skey"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)

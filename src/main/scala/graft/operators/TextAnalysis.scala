@@ -35,6 +35,44 @@ object TextAnalysis {
 
   private def micro(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
 
+  /** Shared bigram-LM scoring core — the ONE implementation behind t15
+    * (score + perplexity) and t16 (per-language bucketing of the same
+    * score), so the bigram construction, the MLE formula and the count-
+    * window plan shape can never drift between the score an op reports
+    * and the score another op ranks. Returns one row per doc:
+    * (doc_id, extra..., n_bigrams, slp = Σ ln(c_ab / c_a)). Model counts
+    * ride count WINDOWS on the bigram stream's own exchanges
+    * (bigram-keyed, then left-word-keyed) — t07/t12's invariant: nothing
+    * vocabulary-sized is ever broadcast, joined or collected. */
+  private def lmScored(docs: DataFrame, extra: Seq[String]): DataFrame = {
+    val keys = col("doc_id") +: extra.map(col)
+    docs.select(keys :+ words(col("text")).as("ws"): _*)
+      .filter(size(col("ws")) >= 2)
+      .select(keys :+ explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"): _*)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("c_ab", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .withColumn("c_a", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("c_ab").cast("double") / col("c_a"))).as("slp"))
+  }
+
+  /** DuckDB mirror of [[lmScored]], shared by the t15/t16 oracles the
+    * same way (extraSel like ", lang" flows the extra key through). */
+  private def lmOracleCte(extraSel: String): String =
+    s"""w AS (SELECT doc_id$extraSel, string_split(text, ' ') AS ws FROM documents),
+       |bg AS (SELECT doc_id$extraSel, ws[i] || ' ' || ws[i+1] AS bigram, ws[i] AS w1
+       |       FROM (SELECT doc_id$extraSel, ws, unnest(range(1, len(ws))) AS i
+       |             FROM w WHERE len(ws) >= 2)),
+       |cab AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+       |ca AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY w1),
+       |sc AS (SELECT doc_id$extraSel, count(*) AS n_bigrams,
+       |              sum(ln(CAST(c_ab AS DOUBLE) / c_a)) AS slp
+       |       FROM bg JOIN cab USING (bigram) JOIN ca USING (w1)
+       |       GROUP BY ALL)""".stripMargin
+
   /** THE quality formula — single source of truth for t02, p01, and
     * d09, each of which must stay bit-identical to its DuckDB oracle
     * mirror AND to the others (d09's keeper choice composes p01's gate
@@ -569,37 +607,15 @@ object TextAnalysis {
     // doc-keyed aggregate. Three exchanges total, all of the bigram
     // stream. ln per-libm + merge-order-dependent sum → micro grid.
     ("t15_ngram_lm",
-      (s, d) => {
-        val bg = Tables.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(ws) - 2), " +
-              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
-          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
-        val modeled = bg
-          .withColumn("c_ab", count(lit(1)).over(Window.partitionBy(col("bigram"))))
-          .withColumn("c_a", count(lit(1)).over(Window.partitionBy(col("w1"))))
-        modeled.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(log(col("c_ab").cast("double") / col("c_a"))).as("slp"))
-          .select(col("doc_id"), col("n_bigrams"),
-            micro(col("slp") / col("n_bigrams")).as("avg_logp"),
-            micro(exp(-col("slp") / col("n_bigrams"))).as("ppl"))
-      },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-              bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram, ws[i] AS w1
-                     FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-                           FROM w WHERE len(ws) >= 2)),
-              cab AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
-              ca AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY w1)
-              SELECT doc_id, count(*) AS n_bigrams,
-                     FLOOR(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*) * 1000000 + 0.5)
-                       / 1000000 AS avg_logp,
-                     FLOOR(exp(-(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*))) * 1000000 + 0.5)
-                       / 1000000 AS ppl
-              FROM bg JOIN cab USING (bigram) JOIN ca USING (w1)
-              GROUP BY doc_id""")),
+      (s, d) => lmScored(Tables.documents(s, d), Nil)
+        .select(col("doc_id"), col("n_bigrams"),
+          micro(col("slp") / col("n_bigrams")).as("avg_logp"),
+          micro(exp(-col("slp") / col("n_bigrams"))).as("ppl")),
+      Some(s"""WITH ${lmOracleCte("")}
+               SELECT doc_id, n_bigrams,
+                      FLOOR(slp / n_bigrams * 1000000 + 0.5) / 1000000 AS avg_logp,
+                      FLOOR(exp(-(slp / n_bigrams)) * 1000000 + 0.5) / 1000000 AS ppl
+               FROM sc""")),
 
     // ---- t16: perplexity bucketing (CCNet head/middle/tail) --------------
     // CCNet's routing step: per LANGUAGE, rank docs by LM score and cut
@@ -613,20 +629,9 @@ object TextAnalysis {
     // sort.
     ("t16_ppl_buckets",
       (s, d) => {
-        val scored = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"), col("lang"), explode(expr(
-            "transform(sequence(0, size(ws) - 2), " +
-              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
-          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
-          .withColumn("c_ab", count(lit(1)).over(Window.partitionBy(col("bigram"))))
-          .withColumn("c_a", count(lit(1)).over(Window.partitionBy(col("w1"))))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(sum(log(col("c_ab").cast("double") / col("c_a"))).as("slp"),
-            count(lit(1)).as("nb"))
+        val scored = lmScored(Tables.documents(s, d), Seq("lang"))
           .select(col("doc_id"), col("lang"),
-            micro(col("slp") / col("nb")).as("avg_logp"))
+            micro(col("slp") / col("n_bigrams")).as("avg_logp"))
         val wLang = Window.partitionBy(col("lang"))
           .orderBy(col("avg_logp").desc, col("doc_id").asc)
         scored.withColumn("tercile", ntile(3).over(wLang).cast("long"))
@@ -635,21 +640,14 @@ object TextAnalysis {
               .when(col("tercile") === 2, "middle")
               .otherwise("tail"))
       },
-      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-              bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bigram, ws[i] AS w1
-                     FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
-                           FROM w WHERE len(ws) >= 2)),
-              cab AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
-              ca AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY w1),
-              sc AS (SELECT doc_id, lang,
-                            FLOOR(sum(ln(CAST(c_ab AS DOUBLE) / c_a)) / count(*) * 1000000 + 0.5)
-                              / 1000000 AS avg_logp
-                     FROM bg JOIN cab USING (bigram) JOIN ca USING (w1)
-                     GROUP BY doc_id, lang),
+      Some(s"""WITH ${lmOracleCte(", lang")},
+              g AS (SELECT doc_id, lang,
+                           FLOOR(slp / n_bigrams * 1000000 + 0.5) / 1000000 AS avg_logp
+                    FROM sc),
               rk AS (SELECT doc_id, lang, avg_logp,
                             CAST(ntile(3) OVER (PARTITION BY lang
                               ORDER BY avg_logp DESC, doc_id ASC) AS BIGINT) AS tercile
-                     FROM sc)
+                     FROM g)
               SELECT doc_id, lang, avg_logp, tercile,
                      CASE WHEN tercile = 1 THEN 'head'
                           WHEN tercile = 2 THEN 'middle'

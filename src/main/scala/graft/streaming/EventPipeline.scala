@@ -107,17 +107,8 @@ object EventPipeline {
     * feasible: state on each side is dropped once the other side's
     * watermark passes the interval, so memory is O(rate × window), not
     * O(stream). */
-  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("ts", "1 hour").alias("c")
-    val e = errors.withWatermark("ts", "1 hour").alias("e")
-    c.join(e,
-      expr("""c.user_id = e.user_id AND
-              e.ts BETWEEN c.ts - INTERVAL 30 MINUTES AND c.ts"""))
-      .select(col("c.user_id").as("user_id"),
-        unix_micros(col("c.ts")).as("click_ts_us"),
-        unix_micros(col("e.ts")).as("err_ts_us"),
-        col("e.value").as("err_value"))
-  }
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame =
+    intervalJoin(clicks, errors, "inner")
 
   /** LEFT OUTER stream-stream interval join — the attribution shape
     * where the unmatched side matters (every click reports, with NULL
@@ -126,13 +117,20 @@ object EventPipeline {
     * error side can no longer produce a match), so results for quiet
     * keys arrive with watermark latency — the inherent outer-join
     * trade; state stays O(rate × window) exactly like the inner form. */
-  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame): DataFrame =
+    intervalJoin(clicks, errors, "left_outer")
+
+  /** The ONE watermark + interval-condition + projection behind both
+    * join flavors, so the interval (30 min) and the watermark (1 h) can
+    * never diverge between the inner and outer twins. */
+  private def intervalJoin(clicks: DataFrame, errors: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", "1 hour").alias("c")
     val e = errors.withWatermark("ts", "1 hour").alias("e")
     c.join(e,
       expr("""c.user_id = e.user_id AND
               e.ts BETWEEN c.ts - INTERVAL 30 MINUTES AND c.ts"""),
-      "left_outer")
+      joinType)
       .select(col("c.user_id").as("user_id"),
         unix_micros(col("c.ts")).as("click_ts_us"),
         unix_micros(col("e.ts")).as("err_ts_us"),

@@ -211,15 +211,39 @@ class PlanShapeSpec extends AnyFunSuite {
   test("p06 end-to-end pipeline: every unpartitioned window sees only aggregated rows") {
     // The composed pipeline inherits p02/p04's invariant: corpus-scale
     // cumsums are bucket-partitioned (parallel); any single-task window
-    // (empty partition spec) may only run over an Aggregate's output —
-    // the 256 bucket totals — never raw documents.
+    // (empty partition spec) may only be the bucket-TOTAL cumsum — it
+    // must order by `bkt` AND sit directly over the bkt-grouped
+    // Aggregate. (An Aggregate merely somewhere in the subtree is not
+    // enough here: p06's broadcast rates aggregate would make that
+    // check pass even for a naive global cumsum over raw train rows.)
     val df = SparkEntry.queries("p06_pipeline_e2e")(spark, TestSpark.sf)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty)
-    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
-      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"global window over non-aggregated data:\n${w.treeString.take(400)}")
+    val globals = wins.filter(_.partitionSpec.isEmpty)
+    assert(globals.nonEmpty, "bucket-offset window missing")
+    globals.foreach { w =>
+      assert(w.orderSpec.exists(_.child.references.exists(_.name == "bkt")),
+        s"single-task window must order by the bucket key:\n${w.treeString.take(400)}")
+      assert(w.child.collectFirst { case a: Aggregate => a }
+          .exists(_.groupingExpressions.exists(_.references.exists(_.name == "bkt"))),
+        s"single-task window must run over the bkt-grouped totals:\n${w.treeString.take(400)}")
+    }
+  }
+
+  test("s09 anomaly detection windows run over the post-aggregate series only") {
+    // The z-score window must be (a) key-partitioned and (b) computed
+    // over the hourly Aggregate's output — windowing raw events
+    // PARTITION BY event_type would put an entire event type through
+    // one task at 100 TB.
+    val df = SparkEntry.queries("s09_anomaly")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "z-score window must be key-partitioned")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window over non-aggregated events:\n${w.treeString.take(400)}")
     }
   }
 
