@@ -12,6 +12,16 @@ case class StreamEvent(user_id: Long, ts: Timestamp, value: Double)
 /** Typed input row for the streaming funnel. */
 case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
 
+/** Typed input row for the streaming anomaly detector. */
+case class ValueEvent(ts: Timestamp, event_type: String, value: Double)
+
+/** Per-type anomaly state: trailing hourly sums (hour-number → Σvalue). */
+case class AnomalyState(sums: Map[Long, Double])
+
+/** One scored hour. */
+case class AnomalyOut(
+    hr_no: Long, event_type: String, sum_value: Double, z: Double, is_anomaly: Boolean)
+
 /** Per-user funnel progress (Long.MaxValue = stage not reached). */
 case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
 
@@ -135,6 +145,58 @@ object EventPipeline {
         unix_micros(col("c.ts")).as("click_ts_us"),
         unix_micros(col("e.ts")).as("err_ts_us"),
         col("e.value").as("err_value"))
+  }
+
+  /** s09's streaming twin: incremental trailing-window anomaly
+    * detection via flatMapGroupsWithState. The batch form computes a
+    * RANGE-frame z-score over the hourly series; streams can't chain a
+    * window over a streaming aggregate, so the state IS the window — a
+    * ring buffer of trailing hourly sums per event type (≤48 longs+
+    * doubles: 24 for the frame, 24 more for late arrivals), evicted as
+    * the max hour advances. Each batch folds its events into the
+    * buffer and re-scores the hours it touched against their trailing
+    * 24 entries. Semantics note: an hour revisited by a later batch is
+    * RE-emitted with its refined score (append mode; downstream keeps
+    * the latest per (hr, type)) — the price of incremental output, the
+    * same contract as the funnel's cross-batch bound. State per key is
+    * constant-size, independent of event rate. */
+  def anomalyStream(events: Dataset[ValueEvent]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateAnomaly)
+  }
+
+  private[streaming] def updateAnomaly(
+      eventType: String,
+      batch: Iterator[ValueEvent],
+      state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+    val hourUs = 3600L * 1000000L
+    val incoming = batch.toSeq.groupBy(e => micros(e.ts) / hourUs)
+      .map { case (h, es) => h -> es.map(_.value).sum }
+    var sums = state.getOption.map(_.sums).getOrElse(Map.empty[Long, Double])
+    incoming.foreach { case (h, v) => sums = sums.updated(h, sums.getOrElse(h, 0.0) + v) }
+    // Score against the FULL merged map, THEN evict what's persisted —
+    // evicting first would hollow out the trailing windows of earlier
+    // hours when one batch spans more than 48 of them. Future batches
+    // can't miss the evicted entries: the 2 h watermark drops anything
+    // that far behind the max event time long before the 48 h horizon.
+    val out = incoming.keys.toSeq.sorted.map { h =>
+      val win = sums.collect { case (k, v) if k >= h - 23 && k <= h => v }.toSeq
+      val n = win.size
+      val mean = win.sum / n
+      val sd = if (n < 2) 0.0
+        else math.sqrt(win.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      val x = sums(h)
+      val z = if (sd == 0.0) 0.0
+        else math.floor((x - mean) / sd * 1000000 + 0.5) / 1000000
+      AnomalyOut(h, eventType, x, z, math.abs(z) > 2.0)
+    }
+    val maxHr = if (sums.isEmpty) 0L else sums.keys.max
+    state.update(AnomalyState(sums.filter { case (h, _) => h > maxHr - 48 }))
+    out.iterator
   }
 
   /** s02 twin: gap-based sessionization via flatMapGroupsWithState.

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{EventPipeline, FunnelOut, SessionOut, StreamEvent, TypedEvent}
+import graft.streaming.{EventPipeline, FunnelOut, SessionOut, StreamEvent, TypedEvent, ValueEvent}
 
 case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
 
@@ -198,6 +198,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set(
         (1L, baseUs + 10L * 60000000, baseUs), // matched pair
         (1L, baseUs + 50L * 60000000, -1L)))   // outer row, NULL error side
+    } finally q.stop()
+  }
+
+  test("streaming anomaly detector matches batch s09 on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // Real corpus through the stream in one batch: every touched hour's
+    // trailing window is complete, so the scores must agree with the
+    // batch RANGE-frame form (stream state uses the two-pass variance,
+    // batch the merged moments — both land on the micro grid, compared
+    // here with one-grid-step tolerance).
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"), col("value")).as[ValueEvent]
+      .collect().toSeq
+    val in = MemoryStream[ValueEvent]
+    val q = EventPipeline.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("anom").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+      val batch = SparkEntry.queries("s09_anomaly")(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(4), r.getBoolean(5))).toMap
+      assert(streamed.keySet == batch.keySet)
+      var flagged = 0
+      streamed.foreach { case (k, (sv, z, flag)) =>
+        val (bsv, bz, bflag) = batch(k)
+        assert(math.abs(math.floor(sv * 100 + 0.5) / 100 - bsv) < 1e-9, s"$k sum")
+        assert(math.abs(z - bz) <= 1.1e-6, s"$k z: stream=$z batch=$bz")
+        if (math.abs(math.abs(z) - 2.0) > 1e-5) assert(flag == bflag, s"$k flag")
+        if (flag) flagged += 1
+      }
+      assert(flagged > 0, "vacuous: no anomalies in the corpus")
     } finally q.stop()
   }
 
