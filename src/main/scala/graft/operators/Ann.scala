@@ -279,19 +279,24 @@ object Ann {
     // The embedding-space dedup recipe from SemDeDup (Abbas et al. 2023,
     // arXiv:2303.09540): k-means-cluster the embeddings, then look for
     // near-identical pairs ONLY WITHIN each cluster — clustering turns
-    // the quadratic all-pairs problem into Σ_cells (n_c²), tractable
-    // because cells are capped by construction (at 100 TB: k scales with
-    // n, cells stay ~constant-sized; the within-cell join runs
-    // partition-local when the table is the AnnIndex partitioned-by-cell
-    // layout — zero cross-cell traffic by DEFINITION of the algorithm,
-    // which is the property d05's global LSH can't give). Centroids are
-    // driver-side model state (spark.ml pattern), so no SQL oracle —
-    // AnnSpec pins soundness + completeness of the keeper rule against
-    // an independently computed within-cell all-pairs set.
+    // the quadratic all-pairs problem into Σ_cells (n_c²). The scaling
+    // contract is ENFORCED here, not just claimed: k is derived from the
+    // corpus size (AnnIndex.cellCount — one cheap metadata-backed count,
+    // no data pass), so E[cell] stays ≈32 and the pair work stays linear
+    // in n with n/32 distinct join keys (reducer parallelism grows with
+    // the data). At 100 TB the same keeper runs over the persisted
+    // BUCKETED-by-cell layout (AnnIndex.writeCells/semDedupOnCells) where
+    // the pair join is partition-local — zero exchange, asserted on the
+    // executed plan in AnnIndexSpec. Centroids are driver-side model
+    // state (spark.ml pattern; fixed-point sums make training
+    // merge-order-insensitive, so the drop set is rerun-stable), no SQL
+    // oracle — AnnSpec pins soundness + completeness of the keeper rule
+    // against an independently computed within-cell all-pairs set.
     ("v11_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cents = AnnIndex.trainCentroids(e, 16)
+        val k = AnnIndex.cellCount(e.count())
+        val cents = AnnIndex.trainCentroids(e, k)
         semDedup(e.select(col("vec_id"),
           AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding")))
       },
@@ -310,12 +315,17 @@ object Ann {
     * side of the trade (never drops a non-duplicate). Cross-cell
     * near-dups are out of contract (the paper accepts this recall
     * trade; d05 is the exhaustive-recall path when it matters). */
-  def semDedup(cells: DataFrame, tau: Double = 0.45): DataFrame = {
-    val dropped = cells.as("a").join(cells.as("b"),
+  def semDedup(cells: DataFrame, tau: Double = 0.45): DataFrame =
+    cells.join(semDedupDropped(cells, tau), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+
+  /** The within-cell pair join alone (the scale-critical piece): every
+    * vec_id with a smaller-id near-duplicate in its cell. Exposed so the
+    * layout gate can assert THIS join — not the candidate-sized anti
+    * join after it — runs exchange-free over the bucketed cell table. */
+  def semDedupDropped(cells: DataFrame, tau: Double): DataFrame =
+    cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
       .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
       .select(col("a.vec_id").as("vec_id"))
-    cells.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell"))
-  }
 }

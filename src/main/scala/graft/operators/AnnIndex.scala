@@ -45,18 +45,29 @@ object AnnIndex {
     * `vec_id % 37 < 8`) — the spark.ml pattern: model state (k×dim
     * floats) round-trips to the driver, the data never does, and no
     * training pass explodes n×dim rows (per-cell sums reduce whole
-    * vectors, combining map-side). */
+    * vectors, combining map-side).
+    *
+    * The per-cell mean is accumulated in FIXED POINT: each float
+    * component is scaled to a Long (×2^24, rint) before the reduce, so
+    * the merge is integer addition — associative and commutative
+    * bit-for-bit — and the trained model is independent of Spark's
+    * merge order. (Double sums are not: last-ulp drift near an argmax
+    * boundary can flip a cell assignment and, downstream, a SemDeDup
+    * drop decision.) Quantization error ≤ 2^-25 per component per row —
+    * noise for a clustering model; determinism is the contract.
+    * Headroom: |x| ≤ 2^10 leaves 2^29 rows/cell before Long overflow. */
   def trainCentroids(e: DataFrame, k: Int, iters: Int = 2): Array[Array[Float]] = {
     import e.sparkSession.implicits._
     var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
       .orderBy(col("vec_id")).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
     val sample = e.filter(col("vec_id") % 37 < 8)
+    val Scale = (1L << 24).toDouble
     for (_ <- 1 to iters) {
       val means = sample
         .select(cellOf(col("embedding"), cents), col("embedding"))
         .as[(Int, Array[Float])]
-        .map { case (c, v) => (c, v.map(_.toDouble), 1L) }
+        .map { case (c, v) => (c, v.map(x => math.rint(x.toDouble * Scale).toLong), 1L) }
         .groupByKey(_._1)
         .reduceGroups { (x, y) =>
           val sum = x._2.clone()
@@ -64,12 +75,21 @@ object AnnIndex {
           while (i < sum.length) { sum(i) += y._2(i); i += 1 }
           (x._1, sum, x._3 + y._3)
         }
-        .map { case (c, (_, sum, n)) => (c, sum.map(v => (v / n).toFloat)) }
+        .map { case (c, (_, sum, n)) => (c, sum.map(v => (v.toDouble / Scale / n).toFloat)) }
         .collect().toMap
       cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
     }
     cents
   }
+
+  /** Cell count that keeps E[cell size] ≈ targetCellSize as the corpus
+    * grows — the SemDeDup scaling contract: with k = ⌈n / target⌉ the
+    * within-cell pair work Σ n_c² ≈ n·target stays LINEAR in n, and a
+    * join keyed by cell has n/target distinct keys, so reducer
+    * parallelism grows with the data instead of being pinned at a
+    * constant. */
+  def cellCount(n: Long, targetCellSize: Int = 32): Int =
+    math.max(1, math.ceil(n.toDouble / targetCellSize)).toInt
 
   /** Driver-side cosine over the model (qv vs a centroid). */
   def cosLocal(a: Array[Float], b: Array[Float]): Double = {
@@ -103,6 +123,27 @@ object AnnIndex {
       .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+
+  /** SemDeDup's at-scale layout: the cell assignment written BUCKETED by
+    * `cell`, so the within-cell pair join reads both sides pre-shuffled
+    * and runs with ZERO exchange — cross-cell traffic is impossible by
+    * layout, which is the whole point of the SemDeDup decomposition.
+    * `buckets` should track k/cellCount (many cells per bucket is fine;
+    * the join key is still `cell`). Asserted in AnnIndexSpec. */
+  def writeCells(e: DataFrame, cents: Array[Array[Float]],
+      table: String, buckets: Int): Unit =
+    Io.writeBucketedBy(
+      e.withColumn("cell", cellOf(col("embedding"), cents)),
+      table, Seq("cell"), buckets)
+
+  /** SemDeDup over the persisted bucketed cell layout: identical keeper
+    * set to the in-memory form (AnnIndexSpec pins equality), but the
+    * pair join is partition-local — no shuffle of the corpus at any
+    * scale. */
+  def semDedupOnCells(spark: SparkSession, table: String,
+      tau: Double = 0.45): DataFrame =
+    Ann.semDedup(
+      spark.table(table).select(col("vec_id"), col("cell"), col("embedding")), tau)
 
   // ---- IVF + PQ composed layout ---------------------------------------
 

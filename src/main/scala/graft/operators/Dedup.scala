@@ -663,4 +663,77 @@ object Dedup {
                WHERE doc_id % 5 = 0
                  AND doc_id NOT IN (SELECT bat_id FROM dup)"""))
   )
+
+  // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------
+  //
+  // The registered d13 builds the corpus band table in memory each run —
+  // correct, but at 100 TB the corpus side must be a standing layout
+  // written ONCE at ingest and only PROBED per crawl. These two entry
+  // points are that layout (proven equal to the in-memory form, with
+  // directory pruning and a shuffle-free corpus side, in AnnIndexSpec):
+  //
+  //   - `<prefix>_bands`  — the MinHash band table, PARTITIONED by
+  //     pb = pmod(hash(band, sig), parts) and BUCKETED by (band, sig).
+  //     The partition column turns a probe into directory-pruned I/O
+  //     (the batch's distinct pb set — at most `parts` ints, bounded
+  //     driver state — selects which directories are read at all), and
+  //     the bucketing pre-shuffles the corpus on the band-join key, so
+  //     the per-crawl join shuffles ONLY the batch side.
+  //   - `<prefix>_hashes` — (doc_id, md5) bucketed by hash: the stage-1
+  //     exact anti-join reads the corpus pre-shuffled on its key.
+  //   - `<prefix>_grams`  — (doc_id, shingle-hash-set) bucketed by
+  //     doc_id: exact-Jaccard verification joins candidates to persisted
+  //     gram sets — the corpus TEXT is never re-read, never re-shingled.
+  //
+  // Per-crawl cost: signature/gram work O(batch), candidates
+  // O(batch·dup_rate), corpus I/O = narrow pre-shuffled projections with
+  // the band read directory-pruned — no corpus recompute, no corpus
+  // shuffle, ever. All three builders are the SAME kernels the in-memory
+  // d02/d13 use (minhashBandTable / md5 / shingleHashSet), so geometry
+  // cannot drift between the layout and the operators measured on it.
+  def writeCorpusDedupLayout(corpus: DataFrame, prefix: String,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+      parts: Int = 128, buckets: Int = 8): Unit = {
+    import graft.sources.Io
+    val bt = Lsh.minhashBandTable(corpus, shingleN, bands, rows)
+      .withColumn("pb", pmod(hash(col("band"), col("sig")), lit(parts)))
+    Io.writePartitionedBucketed(bt, s"${prefix}_bands",
+      Seq("pb"), Seq("band", "sig"), buckets)
+    Io.writeBucketedBy(corpus.select(col("doc_id"), md5(col("text")).as("h")),
+      s"${prefix}_hashes", Seq("h"), buckets)
+    Io.writeBucketedBy(corpus.select(col("doc_id"), shingleHashSet(col("text")).as("hs")),
+      s"${prefix}_grams", Seq("doc_id"), buckets)
+  }
+
+  /** d13's cascade probing the persisted corpus layout: exact md5 anti
+    * join → banded candidates against the pb-pruned band directories →
+    * exact-Jaccard verify against persisted gram sets → LEFT ANTI drop.
+    * Same stages, same kernels, same band geometry as the registered
+    * d13; AnnIndexSpec pins result equality. */
+  def incrementalDedupOnLayout(spark: SparkSession, prefix: String, batch: DataFrame,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4, parts: Int = 128): DataFrame = {
+    val exactSurv = batch
+      .withColumn("h", md5(col("text")))
+      .join(spark.table(s"${prefix}_hashes").select(col("h")), Seq("h"), "left_anti")
+      .drop("h")
+      .localCheckpoint() // feeds the band table AND the final anti-join
+    val bat = Lsh.minhashBandTable(exactSurv, shingleN, bands, rows)
+      .withColumn("pb", pmod(hash(col("band"), col("sig")), lit(parts)))
+      .localCheckpoint() // feeds the pb collect AND the band join
+    // Bounded driver state (≤ `parts` ints): which corpus band
+    // directories can possibly hold a matching (band, sig) — everything
+    // else is pruned before a byte of I/O.
+    val pbs = bat.select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+    val corp = spark.table(s"${prefix}_bands").filter(col("pb").isin(pbs: _*))
+    val cands = bat.as("a").join(corp.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .filter(col("a.band") === Lsh.firstMatchingBandArrays(col("a.bsig"), col("b.bsig")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val batHs = exactSurv.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
+    val dupIds = Lsh.jaccardVerifiedPairsHs(
+        cands, batHs, spark.table(s"${prefix}_grams"), 0.9)
+      .select(col("a_id").as("doc_id"))
+    exactSurv.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
 }

@@ -78,15 +78,24 @@ object Lsh {
   def jaccardVerifiedPairs(cands: DataFrame, docs: DataFrame, minJac: Double): DataFrame = {
     val hs = docs.select(col("doc_id"),
       org.apache.spark.sql.graft.TextHash.shingleHashSet(col("text")).as("hs"))
+    jaccardVerifiedPairsHs(cands, hs, hs, minJac)
+  }
+
+  /** Same verification over PRE-BUILT (doc_id, hs) shingle-hash-set
+    * frames for each side — the at-scale entry point: an incremental
+    * probe supplies the standing corpus's PERSISTED gram projection here
+    * (Dedup.writeCorpusDedupLayout), so verification never re-reads or
+    * re-shingles the corpus text. */
+  def jaccardVerifiedPairsHs(cands: DataFrame, hsA: DataFrame, hsB: DataFrame,
+      minJac: Double): DataFrame =
     cands
-      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("sha")), "a_id")
-      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("shb")), "b_id")
+      .join(hsA.select(col("doc_id").as("a_id"), col("hs").as("sha")), "a_id")
+      .join(hsB.select(col("doc_id").as("b_id"), col("hs").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= minJac)
       .select(col("a_id"), col("b_id"), col("jac"))
-  }
 
   /** Hamming-≤`maxHamming` pairs over a (doc_id, sig) frame via the
     * pigeonhole band join — the ONE implementation behind text SimHash

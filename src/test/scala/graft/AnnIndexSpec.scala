@@ -150,6 +150,112 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS lsh_band_idx")
   }
 
+  test("SemDeDup on the bucketed cell layout: pair join is partition-local and matches in-memory") {
+    import graft.operators.Ann
+    val e = embeddings
+    val k = AnnIndex.cellCount(e.count()) // 500/32 → 16 at sf0.01
+    assert(k == AnnIndex.cellCount(500))
+    val cents = AnnIndex.trainCentroids(e, k)
+    spark.sql("DROP TABLE IF EXISTS semdedup_cells")
+    val orphan = new File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "semdedup_cells")
+    if (orphan.exists())
+      Files.walk(orphan.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    AnnIndex.writeCells(e, cents, "semdedup_cells", buckets = 8)
+
+    // Plan gate on a cloned session with broadcast OFF: at corpus scale
+    // neither side of the self-join is broadcastable, so the bucketed
+    // layout must carry the join alone — and it does: both scans are
+    // pre-shuffled by cell, so the executed plan holds NO exchange of
+    // any kind (shuffle or broadcast). Cross-cell traffic is impossible
+    // by layout.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dropped = Ann.semDedupDropped(
+      sess.table("semdedup_cells").select(col("vec_id"), col("cell"), col("embedding")), 0.45)
+    dropped.collect() // execute so AQE finalizes the plan it actually ran
+    val plan = dropped.queryExecution.executedPlan.treeString
+    assert(!plan.contains("Exchange"),
+      s"within-cell pair join must be partition-local:\n${plan.take(1200)}")
+
+    // Identical keeper set to the in-memory form: layout changes I/O and
+    // shuffle topology, never results.
+    val mem = Ann.semDedup(e.select(col("vec_id"),
+        AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val onLayout = AnnIndex.semDedupOnCells(spark, "semdedup_cells")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(onLayout == mem,
+      s"missing=${(mem -- onLayout).take(5)} extra=${(onLayout -- mem).take(5)}")
+    spark.sql("DROP TABLE IF EXISTS semdedup_cells")
+  }
+
+  private def dropManaged(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val orphan = new File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (orphan.exists())
+      Files.walk(orphan.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+  }
+
+  test("d13 probes a persisted corpus layout: directory-pruned, corpus side shuffle-free, equal to in-memory") {
+    import graft.operators.{Dedup, Lsh}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val isBatch = col("doc_id") % 5 === 0
+    Seq("graft_corpus_bands", "graft_corpus_hashes", "graft_corpus_grams")
+      .foreach(dropManaged)
+    Dedup.writeCorpusDedupLayout(docs.filter(!isBatch), "graft_corpus")
+
+    // 1. The layout probe returns EXACTLY what the registered in-memory
+    //    d13 computes — the standing layout changes I/O, never results.
+    val got = Dedup.incrementalDedupOnLayout(spark, "graft_corpus", docs.filter(isBatch))
+      .collect().map(_.toString).toSet
+    val mem = SparkEntry.queries("d13_incremental_dedup")(spark, TestSpark.sf)
+      .collect().map(_.toString).toSet
+    assert(got == mem, s"missing=${(mem -- got).take(3)} extra=${(got -- mem).take(3)}")
+
+    // 2. Directory pruning: a small crawl's band keys map to a bounded
+    //    pb set (≤ parts ints of driver state), and the probe reads ONLY
+    //    those pb= directories — most of the corpus band table is never
+    //    touched. (Independently recomputed here with the same shared
+    //    kernel, so the assertion can't drift from the operator.)
+    val small = docs.filter(col("doc_id") % 97 === 3)
+    val pbs = Lsh.minhashBandTable(small, 3, 8, 4)
+      .select(pmod(hash(col("band"), col("sig")), lit(128)).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(pbs.nonEmpty && pbs.size <= 64, s"pruning vacuous: ${pbs.size} of 128 dirs")
+    val corp = spark.table("graft_corpus_bands").filter(col("pb").isin(pbs.toSeq: _*))
+    val plan = corp.queryExecution.executedPlan.treeString
+    assert(plan.contains("PartitionFilters: [pb"), plan.take(600))
+    val touched = corp.select(input_file_name().as("f")).distinct().collect()
+      .map(r => "pb=([0-9]+)".r.findFirstMatchIn(r.getString(0)).get.group(1).toInt).toSet
+    assert(touched.subsetOf(pbs), s"read outside probed dirs: ${touched -- pbs}")
+
+    // 3. The per-crawl band join shuffles ONLY the batch side: with
+    //    broadcast off (at scale neither side fits), the corpus scan is
+    //    bucketed on the join key and feeds the join with no exchange —
+    //    exactly one hash exchange (the batch) in the whole join plan.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val batJ = Lsh.minhashBandTable(Tables.documents(sess, TestSpark.sf).filter(isBatch), 3, 8, 4)
+    val j = batJ.as("a").join(sess.table("graft_corpus_bands").as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+    j.collect()
+    // AQE's treeString appends the pre-execution "== Initial Plan ==" —
+    // count exchanges only in the final plan that actually ran.
+    val jplan = j.queryExecution.executedPlan.treeString.split("== Initial Plan ==")(0)
+    val exchanges = jplan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"corpus side must read pre-shuffled ($exchanges exchanges):\n${jplan.take(4000)}")
+    assert(jplan.contains("Bucketed: true"),
+      s"corpus band scan must be bucketed:\n${jplan.take(4000)}")
+    Seq("graft_corpus_bands", "graft_corpus_hashes", "graft_corpus_grams")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("band lattices beyond the 64-bit signature are rejected loudly") {
     import org.apache.spark.sql.functions.{col, lit}
     // hyperplaneSig caps at 64 bits; 5×16 = 80 would silently alias band

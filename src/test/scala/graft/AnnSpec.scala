@@ -136,16 +136,20 @@ class AnnSpec extends AnyFunSuite {
   test("v11 SemDeDup keeper rule is sound and complete within cells") {
     import org.apache.spark.sql.functions._
     import graft.operators.AnnIndex
-    // Train ONCE and feed the same assignments to both the operator
-    // (Ann.semDedup) and this reconstruction: centroid means come from a
-    // distributed double-sum whose merge order Spark does not guarantee,
-    // so two independent trainings could disagree in the last ulp and
-    // flip a near-boundary argmax — the keeper LOGIC under test must not
-    // be hostage to that. The drop set is then re-derived by brute-force
-    // driver-side cosine over within-cell pairs — a different execution
-    // path (Scala loops) than the operator's join.
+    // Train once and feed the same assignments to both the operator
+    // (Ann.semDedup) and this reconstruction. The drop set is re-derived
+    // by brute-force driver-side cosine over within-cell pairs — a
+    // different execution path (Scala loops) than the operator's join.
     val e = graft.Tables.embeddings(spark, TestSpark.sf)
-    val cents = AnnIndex.trainCentroids(e, 16)
+    val k = AnnIndex.cellCount(e.count()) // what the registered operator derives
+    // Training is merge-order-insensitive (fixed-point per-cell sums),
+    // so two independent trainings produce bit-identical centroids —
+    // the operator's "rerun-stable drop set" claim rests on this.
+    val cents = AnnIndex.trainCentroids(e, k)
+    val cents2 = AnnIndex.trainCentroids(e, k)
+    assert(cents.length == cents2.length &&
+      cents.zip(cents2).forall { case (a, b) => a.sameElements(b) },
+      "centroid training must be deterministic across runs")
     val cellsDf = e.select(col("vec_id"),
       AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
     val rows = cellsDf.collect()
