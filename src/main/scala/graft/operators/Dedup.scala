@@ -202,6 +202,39 @@ object Dedup {
         floor(col("n_dup_grams") * 1e6 / col("n_grams") + 0.5) / 1e6)
   }
 
+  /** d14 core: the cleaned corpus after excising every ≥5-word span that
+    * occurs ≥2 times corpus-wide. Positions of duplicated grams come
+    * from the same positional-gram/skew-free-aggregate shape as
+    * [[spanStats]]; a doc's duplicated positions then collapse to ONE
+    * bounded array (≤ doc length ints) and the word-level excision is a
+    * map-side higher-order filter — per-word data never shuffles. */
+  private[graft] def exciseSpans(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), posexplode(gramHashList(col("text"), 5)))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "h"))
+    // Corpus-duplicated gram set, (doc, gram) pre-aggregate first so a
+    // hot boilerplate gram never skews the count (the spanStats shape).
+    val dup = pos.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("h")).agg(sum(col("c")).as("tot"))
+      .filter(col("tot") >= 2).select(col("h"))
+    // Positions whose gram is duplicated, collapsed per doc. The h-join
+    // is deliberately a join (AQE-splittable), not a count window — the
+    // d12 argument: hot grams are the signal and can't be capped.
+    val dps = pos.join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("dps"))
+    docs.join(dps, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        coalesce(col("dps"), array().cast("array<int>")).as("dps"))
+      .select(col("doc_id"),
+        filter(col("w"), (x, j) =>
+          !exists(col("dps"), p => p <= j && j <= p + 4)).as("kw"),
+        size(col("w")).as("nw"))
+      .select(col("doc_id"),
+        array_join(col("kw"), " ").as("clean_text"),
+        size(col("kw")).cast("long").as("n_kept"),
+        (col("nw") - size(col("kw"))).cast("long").as("n_dropped"))
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- d01: exact dedup by content hash -----------------------------
@@ -591,6 +624,46 @@ object Dedup {
                       FLOOR(count(*) FILTER (WHERE cnt >= 2) * 1e6 / count(*) + 0.5) / 1e6
                         AS dup_fraction
                FROM c GROUP BY doc_id""")),
+
+    // ---- d14: span EXCISION (the Lee et al. 2022 deliverable) ----------
+    // d12 *detects* repeated spans; the recipe's value is the CLEANED
+    // corpus: remove every span that occurs ≥2 times in the corpus with
+    // length ≥ the match threshold (here ℓ = 5 words — the positional
+    // 5-gram length, so a marked position IS a ≥5-word corpus repeat by
+    // construction). A word is excised iff ANY of the ≤5 grams covering
+    // it is duplicated — exactly the union of duplicated spans. Shape at
+    // scale: one codegen'd positional-gram pass, the d12 skew-free
+    // (doc, gram) aggregate for the corpus-count set, one AQE-splittable
+    // join on the gram hash, and a per-doc collect of duplicated
+    // positions (bounded by doc length) driving a map-side HOF filter
+    // over the word array — no per-word rows ever shuffle, and the
+    // reconstruction joins are all keyed by doc_id.
+    ("d14_span_excision",
+      (s, d) => exciseSpans(Tables.documents(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               g AS (SELECT doc_id, i - 1 AS p,
+                            w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sg
+                     FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                           FROM toks WHERE len(w) >= 5)
+                     UNION ALL
+                     SELECT doc_id, 0 AS p, text AS sg FROM documents
+                     WHERE len(string_split(text, ' ')) < 5),
+               dupg AS (SELECT sg FROM g GROUP BY sg HAVING count(*) >= 2),
+               dp AS (SELECT doc_id, p FROM g WHERE sg IN (SELECT sg FROM dupg)),
+               words AS (SELECT doc_id, i, w[i] AS word
+                         FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                               FROM toks)),
+               kept AS (SELECT wd.doc_id, wd.i, wd.word FROM words wd
+                        WHERE NOT EXISTS (SELECT 1 FROM dp
+                          WHERE dp.doc_id = wd.doc_id
+                            AND dp.p + 1 <= wd.i AND wd.i <= dp.p + 5))
+               SELECT d.doc_id,
+                      coalesce(string_agg(k.word, ' ' ORDER BY k.i), '') AS clean_text,
+                      CAST(count(k.word) AS BIGINT) AS n_kept,
+                      CAST(len(string_split(d.text, ' ')) - count(k.word) AS BIGINT)
+                        AS n_dropped
+               FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+               GROUP BY d.doc_id, d.text""")),
 
     // ---- d13: incremental dedup (new batch vs standing corpus) ----------
     // The production shape dedup actually runs in: a NEW CRAWL BATCH

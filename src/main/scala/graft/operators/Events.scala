@@ -299,22 +299,28 @@ object Events {
     // densification) — 94 to 3406 of the ~3600 spine slots are
     // zero-filled across sf0.001–0.1, so the fill path is exercised,
     // not decorative. Shape at 100 TB: the corpus crosses ONE
-    // hash-aggregate down to (hour × type) cardinality; the spine is
-    // sequence(min_hr, max_hr) exploded CROSS JOIN the type domain —
-    // dimension-sized rows built from a 1-row bounds aggregate, never
-    // from the corpus — and the fill is a broadcast left join of the
-    // aggregate onto the spine. Everything after the first exchange is
-    // dimension-scale.
+    // hash-aggregate down to (hour × type) cardinality — and that is
+    // the ONLY corpus pass: bounds and the type domain derive from the
+    // dimension-sized aggregate itself, which is localCheckpoint'd
+    // because it fans out to three consumers (fill join + bounds +
+    // type domain) — the p06/ngramPairs pattern; without the cut Spark
+    // re-plans the corpus scan per consumer (the measured 3-scan trap).
+    // The spine is sequence(min_hr, max_hr) exploded CROSS JOIN the
+    // type domain — dimension-sized rows built from a 1-row bounds
+    // aggregate — and the fill is a broadcast left join of the
+    // aggregate onto the spine. PlanShapeSpec pins the single-scan
+    // claim on the executed plan.
     ("s08_gapfill",
       (s, d) => {
-        val e = Tables.events(s, d)
+        val hourly = Tables.events(s, d)
           .filter(col("value") >= 99)
           .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("value"))
-        val hourly = e.groupBy(col("hr"), col("event_type"))
+          .groupBy(col("hr"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-        val spine = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+          .localCheckpoint()
+        val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
           .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
-          .crossJoin(e.select(col("event_type")).distinct())
+          .crossJoin(hourly.select(col("event_type")).distinct())
         spine.join(hourly, Seq("hr", "event_type"), "left")
           .select(unix_micros(col("hr")).as("hour_us"),
             col("event_type"),

@@ -208,6 +208,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell pairs must be cell-keyed")
   }
 
+  test("s08 gapfill scans the corpus exactly once") {
+    // Bounds + type domain + fill join all derive from the checkpointed
+    // hourly aggregate: the final plan must contain NO parquet scan of
+    // the events table at all — the one corpus pass happened when the
+    // aggregate materialized.
+    val p = planOf("s08_gapfill")
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(eventScans == 0,
+      s"s08 re-scans the corpus ($eventScans scans):\n${p.take(800)}")
+    assert(p.contains("ExistingRDD"),
+      "consumers must read the checkpointed aggregate")
+  }
+
+  test("d14 span excision has no cross product and per-word rows never shuffle") {
+    val p = planOf("d14_span_excision")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // Every exchange carries (doc, gram) or doc-keyed rows; the word
+    // arrays ride only doc_id-keyed exchanges (bounded per row by doc
+    // length) — there is no exchange keyed by a word or position column.
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("(p#") || l.contains("(word")),
+      s"per-position shuffle found:\n${exchanges.mkString("\n")}")
+  }
+
+  test("t18 classifier inference is pure map work: zero exchanges of any kind") {
+    val p = planOf("t18_quality_classifier")
+    assert(!p.contains("Exchange"), s"inference must not shuffle:\n${p.take(600)}")
+  }
+
   test("p06 end-to-end pipeline: every unpartitioned window sees only aggregated rows") {
     // The composed pipeline inherits p02/p04's invariant: corpus-scale
     // cumsums are bucket-partitioned (parallel); any single-task window
