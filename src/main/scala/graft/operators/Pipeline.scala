@@ -132,8 +132,12 @@ object Pipeline {
     ("p02_pack_sequences",
       (s, d) => {
         val cap = 512L; val bucketSize = 1000L
+        // Sequences are sized by REAL subword counts (the t17 BPE model,
+        // memoized per corpus), not the whitespace proxy — the number a
+        // trainer's context window actually consumes.
         val t = Tables.documents(s, d).select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          org.apache.spark.sql.graft.TextHash
+            .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"),
           floor(col("doc_id") / bucketSize).cast("long").as("bkt"))
         val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -152,9 +156,8 @@ object Pipeline {
             (floor((col("tok_start") + col("n_tokens") - lit(1)) / cap)
               - col("seq_id") + lit(1)).cast("long"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                   FROM documents),
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              t AS (SELECT doc_id, n_tokens FROM bpetok),
               c AS (SELECT doc_id, n_tokens,
                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -180,13 +183,17 @@ object Pipeline {
     // work at scan speed — the corpus itself never shuffles.
     ("p03_mixture_sample",
       (s, d) => {
-        val budgetChars = 4000L
+        // Budgets are REAL token budgets (t17's BPE counts — what the
+        // mixture actually feeds a trainer), not the former char proxy.
+        val budgetTokens = 800L
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            org.apache.spark.sql.graft.TextHash
+              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"))
         val rates = docs.groupBy(col("source"))
-          .agg(sum(col("n_chars")).as("total_chars"))
+          .agg(sum(col("n_tokens")).as("total_tokens"))
           .select(col("source"),
-            floor(least(lit(1.0), lit(budgetChars).cast("double") / col("total_chars"))
+            floor(least(lit(1.0), lit(budgetTokens).cast("double") / col("total_tokens"))
               * lit(4294967296.0)).as("threshold"))
         // u = first 8 md5 hex digits as an integer — exact in double, and
         // bit-identical to the oracle's digit-by-digit evaluation.
@@ -196,10 +203,11 @@ object Pipeline {
           .filter(col("u") < col("threshold"))
           .select(col("doc_id"), col("source"), col("n_chars"))
       },
-      Some("""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
-                           FROM documents GROUP BY source),
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              tot AS (SELECT d.source, CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens
+                      FROM documents d JOIN bpetok b USING (doc_id) GROUP BY d.source),
               r AS (SELECT source,
-                           FLOOR(least(1.0, 4000.0 / total_chars) * 4294967296.0) AS threshold
+                           FLOOR(least(1.0, 800.0 / total_tokens) * 4294967296.0) AS threshold
                     FROM tot),
               u AS (SELECT doc_id, source, n_chars,
                            list_sum(list_transform(range(1, 9),
@@ -226,9 +234,12 @@ object Pipeline {
     // training-ready files of ~budget tokens each.
     ("p04_shuffle_shard",
       (s, d) => {
+        // Shard budgets in REAL BPE tokens (the t17 model) — a shard is
+        // "~2048 trainer tokens", not a whitespace approximation of it.
         val budget = 2048L
         val t = Tables.documents(s, d).select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            org.apache.spark.sql.graft.TextHash
+              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"),
             md5(col("doc_id").cast("string")).as("skey"))
           .withColumn("bkt", substring(col("skey"), 1, 2))
         val wLocal = Window.partitionBy(col("bkt"))
@@ -246,10 +257,10 @@ object Pipeline {
             (col("local_start") + col("boff")).as("tok_start"))
           .withColumn("shard_id", floor(col("tok_start") / budget).cast("long"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              t AS (SELECT doc_id, n_tokens,
                      md5(CAST(doc_id AS VARCHAR)) AS skey
-                   FROM documents),
+                   FROM bpetok),
               c AS (SELECT doc_id, skey, n_tokens,
                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -322,10 +333,14 @@ object Pipeline {
         val budgetChars = 4000L; val cap = 512L; val scale = 4294967296.0
         def u8(c: org.apache.spark.sql.Column) =
           conv(substring(md5(c), 1, 8), 16, 10).cast("double")
-        // 1-2: gate + keeper (p01 stages 1-3).
+        // 1-2: gate + keeper (p01 stages 1-3). Token counts for the
+        // packing stage are REAL BPE counts (t17's memoized model);
+        // the thinning budget stays in chars (mixtures are commonly
+        // specified in bytes/chars — p03 is the token-budget form).
         val norm = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            org.apache.spark.sql.graft.TextHash
+              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"),
             qualityFeaturesCol(col("text"), stop).as("f"))
           .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens"),
             col("f.norm_text").as("norm_text"),
@@ -371,13 +386,14 @@ object Pipeline {
             (col("local_start") + col("boff")).as("tok_start"))
           .withColumn("seq_id", floor(col("tok_start") / cap).cast("long"))
       },
-      Some("""WITH norm AS (
-                SELECT doc_id, source, n_chars,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              norm AS (
+                SELECT d.doc_id, d.source, d.n_chars,
+                       b.n_tokens,
                        trim(regexp_replace(
-                         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'),
                          ' +', ' ', 'g')) AS norm_text
-                FROM documents),
+                FROM documents d JOIN bpetok b USING (doc_id)),
               feats AS (
                 SELECT *, len(string_split(norm_text, ' ')) AS n_words,
                        len(list_distinct(string_split(norm_text, ' '))) * 1.0

@@ -654,6 +654,41 @@ object TextAnalysis {
                           ELSE 'tail' END AS bucket
               FROM rk""")),
 
+    // ---- t17: deterministic BPE token counts ---------------------------
+    // Real subword tokenization replacing t03's regex estimate: a BPE
+    // merge table trained on the corpus's OWN word frequencies
+    // (Bpe.train — distributed count aggregate, bounded driver-side
+    // training, byte-identical across runs), applied by the codegen'd
+    // BpeTokenCountExpr at scan speed. Verification is split by what
+    // each harness can check: the query EXPORTS the trained model as a
+    // parquet table and the DuckDB oracle re-applies it from scratch
+    // (recursive CTE: merge the first occurrence of the lowest-rank
+    // pair until fixpoint — provably the textbook segmentation, see
+    // TextHash.bpePieces) — so tokenization + counts are oracle-exact
+    // against an independent implementation; TRAINING itself is pinned
+    // in TextHashPropertySpec against a plain-Scala reference.
+    ("t17_bpe_tokens",
+      (s, d) => {
+        import s.implicits._
+        val merges = Bpe.mergeStrings(s, d)
+        merges.zipWithIndex.map { case (m, i) =>
+            val Array(l, r) = m.split(" ", 2); (i, l, r)
+          }.toDF("rank", "l", "r")
+          .coalesce(1).write.mode("overwrite").parquet(Bpe.ModelExportPath)
+        Tables.documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .cast("long").as("n_words"),
+          org.apache.spark.sql.graft.TextHash
+            .bpeTokenCountCol(col("text"), merges).as("bpe_tokens"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+               nw AS (SELECT doc_id,
+                             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                               AS n_words
+                      FROM documents)
+               SELECT b.doc_id, nw.n_words, b.n_tokens AS bpe_tokens
+               FROM bpetok b JOIN nw USING (doc_id)""")),
+
     // ---- t18: learned quality filter (linear classifier inference) -----
     // The production successor to t02's hand-weighted heuristic: a
     // fastText-style linear classifier applied at scan speed. The model

@@ -10,6 +10,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** BPE merge model: rank lookup keyed "left right" (space-joined — the
+  * token alphabet is [a-z0-9], so the separator can't collide with
+  * symbol content). Ships to executors once per plan as a codegen
+  * reference object; the hash map rebuilds lazily after
+  * deserialization. */
+final class BpeModel(val merges: Array[String]) extends Serializable {
+  @transient lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+}
+
 /** Single-pass text→hash kernels: tokenize, build word n-gram shingles,
   * and reduce (distinct-hash set / MinHash signature / SimHash signature)
   * in ONE tight loop per row.
@@ -285,6 +299,61 @@ object TextHash {
       UTF8String.fromBytes(out, 0, o), nWords, nDistinct, nStop)
   }
 
+  /** Greedy BPE application to ONE word: repeatedly merge the FIRST
+    * occurrence of the lowest-rank adjacent pair until no adjacent pair
+    * is in the model. One-occurrence-at-a-time is provably identical to
+    * the textbook merge-all-occurrences form for TRAINED merge tables:
+    * a rule involving a symbol created at rank r was necessarily learned
+    * after r, so merging one occurrence can never surface a
+    * lower-ranked pair than the one being merged. (The ScalaTest spec
+    * pins this empirically against a merge-all reference.) Returns the
+    * piece count. */
+  def bpePieces(word: String, model: BpeModel): Int = {
+    if (word.length <= 1) return word.length
+    val syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Integer.MAX_VALUE
+      var bestIdx = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = model.ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms.set(bestIdx, syms.get(bestIdx) + syms.get(bestIdx + 1))
+        syms.remove(bestIdx + 1)
+      }
+    }
+    syms.size
+  }
+
+  /** BPE token count of a text: sum of [[bpePieces]] over the text's
+    * [a-z0-9]+ runs — the same word tokenization as t03/t17's
+    * regexp_extract_all word counter, scanned in one pass. */
+  def bpeTokenCount(s: UTF8String, model: BpeModel): Long = {
+    val str = s.toString
+    var total = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = str.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        total += bpePieces(str.substring(i, j), model)
+        i = j
+      } else i += 1
+    }
+    total
+  }
+
   /** Hash a stop-word list the way [[qualityFeatures]] hashes tokens. */
   def stopWordHashes(stop: Seq[String]): Array[Long] =
     stop.map { w =>
@@ -432,6 +501,31 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** BPE token count under a fixed merge table (see
+    * [[TextHash.bpeTokenCount]]) — classifier/packing budgets key off
+    * this at scan speed; the model rides as one reference object, never
+    * per-row state. */
+  case class BpeTokenCountExpr(child: Expression, merges: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bpe_tokens"
+
+    @transient private lazy val model = new BpeModel(merges.toArray)
+
+    override protected def nullSafeEval(a: Any): Any =
+      bpeTokenCount(a.asInstanceOf[UTF8String], model)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val ref = ctx.addReferenceObj("bpeModel", model,
+          classOf[org.apache.spark.sql.graft.BpeModel].getName)
+        s"${ev.value} = org.apache.spark.sql.graft.TextHash.bpeTokenCount($x, $ref);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit SimHash signature. */
   case class SimHash64(child: Expression, n: Int) extends TextHashExpr {
     override def dataType: DataType = LongType
@@ -456,4 +550,6 @@ object TextHash {
   def simHash64(c: Column, n: Int = 3): Column = mk(SimHash64(ex(c), n))
   def qualityFeaturesCol(c: Column, stop: Seq[String], normalize: Boolean = true): Column =
     mk(QualityFeaturesExpr(ex(c), stop, normalize))
+  def bpeTokenCountCol(c: Column, merges: Seq[String]): Column =
+    mk(BpeTokenCountExpr(ex(c), merges))
 }

@@ -158,4 +158,65 @@ class TextHashPropertySpec extends AnyFunSuite {
     assert(ham(sig(base), sig(near)) < ham(sig(base), sig(far)),
       s"near=${ham(sig(base), sig(near))} far=${ham(sig(base), sig(far))}")
   }
+
+  // ---- BPE (t17) ------------------------------------------------------
+
+  /** Textbook reference application: repeatedly find the lowest-rank
+    * adjacent pair present and merge ALL its left-to-right
+    * non-overlapping occurrences — the variant whose equivalence to the
+    * kernel's one-occurrence-at-a-time loop bpePieces claims. */
+  private def referenceBpe(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    var done = false
+    while (!done && syms.length > 1) {
+      val present = syms.zip(syms.tail).filter(ranks.contains)
+      if (present.isEmpty) done = true
+      else {
+        val best = present.minBy(ranks)
+        syms = graft.operators.Bpe.mergeAll(syms.toArray, best).toSeq
+      }
+    }
+    syms
+  }
+
+  test("bpePieces equals the merge-all-occurrences reference on trained tables") {
+    // Train on a tiny corpus via the real trainer, then compare
+    // application on every word plus adversarial shapes (overlapping
+    // repeats like aaaa, unseen words, single chars).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      "the theme of the thesis is the theory",
+      "and another and then and again and so on",
+      "aaaa aaa aa a abab ababab",
+      "tokenize tokenizer tokenization token tokens")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(docs, numMerges = 40, vocabCap = 1000)
+    assert(merges.nonEmpty)
+    val ranks = merges.zipWithIndex.toMap
+    val model = new org.apache.spark.sql.graft.BpeModel(
+      merges.map { case (l, r) => s"$l $r" }.toArray)
+    val words = ("unseenword" +: "xyz" +: "a" +: "aaaaaaa" +: docs.collect()
+      .flatMap(_.getString(1).split(" ")).toSeq.distinct.toList).distinct
+    for (w <- words) {
+      val ref = referenceBpe(w, ranks)
+      val got = TextHash.bpePieces(w, model)
+      assert(got == ref.length, s"word=[$w] ref=$ref got=$got")
+    }
+  }
+
+  test("BPE training is deterministic and matches hand-computed merges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Corpus engineered so the first merges are unambiguous: "ab" occurs
+    // most, then ("ab","c") from abc.
+    val docs = Seq("abc abc abc ab ab abd", "abc ab zq zq")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m1 = graft.operators.Bpe.train(docs, numMerges = 3, vocabCap = 100)
+    val m2 = graft.operators.Bpe.train(docs, numMerges = 3, vocabCap = 100)
+    assert(m1 == m2, "training must be byte-identical across runs")
+    // pair counts: (a,b): abc×4 + ab×3 + abd×1 = 8; (b,c): 4; (z,q): 2
+    assert(m1.head == ("a", "b"), s"got $m1")
+    assert(m1(1) == ("ab", "c"), s"got $m1")
+  }
 }
