@@ -38,12 +38,16 @@ case class MediaFeatures(
   * Image payloads (png/jpeg/bmp/gif, detected by magic bytes) decode FOR
   * REAL through `javax.imageio` — pure JVM, no native codec needed —
   * into an 8-dim feature vector (channel means, luma, contrast, dims);
-  * MultimodalSpec drives this with generated PNG bytes. Payloads with no
-  * JVM codec (audio/video, and this round's synthetic UTF-8 stand-ins)
-  * fall back to [[Multimodal.decodeStub]], a deterministic byte-histogram
-  * fake prominently declared as such. On a real cluster, the audio/video
-  * arm is the one spot to swap — the schema, batching, and partitioning
-  * do not change.
+  * MultimodalSpec drives this with generated PNG bytes. WAV/PCM audio
+  * payloads (RIFF/WAVE sniff) also decode FOR REAL through
+  * `javax.sound.sampled` — amplitude stats, zero-crossing rate,
+  * duration, rate/channels — driven in MultimodalSpec with generated
+  * sine-wave WAVs. Payloads with no JVM codec (video, compressed audio,
+  * and this round's synthetic UTF-8 stand-ins) fall back to
+  * [[Multimodal.decodeStub]], a deterministic byte-histogram fake
+  * prominently declared as such (an explicit SURVEY §6 non-goal). On a
+  * real cluster, that stub is the one spot to swap — the schema,
+  * batching, and partitioning do not change.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -142,10 +146,86 @@ object Multimodal {
     }
   }
 
+  /** Container sniff for RIFF/WAVE audio (the one audio format the bare
+    * JDK can decode). */
+  private[operators] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Decode-bomb bound for audio (MaxDecodePixels' twin): a WAV header
+    * can declare an absurd frame count; cap what we process. */
+  private[operators] val MaxDecodeSamples: Long = 16L * 1024 * 1024
+
+  /** REAL pure-JVM WAV/PCM decode via javax.sound.sampled: channel-0
+    * amplitude stats (mean |x|, RMS, peak — samples normalized to
+    * [-1,1]), zero-crossing rate, duration, sample rate, channel count
+    * and frame count as the same 8-dim feature shape the image path
+    * emits. PCM 8/16-bit signed/unsigned, any endianness; anything else
+    * (compressed codecs, corrupt headers) returns None and the row
+    * falls back to the stub — a bad payload must never kill the task. */
+  private[graft] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16) || ch < 1 ||
+            ais.getFrameLength > MaxDecodeSamples) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val bytes = ais.readAllBytes()
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) None
+          else {
+            val big = fmt.isBigEndian
+            var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
+            var zc = 0L; var prev = 0.0
+            var i = 0
+            while (i < nFrames) {
+              val off = i * frameSize // channel 0 leads each frame
+              val v: Double =
+                if (bits == 8) {
+                  if (enc == PCM_UNSIGNED) ((bytes(off) & 0xFF) - 128) / 128.0
+                  else bytes(off) / 128.0
+                } else {
+                  val b0 = bytes(off) & 0xFF; val b1 = bytes(off + 1) & 0xFF
+                  val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                  if (enc == PCM_UNSIGNED) (raw - 32768) / 32768.0
+                  else ((raw << 16) >> 16) / 32768.0
+                }
+              sumAbs += math.abs(v); sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (v > 0) != (prev > 0)) zc += 1
+              prev = v
+              i += 1
+            }
+            val sr = fmt.getSampleRate.toDouble
+            Some(Array(
+              (sumAbs / nFrames).toFloat,
+              math.sqrt(sumSq / nFrames).toFloat,
+              peak.toFloat,
+              (zc.toDouble / math.max(1L, nFrames - 1L)).toFloat,
+              (nFrames / sr).toFloat,
+              (sr / 48000.0).toFloat,
+              ch.toFloat,
+              (nFrames / 1e6).toFloat))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The decode dispatcher the pipeline runs: real ImageIO decode for
-    * image containers, declared stub otherwise. */
+    * image containers, real javax.sound.sampled decode for WAV/PCM
+    * audio, declared stub otherwise (video and non-PCM audio — no JVM
+    * codec; SURVEY §6 non-goal). */
   private[operators] def decode(payload: Array[Byte]): Array[Float] =
     if (looksLikeImage(payload)) decodeImage(payload).getOrElse(decodeStub(payload))
+    else if (looksLikeWav(payload)) decodeWav(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   // ---- perceptual hash (dHash) ----------------------------------------

@@ -52,6 +52,50 @@ class MultimodalSpec extends AnyFunSuite {
       "not an image".getBytes("UTF-8")).toSeq)
   }
 
+  test("real WAV payloads decode through javax.sound.sampled in the production seam") {
+    import graft.operators.{MediaRow, Multimodal}
+    import spark.implicits._
+    // Deterministic 16-bit mono PCM sine written through the JDK's own
+    // WAVE encoder — the decode path under test is the independent read
+    // side (header parse, PCM normalization, feature math).
+    def sineWav(freq: Double, amp: Double, sr: Float, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+      val data = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+        data(2 * i) = (v & 0xFF).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val tone = sineWav(440.0, 0.8, 8000f, 800) // 0.1 s @ 8 kHz
+    val silence = sineWav(440.0, 0.0, 8000f, 400)
+    val corrupt = "RIFFxxxxWAVEgarbage-not-audio".getBytes("UTF-8")
+    val ds = Seq(
+      MediaRow(1L, "wav", 0, 0, tone),
+      MediaRow(2L, "wav", 0, 0, silence),
+      MediaRow(3L, "wav", 0, 0, corrupt)).toDS()
+    val out = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    val f1 = out(1L)
+    // [meanAbs, rms, peak, zcr, durSec, sr/48k, channels, frames/1e6]
+    assert(math.abs(f1(1) - 0.8 / math.sqrt(2.0)) < 0.01, s"rms=${f1(1)}")
+    assert(math.abs(f1(2) - 0.8) < 0.01, s"peak=${f1(2)}")
+    assert(math.abs(f1(3) - 2 * 440.0 / 8000.0) < 0.01, s"zcr=${f1(3)}")
+    assert(math.abs(f1(4) - 0.1) < 1e-3, s"dur=${f1(4)}")
+    assert(f1(5) == (8000.0 / 48000.0).toFloat && f1(6) == 1.0f)
+    // Silence: near-zero amplitude everywhere, correct duration.
+    assert(out(2L)(1) < 1e-3 && math.abs(out(2L)(4) - 0.05) < 1e-3)
+    // A RIFF/WAVE-sniffing payload that isn't decodable audio takes the
+    // declared stub, never kills the task.
+    assert(out(3L).toSeq == Multimodal.decodeStub(corrupt).toSeq)
+  }
+
   test("corrupt or magic-colliding payloads fall back to the stub, never crash") {
     import graft.operators.MediaRow
     import spark.implicits._
