@@ -108,6 +108,67 @@ class DdlSpec extends AnyFunSuite {
       cp.queryExecution.optimizedPlan.toString)
   }
 
+  test("CBO + ANALYZE stats reorder a badly-ordered multijoin into the selective-first tree") {
+    // The reference's cost-model join planning
+    // (andb/sql/optimizer/implementations.py) made visible on Spark: a
+    // q24-twin written in a DELIBERATELY bad syntactic order — lineitem
+    // first, the selective region filter last. Rule-based ReorderJoin
+    // (always on) only makes conditions applicable; it keeps the bad
+    // seed order. With cbo+joinReorder and ANALYZE row/column stats the
+    // optimizer rebuilds the join tree selective-first: (region('ASIA')
+    // ⋈ nation) at the bottom, the lineitem fact joined LAST — q24's
+    // hand-written shape, derived from statistics instead of hints.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val tables = Seq("customer", "orders", "lineitem", "nation", "region")
+    for (t <- tables) graft.Ddl.analyzeTable(spark, t, TestSpark.sf)
+    spark.sql("ANALYZE TABLE customer_analyzed COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
+    spark.sql("ANALYZE TABLE orders_analyzed COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderkey")
+    spark.sql("ANALYZE TABLE lineitem_analyzed COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+    spark.sql("ANALYZE TABLE nation_analyzed COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey, n_name")
+    spark.sql("ANALYZE TABLE region_analyzed COMPUTE STATISTICS FOR COLUMNS r_regionkey, r_name")
+    val bad = """
+      SELECT n_name, count(*) AS cnt
+      FROM lineitem_analyzed l
+      JOIN region_analyzed r ON r.r_name = 'ASIA'
+      JOIN nation_analyzed n ON n.n_regionkey = r.r_regionkey
+      JOIN customer_analyzed c ON c.c_nationkey = n.n_nationkey
+      JOIN orders_analyzed o ON o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey
+      GROUP BY n_name"""
+    def optimized(cbo: Boolean): LogicalPlan = {
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      sess.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      sess.sql(bad).queryExecution.optimizedPlan
+    }
+    def innermostJoin(p: LogicalPlan): Join = p.collect { case j: Join => j }
+      .find(j => j.children.forall(_.collect { case x: Join => x }.isEmpty))
+      .getOrElse(fail("no leaf-level join"))
+    // Without CBO the seed order survives: the first join executed is
+    // lineitem ⋈ orders (fact-first — correct results, terrible plan).
+    val offInner = innermostJoin(optimized(cbo = false)).treeString
+    assert(offInner.contains("lineitem_analyzed"), offInner.take(400))
+    // With CBO + stats the tree is rebuilt: dims first, fact last.
+    val onPlan = optimized(cbo = true)
+    val onInner = innermostJoin(onPlan).treeString
+    assert(onInner.contains("nation_analyzed") && onInner.contains("region_analyzed")
+        && !onInner.contains("lineitem_analyzed"),
+      s"CBO should seed from the selective dims:\n${onInner.take(400)}")
+    val topJoin = onPlan.collect { case j: Join => j }.head
+    assert(topJoin.children.exists { c =>
+        val s = c.treeString
+        s.contains("lineitem_analyzed") && !s.contains("Join")
+      }, s"lineitem must be joined last under CBO:\n${topJoin.treeString.take(600)}")
+    // Reordering changed the plan, never the answer.
+    val expected = spark.newSession().sql(bad).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val sessOn = spark.newSession()
+    sessOn.conf.set("spark.sql.cbo.enabled", "true")
+    sessOn.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val got = sessOn.sql(bad).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}_analyzed"))
+  }
+
   test("analyzed stats reach the optimizer's plan estimates under CBO") {
     Ddl.analyzeTable(spark, "nation", TestSpark.sf)
     spark.conf.set("spark.sql.cbo.enabled", "true")
