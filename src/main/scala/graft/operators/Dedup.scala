@@ -202,6 +202,85 @@ object Dedup {
         floor(col("n_dup_grams") * 1e6 / col("n_grams") + 0.5) / 1e6)
   }
 
+  /** The ONE all-pairs edit-distance oracle d11 and d15 both declare:
+    * the two candidate schemes (length bands / PassJoin segments) are
+    * both lossless, so their verified outputs must be byte-identical to
+    * each other AND to this exhaustive reconstruction. */
+  private val editDistOracle: String =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              levenshtein(a.text, b.text) AS edit_dist
+       FROM documents a JOIN documents b
+         ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
+       WHERE a.n_chars <= 256 AND b.n_chars <= 256
+         AND levenshtein(a.text, b.text) <= 15"""
+
+  /** PassJoin (Li, Deng, Feng 2011) candidates + exact verify for edit
+    * distance ≤ k — content-aware blocking for the open-web regime
+    * where d11's length bands saturate.
+    *
+    * Lossless by the segment pigeonhole: partition the SHORTER string s
+    * of a pair into k+1 even segments; ≤ k edits leave some segment
+    * untouched, and for the SMALLEST untouched index i the ≥ i edits
+    * consumed by earlier segments leave ≤ k−i for the tail, which bounds
+    * the segment's alignment shift in r to Δ ± (k−i) (Δ = len(r) −
+    * len(s); each tail edit moves the end by ≤ 1). So the probe
+    * enumerates, per candidate shorter-length ls ∈ [len(r)−k, len(r)]
+    * and segment index i, only the substrings of r in that window —
+    * Σ_i (2(k−i)+1) = (k+1)² substrings per (r, ls), a CONSTANT per
+    * probe row: candidates are linear in corpus size whatever the
+    * length distribution, and content-blocking means unrelated docs
+    * share no segment and generate nothing. The candidate `distinct`
+    * is candidate-sized (bounded by true-pair density × window), and
+    * verification joins texts back doc-keyed — segment rows never carry
+    * documents. */
+  private[graft] def passJoinPairs(docs0: DataFrame, k: Int): DataFrame = {
+    val kp1 = k + 1
+    val docs = docs0.select(col("doc_id"), col("text"),
+      length(col("text")).cast("int").as("len"))
+    // Index side: each doc as the SHORTER string emits its k+1 even
+    // segments (i, start p, width w): seg i spans [⌊iL/(k+1)⌋, ⌊(i+1)L/(k+1)⌋).
+    val idx = docs
+      .select(col("doc_id").as("a_id"), col("text").as("ta"), col("len").as("la"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("p", floor(col("i") * col("la") / kp1).cast("int"))
+      .withColumn("w", (floor((col("i") + 1) * col("la") / kp1) - col("p")).cast("int"))
+      .filter(col("w") > 0)
+      .select(col("a_id"), col("la"), col("i"),
+        expr("substring(ta, p + 1, w)").as("seg"))
+    // Probe side: each doc as the LONGER string enumerates candidate
+    // shorter lengths and, per segment index, the window's substrings.
+    val prb = docs
+      .select(col("doc_id").as("b_id"), col("text").as("tb"), col("len").as("lb"),
+        explode(sequence(greatest(col("len") - k, lit(0)), col("len"))).as("ls"))
+      .select(col("b_id"), col("tb"), col("lb"), col("ls"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("p", floor(col("i") * col("ls") / kp1).cast("int"))
+      .withColumn("w", (floor((col("i") + 1) * col("ls") / kp1) - col("p")).cast("int"))
+      .filter(col("w") > 0)
+      .withColumn("delta", col("lb") - col("ls"))
+      .withColumn("lo", greatest(col("p") + col("delta") - (lit(k) - col("i")), lit(0)))
+      .withColumn("hi", least(col("p") + col("delta") + (lit(k) - col("i")),
+        col("lb") - col("w")))
+      .filter(col("lo") <= col("hi"))
+      .select(col("b_id"), col("lb"), col("ls"), col("i"), col("tb"), col("w"),
+        explode(sequence(col("lo"), col("hi"))).as("st"))
+      .select(col("b_id"), col("lb"), col("ls"), col("i"),
+        expr("substring(tb, st + 1, w)").as("sub"))
+    val cands = idx.join(prb,
+        idx("la") === prb("ls") && idx("i") === prb("i") && idx("seg") === prb("sub"))
+      .filter(col("la") < col("lb") ||
+        (col("la") === col("lb") && col("a_id") =!= col("b_id")))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb"), k).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** d14 core: the cleaned corpus after excising every ≥5-word span that
     * occurs ≥2 times corpus-wide. Positions of duplicated grams come
     * from the same positional-gram/skew-free-aggregate shape as
@@ -588,12 +667,25 @@ object Dedup {
             levenshtein(col("ta"), col("tb"), k).cast("long").as("edit_dist"))
           .filter(col("edit_dist") >= 0)
       },
-      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                     levenshtein(a.text, b.text) AS edit_dist
-              FROM documents a JOIN documents b
-                ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
-              WHERE a.n_chars <= 256 AND b.n_chars <= 256
-                AND levenshtein(a.text, b.text) <= 15""")),
+      Some(editDistOracle)),
+
+    // ---- d15: PassJoin segment blocking (d11's open-web rung) ----------
+    // The content-AWARE candidate stage d11's Scaladoc names for the
+    // regime its length bands can't serve ("every short doc on the web
+    // in one pot"): PassJoin (Li, Deng, Feng 2011) segment blocking.
+    // Same contract, same threshold, same oracle as d11 — the driver's
+    // correctness gate therefore proves the blocking LOSSLESS against
+    // the all-pairs reconstruction, and DedupSpec pins d15 ≡ d11.
+    // Where d11's bands block on length alone (population per band is
+    // the scale bound), d15 blocks on CONTENT: a pair survives only if
+    // it shares an exact segment at a compatible position, so unrelated
+    // same-length docs generate no candidates — which is why d15 runs
+    // in the replica smoke d11 is excluded from (replica-disjoint
+    // vocabulary ⇒ zero cross-replica candidates ⇒ linear).
+    ("d15_editdist_passjoin",
+      (s, d) => passJoinPairs(
+        Tables.documents(s, d).filter(col("n_chars") <= 256), 15),
+      Some(editDistOracle)),
 
     // ---- d12: repeated-span detection (exact substring dedup signal) ---
     // Document-level dedup misses REPEATED SPANS — boilerplate headers,

@@ -154,12 +154,15 @@ object EventPipeline {
     * ring buffer of trailing hourly sums per event type (≤48 longs+
     * doubles: 24 for the frame, 24 more for late arrivals), evicted as
     * the max hour advances. Each batch folds its events into the
-    * buffer and re-scores the hours it touched against their trailing
-    * 24 entries. Semantics note: an hour revisited by a later batch is
-    * RE-emitted with its refined score (append mode; downstream keeps
-    * the latest per (hr, type)) — the price of incremental output, the
-    * same contract as the funnel's cross-batch bound. State per key is
-    * constant-size, independent of event rate. */
+    * buffer and re-scores every state hour whose trailing window the
+    * batch touched — the touched hours themselves AND the up-to-23
+    * later hours whose frames contain them, so a late arrival refines
+    * every score it participates in, not just its own hour's.
+    * Semantics note: a re-scored hour is RE-emitted (append mode;
+    * downstream keeps the latest per (hr, type)) — the price of
+    * incremental output, the same contract as the funnel's cross-batch
+    * bound. State per key is constant-size, independent of event
+    * rate. */
   def anomalyStream(events: Dataset[ValueEvent]): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._
     events
@@ -183,7 +186,16 @@ object EventPipeline {
     // hours when one batch spans more than 48 of them. Future batches
     // can't miss the evicted entries: the 2 h watermark drops anything
     // that far behind the max event time long before the 48 h horizon.
-    val out = incoming.keys.toSeq.sorted.map { h =>
+    // Every state hour whose 24 h frame the batch touched: the incoming
+    // hours plus any later hour within 23 of one — a late value refines
+    // every window it sits in, and each gets re-emitted refined. With
+    // in-order arrival there are no later state hours, so this is
+    // exactly the incoming set.
+    val touched = incoming.keySet
+    val affected = sums.keys
+      .filter(k => touched.exists(h => k >= h && k <= h + 23))
+      .toSeq.sorted
+    val out = affected.map { h =>
       val win = sums.collect { case (k, v) if k >= h - 23 && k <= h => v }.toSeq
       val n = win.size
       val mean = win.sum / n

@@ -156,6 +156,44 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture has no near-identical short docs — test is vacuous")
   }
 
+  test("d15 PassJoin segment blocking equals d11's bands and the all-pairs form") {
+    // Two independent lossless candidate schemes must verify to the
+    // SAME pair set — and d15's window math (smallest-untouched-segment
+    // pigeonhole, Δ ± (k−i) shift) is additionally stressed on planted
+    // edits: substitutions, a deletion burst, and an insertion burst at
+    // segment boundaries, each within and just beyond k.
+    val banded = run("d11_dedup_editdist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pass = run("d15_editdist_passjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pass == banded,
+      s"pass=${pass.size} banded=${banded.size} missing=${(banded -- pass).take(3)} extra=${(pass -- banded).take(3)}")
+    assert(pass.nonEmpty, "fixture has no near-identical short docs — test is vacuous")
+
+    import spark.implicits._
+    val base = "abcdefghij" * 20 // 200 chars
+    val k = 15
+    val edits = Seq(
+      1L -> base,
+      2L -> (base.take(50) + "XXXXX" + base.drop(55)),          // 5 subst
+      3L -> (base.take(100) + base.drop(112)),                  // 12-char deletion
+      4L -> (base.take(150) + "YYYYYYYYYY" + base.drop(150)),   // 10-char insertion
+      5L -> (base.take(20) + "Z" * 16 + base.drop(36)),         // 16 subst: beyond k
+      6L -> ("Q" * 200))                                        // unrelated
+    val df = edits.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.passJoinPairs(df, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = df.select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val b = df.select(col("doc_id").as("b_id"), col("text").as("tb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), levenshtein(col("ta"), col("tb")).as("ed"))
+      .filter(col("ed") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == brute,
+      s"planted: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.exists(_._3 > 0) && brute.size >= 3, s"weak fixture: $brute")
+  }
+
   test("d12 repeated-span fractions: bounds on real data, exact counts on a planted span") {
     val rows = run("d12_dedup_spans").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

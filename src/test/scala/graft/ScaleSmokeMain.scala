@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale smoke: replicate the sf0.1 documents corpus REP× with
-  * replica-disjoint vocabulary (every word prefixed by its replica id,
-  * so gram spaces never collide and the duplicate structure replicates
-  * independently), then time the dedup/text family on ~200k docs. An
-  * operator whose plan is linear should cost ≈ REP × its sf0.1 time
-  * (modulo fixed overheads); anything superlinear is a scale bug.
+/** Scale smoke: replicate the sf0.1 corpus REP× with replica-disjoint
+  * vocabulary (every word prefixed by its replica id, so gram spaces
+  * never collide and the duplicate structure replicates independently),
+  * then time the dedup/text/pipeline family on ~200k docs. The events
+  * table is replicated alongside (type domain scales ×REP, per-type
+  * hourly density constant — the right growth model for per-type
+  * window ops like s09). An operator whose plan is linear should cost
+  * ≈ REP × its sf0.1 time (modulo fixed overheads); anything
+  * superlinear is a scale bug.
   * Run: sbt "Test/runMain graft.ScaleSmokeMain"  (not part of the library)
   */
 object ScaleSmokeMain {
@@ -24,15 +27,30 @@ object ScaleSmokeMain {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = "/tmp/graft_scale_smoke"
-    if (!keep) {
-      val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    // Versioned cache directory + schema validation: `keep` against a
+    // corpus cached by an OLDER smoke layout (missing a column the
+    // family now reads, or missing the events table) must regenerate,
+    // not fail mid-family with an unresolved-column error.
+    val dir = "/tmp/graft_scale_smoke_v3"
+    val requiredDocCols = Set("doc_id", "text", "n_chars", "lang", "source")
+    val cacheValid = keep && {
+      try {
+        val docCols = spark.read.parquet(s"$dir/documents.parquet")
+          .schema.fieldNames.toSet
+        spark.read.parquet(s"$dir/events.parquet") // existence check
+        requiredDocCols.subsetOf(docCols)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (keep && !cacheValid)
+      println("[smoke] cached corpus missing or stale — regenerating")
+    if (!cacheValid) {
       val reps = spark.range(rep).select(col("id").cast("int").as("rep"))
-      base.crossJoin(reps)
+      Tables.documents(spark, "/root/testdata/sf0.1").crossJoin(reps)
         .select(
           (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
           array_join(transform(split(col("text"), " "),
@@ -43,6 +61,17 @@ object ScaleSmokeMain {
           // the right growth model for per-source aggregates (t14/p05).
           concat(col("rep").cast("string"), lit("x"), col("source")).as("source"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // Events: type domain ×rep (prefixed), ids replica-shifted, time
+      // domain unchanged — per-type hourly series keep their density.
+      Tables.events(spark, "/root/testdata/sf0.1").crossJoin(reps)
+        .withColumn("event_id",
+          col("event_id") + col("rep").cast("long") * 1000000000L)
+        .withColumn("user_id",
+          col("user_id") + col("rep").cast("long") * 1000000L)
+        .withColumn("event_type",
+          concat(col("rep").cast("string"), lit("x"), col("event_type")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
     // Label from the corpus actually on disk (under `keep` the CLI rep
     // may not match what a previous run wrote — 5000 base docs at sf0.1).
@@ -56,13 +85,22 @@ object ScaleSmokeMain {
     // its Scaladoc documents that bound.
     val family = Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
       "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
-      "d12_dedup_spans", "d13_incremental_dedup", "t05_normalize", "t06_vocab",
+      "d12_dedup_spans", "d13_incremental_dedup", "d14_span_excision",
+      "d15_editdist_passjoin",
+      "t05_normalize", "t06_vocab",
       "t07_tfidf", "t08_redact", "t09_length_stats", "t10_repetition", "t11_pmi",
-      "t14_zipf", "t15_ngram_lm",
-      "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split")
+      "t14_zipf", "t15_ngram_lm", "t16_ppl_buckets", "t17_bpe_tokens", "t18_quality_classifier",
+      "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split", "p06_pipeline_e2e",
+      "s09_anomaly", "q56_variant")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      // toRdd.count() forces EVERY output column to materialize —
+      // df.count() lets Catalyst prune the payload computation of
+      // map-side operators (d14's excision, t18's scoring would time as
+      // bare scans), which is correct for the bench contract but wrong
+      // for doubling evidence.
+      val df = SparkEntry.queries(name)(spark, dir)
+      val rows = df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[smoke] $name%-22s $sec%7.1f s   rows=$rows%d")
     }

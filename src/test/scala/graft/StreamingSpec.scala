@@ -237,6 +237,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late micro-batch re-scores every downstream hour whose window it touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000L
+    def ev(h: Long, v: Double) =
+      ValueEvent(new java.sql.Timestamp(h * 3600L * 1000L), "late_t", v)
+    val in = MemoryStream[ValueEvent]
+    val q = EventPipeline.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anomlate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: hours 0..10 with a flat series and a spike at 10.
+      in.addData((0L to 9L).map(ev(_, 100.0)) :+ ev(10L, 500.0))
+      q.processAllAvailable()
+      // Batch 2: a LATE addition to hour 9 (1 h behind the max event
+      // time — inside the 2 h watermark). Hour 10's already-emitted
+      // z-score has hour 9 in its trailing window and must be
+      // re-emitted refined, not left stale.
+      in.addData(ev(9L, 300.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomlate").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+      val hr10 = rows.filter(_._1 == 10L)
+      assert(hr10.length == 2, s"hour 10 must be re-emitted once refined: $hr10")
+      // Recompute the refined score independently from the final sums.
+      val sums = ((0L to 8L).map(_ -> 100.0) :+ (9L -> 400.0) :+ (10L -> 500.0)).toMap
+      def zOf(h: Long): Double = {
+        val win = sums.collect { case (k, v) if k >= h - 23 && k <= h => v }.toSeq
+        val mean = win.sum / win.size
+        val sd = math.sqrt(win.map(x => (x - mean) * (x - mean)).sum / (win.size - 1))
+        math.floor((sums(h) - mean) / sd * 1000000 + 0.5) / 1000000
+      }
+      assert(hr10.exists(r => math.abs(r._3 - zOf(10L)) < 1e-9),
+        s"refined hour-10 score missing: got ${hr10.map(_._3).toSeq}, want ${zOf(10L)}")
+      // Hour 9 itself was re-emitted with its updated sum.
+      val hr9 = rows.filter(_._1 == 9L)
+      assert(hr9.exists(_._2 == 400.0), s"hour 9 refined sum missing: $hr9")
+    } finally q.stop()
+  }
+
   test("file-source stream over parquet matches the batch aggregate") {
     // The production wiring: readStream over a directory, one micro-batch
     // (Trigger.AvailableNow), memory sink — compared to the batch twin.
