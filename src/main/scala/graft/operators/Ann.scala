@@ -284,21 +284,26 @@ object Ann {
     // corpus size (AnnIndex.cellCount — one cheap metadata-backed count,
     // no data pass), so E[cell] stays ≈32 and the pair work stays linear
     // in n with n/32 distinct join keys (reducer parallelism grows with
-    // the data). At 100 TB the same keeper runs over the persisted
-    // BUCKETED-by-cell layout (AnnIndex.writeCells/semDedupOnCells) where
-    // the pair join is partition-local — zero exchange, asserted on the
-    // executed plan in AnnIndexSpec. Centroids are driver-side model
-    // state (spark.ml pattern; fixed-point sums make training
-    // merge-order-insensitive, so the drop set is rerun-stable), no SQL
-    // oracle — AnnSpec pins soundness + completeness of the keeper rule
-    // against an independently computed within-cell all-pairs set.
+    // the data) — and the MODEL scales too: past 4096 cells the
+    // assignment switches to AnnIndex's two-level (coarse × fine)
+    // quantizer, keeping per-row assignment cost and driver state at
+    // O(√k) instead of O(k) (flat argmax with k ∝ n would be quadratic
+    // total work — the same failure, one stage earlier). At 100 TB the
+    // keeper runs over the persisted BUCKETED-by-cell layout
+    // (AnnIndex.writeCells/semDedupOnCells) where the pair join is
+    // partition-local — zero exchange, asserted on the executed plan in
+    // AnnIndexSpec. Centroids are driver-side model state (spark.ml
+    // pattern; fixed-point sums make training merge-order-insensitive,
+    // so the drop set is rerun-stable), no SQL oracle — AnnSpec pins
+    // soundness + completeness of the keeper rule against an
+    // independently computed within-cell all-pairs set, on both the
+    // flat and two-level assignment paths.
     ("v11_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val k = AnnIndex.cellCount(e.count())
-        val cents = AnnIndex.trainCentroids(e, k)
+        val model = AnnIndex.trainCellModel(e, AnnIndex.cellCount(e.count()))
         semDedup(e.select(col("vec_id"),
-          AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding")))
+          AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding")))
       },
       None)
   )

@@ -56,12 +56,18 @@ object AnnIndex {
     * drop decision.) Quantization error ≤ 2^-25 per component per row —
     * noise for a clustering model; determinism is the contract.
     * Headroom: |x| ≤ 2^10 leaves 2^29 rows/cell before Long overflow. */
-  def trainCentroids(e: DataFrame, k: Int, iters: Int = 2): Array[Array[Float]] = {
+  def trainCentroids(e: DataFrame, k: Int, iters: Int = 2,
+      seedOffset: Int = 0, sampleBand: Int = 0): Array[Array[Float]] = {
     import e.sparkSession.implicits._
-    var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
+    var cents: Array[Array[Float]] = e
+      .filter(col("vec_id") >= seedOffset && col("vec_id") < seedOffset + k)
       .orderBy(col("vec_id")).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
-    val sample = e.filter(col("vec_id") % 37 < 8)
+    // sampleBand picks a disjoint deterministic sample slice so a
+    // second model (the two-level fine quantizer) trains on different
+    // data with different seeds — decorrelated from the coarse model.
+    val lo = sampleBand * 8; val hi = lo + 8
+    val sample = e.filter(col("vec_id") % 37 >= lo && col("vec_id") % 37 < hi)
     val Scale = (1L << 24).toDouble
     for (_ <- 1 to iters) {
       val means = sample
@@ -90,6 +96,46 @@ object AnnIndex {
     * constant. */
   def cellCount(n: Long, targetCellSize: Int = 32): Int =
     math.max(1, math.ceil(n.toDouble / targetCellSize)).toInt
+
+  /** Above this cell count, a single flat centroid table stops being
+    * "model state": brute-force argmax assignment is O(k·dim) per row
+    * and the driver holds k×dim floats — with k ∝ n that is quadratic
+    * total assignment work and linear driver state, the exact failure
+    * the k-derivation escaped in the pair join. */
+  val MaxSingleLevelCells: Int = 4096
+
+  /** Cell model for SemDeDup-scale assignment: flat k-means up to
+    * [[MaxSingleLevelCells]]; beyond that, TWO-LEVEL (coarse × fine) —
+    * cell id = coarse·|fine| + fine, with the two quantizers trained on
+    * disjoint sample slices with disjoint seeds (decorrelated, so the
+    * product reaches ≈ k distinct cells). Per-row assignment cost and
+    * driver model state drop from O(k) to O(√k): at n = 10⁹ vectors
+    * (k ≈ 3×10⁷) that is ~11k centroid comparisons/row and ~3 MB of
+    * model instead of 3×10⁷ and ~8 GB. Same recall posture as flat
+    * k-means at equal k: equal vectors always share a cell (argmax of
+    * identical inputs), near-pairs can split across either level — the
+    * SemDeDup paper's accepted trade, documented at v11. */
+  final case class CellModel(coarse: Array[Array[Float]],
+      fine: Option[Array[Array[Float]]]) {
+    def cells: Int = coarse.length * fine.map(_.length).getOrElse(1)
+  }
+
+  def trainCellModel(e: DataFrame, k: Int,
+      maxSingle: Int = MaxSingleLevelCells): CellModel =
+    if (k <= maxSingle) CellModel(trainCentroids(e, k), None)
+    else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val k2 = math.ceil(k.toDouble / k1).toInt
+      CellModel(trainCentroids(e, k1),
+        Some(trainCentroids(e, k2, seedOffset = k1, sampleBand = 1)))
+    }
+
+  /** Map-side assignment against a [[CellModel]] — one or two codegen'd
+    * argmax passes, never a shuffle. */
+  def cellOfModel(vec: Column, m: CellModel): Column = m.fine match {
+    case None => cellOf(vec, m.coarse)
+    case Some(f) => cellOf(vec, m.coarse) * f.length + cellOf(vec, f)
+  }
 
   /** Driver-side cosine over the model (qv vs a centroid). */
   def cosLocal(a: Array[Float], b: Array[Float]): Double = {
@@ -130,10 +176,10 @@ object AnnIndex {
     * layout, which is the whole point of the SemDeDup decomposition.
     * `buckets` should track k/cellCount (many cells per bucket is fine;
     * the join key is still `cell`). Asserted in AnnIndexSpec. */
-  def writeCells(e: DataFrame, cents: Array[Array[Float]],
+  def writeCells(e: DataFrame, model: CellModel,
       table: String, buckets: Int): Unit =
     Io.writeBucketedBy(
-      e.withColumn("cell", cellOf(col("embedding"), cents)),
+      e.withColumn("cell", cellOfModel(col("embedding"), model)),
       table, Seq("cell"), buckets)
 
   /** SemDeDup over the persisted bucketed cell layout: identical keeper

@@ -29,8 +29,27 @@ object Bpe {
   /** Where t17 exports the trained merge table so the DuckDB oracle can
     * re-apply it from scratch (the judge-sanctioned "model fed to the
     * oracle as a table" pattern — application and counts are verified
-    * independently; training is spec-pinned). */
-  val ModelExportPath = "/tmp/graft_bpe_merges.parquet"
+    * independently; training is spec-pinned).
+    *
+    * The export is PARTITIONED by a corpus fingerprint (doc count +
+    * total chars — both recomputable by the oracle from its own
+    * `documents` view) and written with dynamic partition overwrite, so
+    * runs over different corpora (Verify at sf0.01, Bench warm-up at
+    * sf0.001 then sf0.1, the scale smoke) each own a partition and can
+    * interleave without swapping the model out from under a pending
+    * oracle compare — a fixed single path would be clobbered by
+    * whichever query constructed last. */
+  val ModelExportPath = "/tmp/graft_bpe_models.parquet"
+
+  /** Corpus fingerprint both engines can compute: "<n_docs>_<Σn_chars>". */
+  def corpusKey(docs: org.apache.spark.sql.DataFrame): String = {
+    val r = docs.agg(count(lit(1)), sum(col("n_chars"))).head()
+    s"${r.getLong(0)}_${r.getLong(1)}"
+  }
+
+  /** The matching DuckDB expression for [[corpusKey]]. */
+  val corpusKeySql: String =
+    "(SELECT CAST(count(*) AS VARCHAR) || '_' || CAST(CAST(sum(n_chars) AS BIGINT) AS VARCHAR) FROM documents)"
 
   /** Merge strings ("l r") for the corpus at `dir` — the form
     * BpeTokenCountExpr consumes. Memoized per corpus: training is
@@ -49,7 +68,9 @@ object Bpe {
     * Shared by every oracle whose operator keys off BPE token counts,
     * so the verification semantics can't drift between them. */
   val oracleTokenCte: String =
-    s"""bpem AS (SELECT rank, l, r FROM read_parquet('$ModelExportPath/*.parquet')),
+    s"""bpem AS (SELECT rank, l, r
+                 FROM read_parquet('$ModelExportPath/*/*.parquet', hive_partitioning = true)
+                 WHERE corpus_key = $corpusKeySql),
        bpedw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
                  FROM documents),
        bpeuw AS (SELECT DISTINCT word FROM bpedw),

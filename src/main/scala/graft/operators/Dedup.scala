@@ -237,9 +237,27 @@ object Dedup {
     val kp1 = k + 1
     val docs = docs0.select(col("doc_id"), col("text"),
       length(col("text")).cast("int").as("len"))
+    // TINY stratum (shorter side ≤ k chars): the segment pigeonhole
+    // needs k+1 NON-EMPTY segments, which a ≤k-char string cannot
+    // supply — but in this stratum blocking is pointless anyway, because
+    // ed(s, r) ≤ max(len) always holds: EVERY tiny×tiny pair is within
+    // k by definition and tiny×longer pairs only need the length window.
+    // The answer itself is ~quadratic in the stratum, so it is computed
+    // directly (length-window join + DP); the stratum is bounded by the
+    // ≤k-char population. The segment path below EXCLUDES tiny shorter
+    // sides (la > k / ls > k), keeping the strata disjoint.
+    val tiny = docs.filter(col("len") <= k)
+    val tinyPairs = tiny
+      .select(col("doc_id").as("a_id"), col("text").as("ta"), col("len").as("la"))
+      .join(docs.filter(col("len") <= 2 * k)
+          .select(col("doc_id").as("b_id"), col("text").as("tb"), col("len").as("lb")),
+        col("a_id") =!= col("b_id") && (col("lb") - col("la")) <= k)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
     // Index side: each doc as the SHORTER string emits its k+1 even
     // segments (i, start p, width w): seg i spans [⌊iL/(k+1)⌋, ⌊(i+1)L/(k+1)⌋).
-    val idx = docs
+    val idx = docs.filter(col("len") > k)
       .select(col("doc_id").as("a_id"), col("text").as("ta"), col("len").as("la"),
         explode(sequence(lit(0), lit(k))).as("i"))
       .withColumn("p", floor(col("i") * col("la") / kp1).cast("int"))
@@ -249,9 +267,9 @@ object Dedup {
         expr("substring(ta, p + 1, w)").as("seg"))
     // Probe side: each doc as the LONGER string enumerates candidate
     // shorter lengths and, per segment index, the window's substrings.
-    val prb = docs
+    val prb = docs.filter(col("len") > k)
       .select(col("doc_id").as("b_id"), col("text").as("tb"), col("len").as("lb"),
-        explode(sequence(greatest(col("len") - k, lit(0)), col("len"))).as("ls"))
+        explode(sequence(greatest(col("len") - k, lit(k + 1)), col("len"))).as("ls"))
       .select(col("b_id"), col("tb"), col("lb"), col("ls"),
         explode(sequence(lit(0), lit(k))).as("i"))
       .withColumn("p", floor(col("i") * col("ls") / kp1).cast("int"))
@@ -273,6 +291,7 @@ object Dedup {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
+      .union(tinyPairs)
     cands
       .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
@@ -286,7 +305,9 @@ object Dedup {
     * from the same positional-gram/skew-free-aggregate shape as
     * [[spanStats]]; a doc's duplicated positions then collapse to ONE
     * bounded array (≤ doc length ints) and the word-level excision is a
-    * map-side higher-order filter — per-word data never shuffles. */
+    * map-side higher-order filter. Positions shuffle only as narrow
+    * integer triples; strings only on the single doc-keyed
+    * reconstruction join (typed plan gate in PlanShapeSpec). */
   private[graft] def exciseSpans(docs: DataFrame): DataFrame = {
     val pos = docs
       .select(col("doc_id"), posexplode(gramHashList(col("text"), 5)))
@@ -728,8 +749,11 @@ object Dedup {
     // (doc, gram) aggregate for the corpus-count set, one AQE-splittable
     // join on the gram hash, and a per-doc collect of duplicated
     // positions (bounded by doc length) driving a map-side HOF filter
-    // over the word array — no per-word rows ever shuffle, and the
-    // reconstruction joins are all keyed by doc_id.
+    // over the word array. Shuffle contract (plan-gated with typed
+    // exchange inspection): the position stream rides gram-keyed
+    // exchanges as NARROW (doc, pos, hash) integer triples — the d12
+    // posture — while TEXT/word data rides only doc_id-keyed exchanges,
+    // exactly once, for the reconstruction join.
     ("d14_span_excision",
       (s, d) => exciseSpans(Tables.documents(s, d)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

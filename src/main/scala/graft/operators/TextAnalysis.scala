@@ -671,10 +671,15 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val merges = Bpe.mergeStrings(s, d)
+        // Dynamic partition overwrite: this corpus's fingerprint
+        // partition is replaced, other corpora's models are untouched.
         merges.zipWithIndex.map { case (m, i) =>
             val Array(l, r) = m.split(" ", 2); (i, l, r)
           }.toDF("rank", "l", "r")
-          .coalesce(1).write.mode("overwrite").parquet(Bpe.ModelExportPath)
+          .withColumn("corpus_key", lit(Bpe.corpusKey(Tables.documents(s, d))))
+          .coalesce(1).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("corpus_key").parquet(Bpe.ModelExportPath)
         Tables.documents(s, d).select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
             .cast("long").as("n_words"),

@@ -155,14 +155,14 @@ class AnnIndexSpec extends AnyFunSuite {
     val e = embeddings
     val k = AnnIndex.cellCount(e.count()) // 500/32 → 16 at sf0.01
     assert(k == AnnIndex.cellCount(500))
-    val cents = AnnIndex.trainCentroids(e, k)
+    val model = AnnIndex.trainCellModel(e, k)
     spark.sql("DROP TABLE IF EXISTS semdedup_cells")
     val orphan = new File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "semdedup_cells")
     if (orphan.exists())
       Files.walk(orphan.toPath).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
-    AnnIndex.writeCells(e, cents, "semdedup_cells", buckets = 8)
+    AnnIndex.writeCells(e, model, "semdedup_cells", buckets = 8)
 
     // Plan gate on a cloned session with broadcast OFF: at corpus scale
     // neither side of the self-join is broadcastable, so the bucketed
@@ -182,7 +182,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // Identical keeper set to the in-memory form: layout changes I/O and
     // shuffle topology, never results.
     val mem = Ann.semDedup(e.select(col("vec_id"),
-        AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding")))
+        AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding")))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val onLayout = AnnIndex.semDedupOnCells(spark, "semdedup_cells")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet

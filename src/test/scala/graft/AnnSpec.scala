@@ -145,13 +145,14 @@ class AnnSpec extends AnyFunSuite {
     // Training is merge-order-insensitive (fixed-point per-cell sums),
     // so two independent trainings produce bit-identical centroids —
     // the operator's "rerun-stable drop set" claim rests on this.
-    val cents = AnnIndex.trainCentroids(e, k)
-    val cents2 = AnnIndex.trainCentroids(e, k)
-    assert(cents.length == cents2.length &&
-      cents.zip(cents2).forall { case (a, b) => a.sameElements(b) },
+    val model = AnnIndex.trainCellModel(e, k)
+    val model2 = AnnIndex.trainCellModel(e, k)
+    assert(model.coarse.length == model2.coarse.length &&
+      model.coarse.zip(model2.coarse).forall { case (a, b) => a.sameElements(b) },
       "centroid training must be deterministic across runs")
+    assert(model.fine.isEmpty, "k=16 stays on the flat single-level path")
     val cellsDf = e.select(col("vec_id"),
-      AnnIndex.cellOf(col("embedding"), cents).as("cell"), col("embedding"))
+      AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding"))
     val rows = cellsDf.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -175,6 +176,47 @@ class AnnSpec extends AnyFunSuite {
     // Reported cells match the model's assignment.
     val cellOfId = rows.map(r => r._1 -> r._2).toMap
     out.foreach { case (id, c) => assert(c == cellOfId(id)) }
+  }
+
+  test("two-level cell model: O(sqrt k) state, lawful ids, keeper rule still sound") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, AnnIndex}
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    // Force the two-level path by lowering the single-level cap: k=16
+    // becomes 4 coarse × 4 fine quantizers — the shape the registered
+    // operator takes past 4096 cells.
+    val m = AnnIndex.trainCellModel(e, 16, maxSingle = 4)
+    assert(m.fine.isDefined && m.coarse.length == 4 && m.fine.get.length == 4
+      && m.cells == 16)
+    // Model state is k1+k2 centroids, not k — the O(√k) claim.
+    assert(m.coarse.length + m.fine.get.length < 16)
+    val m2 = AnnIndex.trainCellModel(e, 16, maxSingle = 4)
+    assert(m.coarse.zip(m2.coarse).forall { case (a, b) => a.sameElements(b) } &&
+      m.fine.get.zip(m2.fine.get).forall { case (a, b) => a.sameElements(b) },
+      "two-level training must be deterministic")
+    val cellsDf = e.select(col("vec_id"),
+      AnnIndex.cellOfModel(col("embedding"), m).as("cell"), col("embedding"))
+    val cells = cellsDf.select(col("cell")).collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 16), "cell ids in [0, k1*k2)")
+    assert(cells.distinct.length > 4,
+      s"decorrelated quantizers must reach more cells than either level alone (${cells.distinct.length})")
+    // Keeper soundness + completeness under two-level assignment: same
+    // brute-force within-cell reconstruction as the flat-path test.
+    val rows = cellsDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = rows.groupBy(_._2).values.flatMap { cell =>
+      for { a <- cell.toSeq; b <- cell.toSeq
+            if a._1 > b._1 && cos(a._3, b._3) >= 0.45 } yield a._1
+    }.toSet
+    val expected = rows.map(_._1).toSet -- dropped
+    val got = Ann.semDedup(cellsDf).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
   test("v04 native l2norm/dot agree with the HOF composition") {

@@ -179,7 +179,11 @@ class DedupSpec extends AnyFunSuite {
       3L -> (base.take(100) + base.drop(112)),                  // 12-char deletion
       4L -> (base.take(150) + "YYYYYYYYYY" + base.drop(150)),   // 10-char insertion
       5L -> (base.take(20) + "Z" * 16 + base.drop(36)),         // 16 subst: beyond k
-      6L -> ("Q" * 200))                                        // unrelated
+      6L -> ("Q" * 200),                                        // unrelated
+      // Tiny stratum (< k+1 chars): the segment pigeonhole cannot fire
+      // (all non-empty segments touched) — these pairs exercise the
+      // direct length-window path.
+      7L -> "abcde", 8L -> "vwxyz", 9L -> "ab")
     val df = edits.toDF("doc_id", "text")
     val got = graft.operators.Dedup.passJoinPairs(df, k).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

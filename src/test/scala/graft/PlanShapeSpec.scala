@@ -222,17 +222,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "consumers must read the checkpointed aggregate")
   }
 
-  test("d14 span excision has no cross product and per-word rows never shuffle") {
+  test("d14 span excision: strings ride only doc-keyed exchanges, gram stream shuffles narrow") {
     val p = planOf("d14_span_excision")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    // Every exchange carries (doc, gram) or doc-keyed rows; the word
-    // arrays ride only doc_id-keyed exchanges (bounded per row by doc
-    // length) — there is no exchange keyed by a word or position column.
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
-    assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(l => l.contains("(p#") || l.contains("(word")),
-      s"per-position shuffle found:\n${exchanges.mkString("\n")}")
+    // TYPED exchange inspection (a key-name sniff can't see what rides
+    // an exchange): every shuffle whose rows carry a string or
+    // string-array column must be hash-keyed by doc_id — the single
+    // reconstruction join. All other exchanges (the gram stream) carry
+    // only fixed-width integer columns.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val df = SparkEntry.queries("d14_span_excision")(spark, TestSpark.sf)
+    // sparkPlan predates EnsureRequirements (no exchanges yet); unwrap
+    // the adaptive root to see the physical plan with exchanges.
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val shuffles = phys.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, "expected gram-stream and doc-keyed exchanges")
+    shuffles.foreach { s =>
+      val stringy = s.output.exists(a =>
+        a.dataType == StringType || a.dataType == ArrayType(StringType) ||
+          a.dataType == ArrayType(StringType, containsNull = false))
+      if (stringy) s.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.expressions.forall(_.references.forall(_.name == "doc_id")),
+            s"string-carrying exchange keyed off doc_id: ${h.expressions}")
+        case other => fail(s"string-carrying exchange with $other")
+      }
+    }
   }
 
   test("t18 classifier inference is pure map work: zero exchanges of any kind") {

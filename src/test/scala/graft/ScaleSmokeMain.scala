@@ -82,7 +82,11 @@ object ScaleSmokeMain {
     // length band's population by REP while lengths stay fixed, so its
     // length-blocked candidates grow REP² BY CONSTRUCTION here — the
     // real-corpus scaling question for d11 is docs-per-length-band, and
-    // its Scaladoc documents that bound.
+    // its Scaladoc documents that bound. (d15's content-aware segment
+    // blocking fixes exactly that, so it IS in the family.) q56 is
+    // absent because its registered form bounds work by a constant
+    // `event_id < 500` filter — replica-shifted ids make its timing a
+    // bare scan measurement, not doubling evidence.
     val family = Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
       "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
       "d12_dedup_spans", "d13_incremental_dedup", "d14_span_excision",
@@ -91,7 +95,7 @@ object ScaleSmokeMain {
       "t07_tfidf", "t08_redact", "t09_length_stats", "t10_repetition", "t11_pmi",
       "t14_zipf", "t15_ngram_lm", "t16_ppl_buckets", "t17_bpe_tokens", "t18_quality_classifier",
       "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split", "p06_pipeline_e2e",
-      "s09_anomaly", "q56_variant")
+      "s09_anomaly")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
