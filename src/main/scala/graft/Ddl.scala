@@ -30,9 +30,14 @@ object Ddl {
   /** Single-quote a string literal (paths) for SQL text. */
   private def strLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** CREATE TABLE t AS <parquet dir>/name.parquet. */
+  /** CREATE TABLE t AS <parquet dir>/name.parquet. The catalog exposes the
+    * LOGICAL schema: events' TIMESTAMP(NANOS) storage quirk is normalized
+    * to a timestamp here (Tables.events), exactly as the reference's
+    * catalog maps storage types to query types (andb/catalog/type.py) —
+    * SQL text over `events` sees `ts` as a timestamp, not raw nanos. */
   def createTable(spark: SparkSession, name: String, sfDir: String): Unit =
-    Tables.load(spark, sfDir, name).createOrReplaceTempView(name)
+    (if (name == "events") Tables.events(spark, sfDir)
+     else Tables.load(spark, sfDir, name)).createOrReplaceTempView(name)
 
   /** CREATE VIEW v AS <df>. */
   def createView(df: DataFrame, name: String): Unit =

@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ Ann.defs ++ Dedup.defs ++ TextAnalysis.defs ++ Events.defs ++
-      Multimodal.defs ++ Pipeline.defs
+      Multimodal.defs ++ Pipeline.defs ++ Graph.defs
 
   require(allDefs.map(_._1).distinct.size == allDefs.size, "duplicate query names")
 

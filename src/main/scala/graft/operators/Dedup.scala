@@ -96,8 +96,13 @@ object Dedup {
     * table is localCheckpoint'd: one kernel pass feeds candidate
     * generation, the prefilter stats, and the verify (at 100 TB this is
     * "write the shingle table once per corpus"). */
-  private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
-    val minJac = jacNum.toDouble / jacDen
+  /** Shared candidate-generation core for the exact gram-overlap family
+    * (d04 Jaccard, d16 containment): per-doc gram-hash sets
+    * (localCheckpoint'd — one kernel pass feeds candidates, prefilter
+    * stats, and verify), the df-capped cold-gram stream (df computed by a
+    * count window on the join's own exchange), and per-doc hot-gram
+    * counts for the no-false-drop prefilter. */
+  private def gramIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val hs = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
       .localCheckpoint()
@@ -115,6 +120,12 @@ object Dedup {
     val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
       .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
       .select(col("doc_id"), (col("n") - coalesce(col("n_cold"), lit(0L))).as("n_hot"))
+    (hs, cold, hotCnt)
+  }
+
+  private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
+    val minJac = jacNum.toDouble / jacDen
+    val (hs, cold, hotCnt) = gramIndex(s, d)
     // Rename the join key on one side: a self-join on the shared lineage
     // ambiguously resolves a("h") === b("h") (Spark warns "trivially
     // true" and falls back to positional disambiguation — correct today,
@@ -850,7 +861,64 @@ object Dedup {
                        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
                SELECT doc_id, source, n_chars FROM documents
                WHERE doc_id % 5 = 0
-                 AND doc_id NOT IN (SELECT bat_id FROM dup)"""))
+                 AND doc_id NOT IN (SELECT bat_id FROM dup)""")),
+
+    // ---- d16: gram-set CONTAINMENT pairs (near-subset detection) -------
+    // Jaccard (d04) under-scores SUBSET duplication: a paragraph quoted
+    // inside a 10× longer page has |A∩B|/|A∪B| ≈ 0.1 but containment
+    // |A∩B|/|A| ≈ 1.0 — the asymmetric measure is what catches quoted /
+    // wrapped / excerpted content (the d12 span signal at document
+    // granularity). Same df-capped inverted-index candidate core as d04
+    // ([[gramIndex]]), same integer-rational no-false-drop prefilter —
+    // but cross-multiplied against min(|A|,|B|), the SMALLER set, and
+    // thresholded at 4/5. Output keys each pair as (small ⊆ big), with
+    // the exact intersection count; containment = inter/n_small is one
+    // division on exact integers (IEEE-identical both engines).
+    ("d16_containment",
+      (s, d) => {
+        val (hs, cold, hotCnt) = gramIndex(s, d)
+        val (num, den, minSmall) = (4, 5, 5)
+        val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
+        val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h").as("hb"))
+        val cands = a.join(b, col("h") === col("hb") && col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+        val pre = cands
+          .join(hotCnt.select(col("doc_id").as("a_id"), col("n_hot").as("ha")), "a_id")
+          .join(hotCnt.select(col("doc_id").as("b_id"), col("n_hot").as("hb2")), "b_id")
+          .filter((col("c_cold") + least(col("ha"), col("hb2"))) * lit(den)
+            >= least(col("na"), col("nb")) * lit(num))
+        pre
+          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("hsa")), "a_id")
+          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("hsb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+          .filter(col("inter") * den >= least(col("na"), col("nb")) * num
+            && least(col("na"), col("nb")) >= minSmall)
+          .select(
+            when(col("na") < col("nb"), col("a_id"))
+              .when(col("na") > col("nb"), col("b_id"))
+              .otherwise(least(col("a_id"), col("b_id"))).as("small_id"),
+            when(col("na") < col("nb"), col("b_id"))
+              .when(col("na") > col("nb"), col("a_id"))
+              .otherwise(greatest(col("a_id"), col("b_id"))).as("big_id"),
+            least(col("na"), col("nb")).cast("long").as("n_small"),
+            col("inter"),
+            (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"))
+      },
+      Some(s"""WITH $oracleShingleJaccard,
+               cont AS (SELECT ia, ib, c, has_cold, sa.n AS na, sb.n AS nb
+                        FROM inter JOIN sz sa ON sa.doc_id = ia
+                        JOIN sz sb ON sb.doc_id = ib)
+               SELECT CASE WHEN na < nb THEN ia WHEN na > nb THEN ib
+                           ELSE LEAST(ia, ib) END AS small_id,
+                      CASE WHEN na < nb THEN ib WHEN na > nb THEN ia
+                           ELSE GREATEST(ia, ib) END AS big_id,
+                      CAST(LEAST(na, nb) AS BIGINT) AS n_small,
+                      CAST(c AS BIGINT) AS inter,
+                      c * 1.0 / LEAST(na, nb) AS containment
+               FROM cont
+               WHERE c * 5 >= LEAST(na, nb) * 4
+                 AND LEAST(na, nb) >= 5 AND has_cold = 1"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -437,6 +437,58 @@ object Pipeline {
                     FROM train)
               SELECT doc_id, source, n_tokens, tok_start,
                      CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_id
-              FROM c"""))
+              FROM c""")),
+
+    // ---- p07: curriculum ordering --------------------------------------
+    // Quality-annealed training order (the Bengio et al. 2009 curriculum
+    // recipe as a data op): documents are staged cleanest-first by fixed
+    // thresholds on t18's classifier logit (stage 0 = logit > 1 … stage 3
+    // = rest — thresholds on an IEEE-exact score, so staging is exact),
+    // shuffled deterministically WITHIN each stage (md5 identity hash —
+    // curriculum orders stages, not documents; intra-stage order must
+    // stay unbiased), then given a GLOBAL training position and shard.
+    //
+    // The global position is the p02/p04 SPLIT prefix sum, here over
+    // (stage, md5-prefix bucket) groups: the corpus-scale row_number runs
+    // partition-local per (stage, bucket); the single-task window sees
+    // only the ~1024 group totals whose running sum becomes each group's
+    // global offset, broadcast back. (stage, bkt, skey) ordering equals
+    // the global (stage, skey) ordering because bkt is a PREFIX of skey.
+    // At 100 TB: one corpus exchange on (stage, bkt); the shard write is
+    // partitionBy(shard_id) — curriculum-ordered training files, ~1000
+    // docs each, readable in shard order by the trainer.
+    ("p07_curriculum",
+      (s, d) => {
+        val scored = TextAnalysis.classifierScores(s, d)
+          .select(col("doc_id"),
+            when(col("logit") > 1, 0).when(col("logit") > 0, 1)
+              .when(col("logit") > -1, 2).otherwise(3).as("stage"),
+            md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("skey"))
+          .withColumn("bkt", substring(col("skey"), 1, 2))
+        val wLocal = Window.partitionBy(col("stage"), col("bkt"))
+          .orderBy(col("skey").asc, col("doc_id").asc)
+        val local = scored.withColumn("local_rn",
+          row_number().over(wLocal).cast("long"))
+        val wGrp = Window.orderBy(col("stage"), col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = scored.groupBy(col("stage"), col("bkt"))
+          .agg(count(lit(1)).as("gn"))
+          .withColumn("goff", coalesce(sum(col("gn")).over(wGrp), lit(0L)))
+          .select(col("stage"), col("bkt"), col("goff"))
+        local.join(broadcast(offsets), Seq("stage", "bkt"))
+          .select(col("doc_id"), col("stage"),
+            (col("goff") + col("local_rn")).as("ord"))
+          .withColumn("shard_id", ((col("ord") - 1) / 1000).cast("long"))
+      },
+      Some(s"""WITH ${TextAnalysis.oracleLogitCte},
+              st AS (SELECT doc_id,
+                       CASE WHEN logit > 1 THEN 0 WHEN logit > 0 THEN 1
+                            WHEN logit > -1 THEN 2 ELSE 3 END AS stage,
+                       md5('cur:' || CAST(doc_id AS VARCHAR)) AS skey
+                     FROM sc)
+              SELECT doc_id, stage,
+                     CAST(row_number() OVER (ORDER BY stage, skey, doc_id) AS BIGINT) AS ord,
+                     CAST((row_number() OVER (ORDER BY stage, skey, doc_id) - 1) // 1000 AS BIGINT) AS shard_id
+              FROM st"""))
   )
 }

@@ -1046,6 +1046,96 @@ object Relational {
       Some("""SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri_n, o_totalprice
               FROM orders
               ORDER BY pri_n DESC NULLS FIRST, o_totalprice ASC NULLS LAST, o_orderkey ASC
-              LIMIT 60"""))
+              LIMIT 60""")),
+
+    // ---- q58: exact percentiles (continuous + discrete) ------------------
+    // Quantile probabilities are DYADIC (0.25/0.5/0.75) on integer-valued
+    // doubles, so the standard interpolation lower + (upper-lower)*frac has
+    // every intermediate exactly representable in binary64 — bit-identical
+    // across engines with NO grid. percentile_disc follows the SQL-standard
+    // "first value with cume_dist >= p" on both engines. Exact percentile
+    // is a per-group sort — at 100 TB the groups here are the 3-value
+    // l_returnflag domain, so each group's sort is one reducer's work;
+    // for high-cardinality groups the approx_percentile path (q33) is the
+    // scale rung.
+    ("q58_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("med_price_disc"))
+        .select(col("l_returnflag"), col("cnt"),
+          col("qs").getItem(0).as("q25"),
+          col("qs").getItem(1).as("q50"),
+          col("qs").getItem(2).as("q75"),
+          col("med_price_disc")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+                     quantile_cont(l_quantity, 0.25) AS q25,
+                     quantile_cont(l_quantity, 0.5)  AS q50,
+                     quantile_cont(l_quantity, 0.75) AS q75,
+                     quantile_disc(l_extendedprice, 0.5) AS med_price_disc
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- q59: fixed-width histogram ---------------------------------------
+    // width_bucket semantics written as explicit floor arithmetic so both
+    // engines run the IDENTICAL operation sequence (multiply THEN divide —
+    // the [[graft-float-discipline]] op-order rule; a boundary value rounds
+    // the same way on both sides because the expression is the same).
+    // Entirely map-side + a 12-key aggregate: the 100 TB plan is one scan
+    // with partial aggregation, nothing else.
+    ("q59_histogram",
+      (s, d) => Tables.orders(s, d)
+        .select(greatest(lit(1), least(lit(12),
+            (floor(col("o_totalprice") * 12 / 600000) + 1).cast("int"))).as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+             cents(sum(col("o_totalprice"))).as("sum_price")),
+      Some("""SELECT CAST(GREATEST(1, LEAST(12, CAST(FLOOR(o_totalprice * 12 / 600000) + 1 AS INT))) AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     FLOOR(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+              FROM orders GROUP BY 1""")),
+
+    // ---- q60: running COUNT(DISTINCT) over a window -----------------------
+    // Neither Spark nor DuckDB supports DISTINCT aggregates in window
+    // frames; the standard rewrite marks each (user, event_type)'s FIRST
+    // occurrence with row_number()=1, then running-sums the marks per user.
+    // The explicit repartition(user_id) makes ONE exchange serve BOTH
+    // windows: HashPartitioning(user_id) satisfies the (user_id, event_type)
+    // window's ClusteredDistribution (a user's rows are all co-located), so
+    // the second window adds only a local sort — without it Spark plans two
+    // exchanges (plan-gated in PlanShapeSpec). Integer-only math.
+    ("q60_window_distinct",
+      (s, d) => {
+        val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val wCum = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .repartition(col("user_id"))
+          .withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("types_so_far", sum(col("first_seen")).over(wCum))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("types_so_far"))
+      },
+      Some("""WITH e AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+                FROM events),
+              m AS (
+                SELECT event_id, user_id, ts_us,
+                       CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                                    ORDER BY ts_us ASC, event_id ASC) = 1
+                            THEN 1 ELSE 0 END AS first_seen
+                FROM e)
+              SELECT event_id, user_id, ts_us,
+                     CAST(sum(first_seen) OVER (PARTITION BY user_id
+                       ORDER BY ts_us ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS types_so_far
+              FROM m"""))
   )
 }

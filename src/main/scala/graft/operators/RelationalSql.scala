@@ -499,6 +499,36 @@ object RelationalSql {
       """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri_n, o_totalprice
         |FROM orders
         |ORDER BY pri_n DESC NULLS FIRST, o_totalprice ASC NULLS LAST, o_orderkey ASC
-        |LIMIT 60""".stripMargin
+        |LIMIT 60""".stripMargin,
+
+    "q58_percentile" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       percentile(l_quantity, array(0.25D, 0.5D, 0.75D))[0] AS q25,
+        |       percentile(l_quantity, array(0.25D, 0.5D, 0.75D))[1] AS q50,
+        |       percentile(l_quantity, array(0.25D, 0.5D, 0.75D))[2] AS q75,
+        |       percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med_price_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q59_histogram" ->
+      """SELECT GREATEST(1, LEAST(12, CAST(FLOOR(o_totalprice * 12 / 600000) + 1 AS INT))) AS bucket,
+        |       count(*) AS cnt,
+        |       FLOOR(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q60_window_distinct" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, unix_micros(ts) AS ts_us
+        |  FROM events),
+        |m AS (
+        |  SELECT /*+ REPARTITION(user_id) */ event_id, user_id, ts_us,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts_us ASC, event_id ASC) = 1
+        |              THEN 1L ELSE 0L END AS first_seen
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us,
+        |       sum(first_seen) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS types_so_far
+        |FROM m""".stripMargin
   )
 }

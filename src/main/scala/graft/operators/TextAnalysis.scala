@@ -709,40 +709,50 @@ object TextAnalysis {
     // (exactly representable doubles), and the fold is the same
     // left-to-right sum both sides — all IEEE-exact cross-engine.
     ("t18_quality_classifier",
-      (s, d) => {
-        val stop = markers.flatMap(_._2).distinct
-        // [bias, capped-length, type-token ratio, stopword ratio,
-        //  capped-chars] — dyadic-rational weights, exact as doubles.
-        val w = Array(-2.25, 2.5, 3.0, -1.25, 0.75)
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars"),
-            org.apache.spark.sql.graft.TextHash
-              .qualityFeaturesCol(col("text"), stop, normalize = false).as("f"))
-          .select(col("doc_id"),
-            array(lit(1.0),
-              least(col("f.n_words"), lit(200)).cast("double") / 200,
-              col("f.n_distinct").cast("double") / col("f.n_words"),
-              col("f.n_stop").cast("double") / col("f.n_words"),
-              least(col("n_chars"), lit(1000)).cast("double") / 1000).as("x"))
-          .select(col("doc_id"),
-            aggregate(zip_with(col("x"), lit(w), (xi, wi) => xi * wi),
-              lit(0.0), (acc, v) => acc + v).as("logit"))
-          .select(col("doc_id"), col("logit"), (col("logit") > 0).as("keep"))
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
-               c AS (SELECT doc_id, n_chars, len(w) AS n_words,
-                            len(list_distinct(w)) AS n_distinct,
-                            ${sqlCountIn(markers.flatMap(_._2).distinct)} AS n_stop
-                     FROM toks),
-               sc AS (SELECT doc_id,
-                        CAST(0.0 AS DOUBLE)
-                          + CAST(1.0 AS DOUBLE) * CAST(-2.25 AS DOUBLE)
-                          + CAST(least(n_words, 200) AS DOUBLE) / 200 * CAST(2.5 AS DOUBLE)
-                          + CAST(n_distinct AS DOUBLE) / n_words * CAST(3.0 AS DOUBLE)
-                          + CAST(n_stop AS DOUBLE) / n_words * CAST(-1.25 AS DOUBLE)
-                          + CAST(least(n_chars, 1000) AS DOUBLE) / 1000 * CAST(0.75 AS DOUBLE)
-                          AS logit
-                      FROM c)
+      (s, d) => classifierScores(s, d)
+        .select(col("doc_id"), col("logit"), (col("logit") > 0).as("keep")),
+      Some(s"""WITH $oracleLogitCte
                SELECT doc_id, logit, logit > 0 AS keep FROM sc"""))
   )
+
+  /** t18's classifier inference as a reusable frame: (doc_id, logit) for
+    * every document — p07's curriculum stages key off the same scores.
+    * See the t18 entry for the exactness + zero-exchange argument. */
+  private[operators] def classifierScores(s: SparkSession, d: String): DataFrame = {
+    val stop = markers.flatMap(_._2).distinct
+    // [bias, capped-length, type-token ratio, stopword ratio,
+    //  capped-chars] — dyadic-rational weights, exact as doubles.
+    val w = Array(-2.25, 2.5, 3.0, -1.25, 0.75)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        org.apache.spark.sql.graft.TextHash
+          .qualityFeaturesCol(col("text"), stop, normalize = false).as("f"))
+      .select(col("doc_id"),
+        array(lit(1.0),
+          least(col("f.n_words"), lit(200)).cast("double") / 200,
+          col("f.n_distinct").cast("double") / col("f.n_words"),
+          col("f.n_stop").cast("double") / col("f.n_words"),
+          least(col("n_chars"), lit(1000)).cast("double") / 1000).as("x"))
+      .select(col("doc_id"),
+        aggregate(zip_with(col("x"), lit(w), (xi, wi) => xi * wi),
+          lit(0.0), (acc, v) => acc + v).as("logit"))
+  }
+
+  /** DuckDB CTE chain ending in `sc(doc_id, logit)` — the oracle twin of
+    * [[classifierScores]], shared by t18 and p07. */
+  private[operators] lazy val oracleLogitCte: String =
+    s"""toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, n_chars, len(w) AS n_words,
+       |             len(list_distinct(w)) AS n_distinct,
+       |             ${sqlCountIn(markers.flatMap(_._2).distinct)} AS n_stop
+       |      FROM toks),
+       |sc AS (SELECT doc_id,
+       |         CAST(0.0 AS DOUBLE)
+       |           + CAST(1.0 AS DOUBLE) * CAST(-2.25 AS DOUBLE)
+       |           + CAST(least(n_words, 200) AS DOUBLE) / 200 * CAST(2.5 AS DOUBLE)
+       |           + CAST(n_distinct AS DOUBLE) / n_words * CAST(3.0 AS DOUBLE)
+       |           + CAST(n_stop AS DOUBLE) / n_words * CAST(-1.25 AS DOUBLE)
+       |           + CAST(least(n_chars, 1000) AS DOUBLE) / 1000 * CAST(0.75 AS DOUBLE)
+       |           AS logit
+       |       FROM c)""".stripMargin
 }

@@ -22,6 +22,18 @@ case class AnomalyState(sums: Map[Long, Double])
 case class AnomalyOut(
     hr_no: Long, event_type: String, sum_value: Double, z: Double, is_anomaly: Boolean)
 
+/** Typed input row for the streaming CUSUM detector. */
+case class HourEvent(ts: Timestamp, event_type: String)
+
+/** Per-type CUSUM state: next hour to finalize, running scaled sum, and
+  * counts for hours the watermark hasn't finalized yet (bounded by the
+  * watermark horizon, never by event rate). */
+case class CusumState(nextHr: Long, s: Long, pending: Map[Long, Long])
+
+/** One finalized CUSUM hour (hr_no = hours since epoch). */
+case class CusumOut(
+    hr_no: Long, event_type: String, x: Long, cusum_scaled: Long, flag: Boolean)
+
 /** Per-user funnel progress (Long.MaxValue = stage not reached). */
 case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
 
@@ -208,6 +220,62 @@ object EventPipeline {
     }
     val maxHr = if (sums.isEmpty) 0L else sums.keys.max
     state.update(AnomalyState(sums.filter { case (h, _) => h > maxHr - 48 }))
+    out.iterator
+  }
+
+  /** s10's streaming twin: online CUSUM change-point detection. The
+    * batch form self-calibrates (T = Σx, H = hour count) from the whole
+    * corpus; a stream cannot, so the reference parameters arrive as
+    * OFFLINE-TRAINED config — the standard online-CUSUM deployment
+    * (train μ on history, monitor live) — expressed as the same integer
+    * pair (tTot, hTot) the batch uses, so the recurrence
+    * S ← max(0, S + x·H − T − T div 2) is bit-identical. Hours finalize
+    * strictly in order: a batch's counts fold into `pending`; every
+    * hour at least 2 behind the newest seen (the watermark's horizon —
+    * genuinely late rows are already dropped by the 2 h watermark) is
+    * zero-filled if absent, run through the recurrence ONCE, emitted,
+    * and removed. Unlike the anomaly twin there is no re-emit: the
+    * recurrence cascades, so finalization is the correctness boundary —
+    * state is (one Long, one Long, ≤ horizon pending counts), constant
+    * per type. */
+  def cusumStream(events: Dataset[HourEvent], tTot: Long, hTot: Long,
+      spineStartHr: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateCusum(tTot, hTot, spineStartHr))
+  }
+
+  private[streaming] def updateCusum(tTot: Long, hTot: Long, spineStartHr: Long)(
+      eventType: String,
+      batch: Iterator[HourEvent],
+      state: GroupState[CusumState]): Iterator[CusumOut] = {
+    val hourUs = 3600L * 1000000L
+    val incoming = batch.toSeq.groupBy(e => micros(e.ts) / hourUs)
+      .map { case (h, es) => h -> es.size.toLong }
+    val st = state.getOption.getOrElse(CusumState(spineStartHr, 0L, Map.empty))
+    var pending = st.pending
+    // Hours below nextHr are already finalized; the 2 h watermark keeps
+    // genuinely late rows out of the stream long before that point.
+    incoming.foreach { case (h, c) =>
+      if (h >= st.nextHr) pending = pending.updated(h, pending.getOrElse(h, 0L) + c)
+    }
+    val maxSeen = (pending.keySet + (st.nextHr - 1)).max
+    val finalizeThrough = maxSeen - 2
+    val slack = tTot / 2
+    val out = scala.collection.mutable.ArrayBuffer[CusumOut]()
+    var s = st.s
+    var h = st.nextHr
+    while (h <= finalizeThrough) {
+      val x = pending.getOrElse(h, 0L)
+      s = math.max(0L, s + x * hTot - tTot - slack)
+      out += CusumOut(h, eventType, x, s, s > 3 * tTot)
+      pending -= h
+      h += 1
+    }
+    state.update(CusumState(h, s, pending))
     out.iterator
   }
 

@@ -324,4 +324,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "no corpus-scale join strategy may appear in the gap-fill plan")
   }
+
+  test("q60 windowed count-distinct: ONE exchange serves both windows") {
+    // The explicit repartition(user_id) must satisfy BOTH window
+    // distributions (HashPartitioning(user) clusters (user, event_type)
+    // too) — a second exchange means Spark re-partitioned for the
+    // (user, type) window and the single-shuffle claim regressed.
+    val p = planOf("q60_window_distinct")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+  }
+
+  test("s10 cusum scans the corpus exactly once, recurrence is map-side") {
+    // Same contract as s08: bounds/types/fill derive from the
+    // checkpointed hourly aggregate (zero event scans in the final
+    // plan), and the per-type recurrence must be a higher-order
+    // aggregate over each type's own hour array — never a
+    // corpus-per-row window or join.
+    val p = planOf("s10_cusum")
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(eventScans == 0, s"s10 re-scans the corpus ($eventScans scans)")
+    assert(p.contains("ExistingRDD"),
+      "consumers must read the checkpointed aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p07 curriculum splits its global order like p02/p04") {
+    // The corpus-scale row_number must be (stage, bucket)-partitioned;
+    // any unpartitioned window may only see the aggregated group totals
+    // (~1024 rows), never the raw doc stream.
+    val df = SparkEntry.queries("p07_curriculum")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local + group-total windows, got ${wins.size}")
+    val (global, parted) = wins.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty, "doc-level row_number must be group-partitioned")
+    global.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+  }
+
+  test("d16 containment keeps the d04 candidate discipline (no cartesian)") {
+    val p = planOf("d16_containment")
+    assert(!p.contains("CartesianProduct"), "containment must stay inverted-index driven")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -40,10 +40,13 @@ object ScaleSmokeMain {
     val requiredDocCols = Set("doc_id", "text", "n_chars", "lang", "source")
     val cacheValid = keep && {
       try {
-        val docCols = spark.read.parquet(s"$dir/documents.parquet")
-          .schema.fieldNames.toSet
+        val cached = spark.read.parquet(s"$dir/documents.parquet")
+        val docCols = cached.schema.fieldNames.toSet
         spark.read.parquet(s"$dir/events.parquet") // existence check
-        requiredDocCols.subsetOf(docCols)
+        // Replica-count check: `keep` after a run at a DIFFERENT rep
+        // must regenerate, not silently time the wrong corpus size
+        // (5000 base docs at sf0.1).
+        requiredDocCols.subsetOf(docCols) && cached.count() == rep * 5000L
       } catch { case scala.util.control.NonFatal(_) => false }
     }
     if (keep && !cacheValid)
@@ -90,12 +93,13 @@ object ScaleSmokeMain {
     val family = Seq("d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
       "d06_dedup_groups", "d08_contamination", "d10_contamination_bloom", "d09_dedup_best_keeper",
       "d12_dedup_spans", "d13_incremental_dedup", "d14_span_excision",
-      "d15_editdist_passjoin",
+      "d15_editdist_passjoin", "d16_containment",
       "t05_normalize", "t06_vocab",
       "t07_tfidf", "t08_redact", "t09_length_stats", "t10_repetition", "t11_pmi",
       "t14_zipf", "t15_ngram_lm", "t16_ppl_buckets", "t17_bpe_tokens", "t18_quality_classifier",
       "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split", "p06_pipeline_e2e",
-      "s09_anomaly")
+      "p07_curriculum",
+      "s09_anomaly", "s10_cusum", "g01_pagerank")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{EventPipeline, FunnelOut, SessionOut, StreamEvent, TypedEvent, ValueEvent}
+import graft.streaming.{CusumOut, EventPipeline, FunnelOut, HourEvent, SessionOut, StreamEvent, TypedEvent, ValueEvent}
 
 case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
 
@@ -307,6 +307,51 @@ class StreamingSpec extends AnyFunSuite {
         WindowTestEvent(ts(61), "click", 4.0)).toDF())
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(batch == Set((baseUs, "click", 1L), (baseUs + 3600L * 1000000, "click", 1L)))
+  }
+
+  test("streaming CUSUM matches batch s10 on every finalized hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // Offline calibration (T, H, spine start) comes from the batch
+    // corpus — the train-on-history/monitor-live deployment. The
+    // recurrence is integer-exact on both sides, so every hour the
+    // stream finalizes must equal the batch row EXACTLY; the stream
+    // legitimately emits fewer rows (per-type trailing hours within the
+    // finalization horizon stay pending).
+    val hourUs = 3600L * 1000000L
+    val batchRows = SparkEntry.queries("s10_cusum")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(1) / hourUs, r.getString(0)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val perType = batchRows.groupBy(_._1._2)
+    val hTot = perType(perType.keys.head).size.toLong
+    val spineStart = batchRows.keys.map(_._1).min
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type")).as[HourEvent].collect().toSeq
+    // Per-type T differs, but the stream API takes ONE (T, H): drive one
+    // type at a time — each type is an independent keyed state anyway.
+    perType.take(2).foreach { case (tpe, rows) =>
+      val t = rows.values.map(_._1).sum
+      val in = MemoryStream[HourEvent]
+      val q = EventPipeline.cusumStream(
+          in.toDS(), t, hTot, spineStart)
+        .writeStream.format("memory").queryName(s"cusum_$tpe")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(events.filter(_.event_type == tpe))
+        q.processAllAvailable()
+        val streamed = spark.table(s"cusum_$tpe").as[CusumOut].collect()
+        assert(streamed.nonEmpty, s"$tpe emitted nothing")
+        // Coverage guard against vacuity only — a type's trailing hours
+        // stay pending until (its own) later events advance the horizon,
+        // so allow up to a day of unfinalized tail.
+        assert(streamed.length >= hTot - 26, s"$tpe coverage ${streamed.length}/$hTot")
+        streamed.foreach { o =>
+          val (bx, bs, bflag) = batchRows((o.hr_no, tpe))
+          assert(o.x == bx && o.cusum_scaled == bs && o.flag == bflag,
+            s"$tpe hr=${o.hr_no}: stream=(${o.x},${o.cusum_scaled},${o.flag}) batch=($bx,$bs,$bflag)")
+        }
+      } finally q.stop()
+    }
   }
 
   test("streaming funnel advances stages across micro-batches") {

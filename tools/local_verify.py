@@ -48,11 +48,15 @@ def close(a, b):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    pos = [a for a in sys.argv[1:] if a != "--run"]
+    sf_dir = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+    out_dir = Path(pos[1] if len(pos) > 1 else "/tmp/verify_out")
+    # Optional 3rd positional: comma-separated query names (fast
+    # single-operator loop — only those are dumped and compared).
+    only = pos[2] if len(pos) > 2 else ""
     if "--run" in sys.argv:
         subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir} {only}'.rstrip()],
             cwd="/root/repo", check=True)
 
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
