@@ -305,8 +305,96 @@ object Ann {
         semDedup(e.select(col("vec_id"),
           AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding")))
       },
-      None)
+      None),
+
+    // ---- v12: MMR diversified top-k (search-result reranking) ----------
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998): rerank a
+    // candidate pool so results trade relevance against redundancy —
+    // pick = argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s). The pool is
+    // the TOP-30 brute-force candidates (TakeOrdered — the distributed
+    // part), localCheckpoint'd once; the greedy selection is 10 UNROLLED
+    // declarative steps over ≤30 rows — each an anti-join + a ≤30×10
+    // redundancy join + argmax — never driver-side float math, so the
+    // kernel is the same codegen'd cosine the oracle's
+    // list_cosine_similarity is proven bit-equal to (v01/v02). λ = 0.5
+    // is dyadic: the MMR combination is two exact products and a
+    // subtraction — exact cross-engine given exact sims. At scale the
+    // pool bound (not the corpus) fixes the rerank cost; rerankers run
+    // at k², corpora at n.
+    ("v12_mmr_topk",
+      (s, d) => {
+        val k = 10
+        val pool = Tables.embeddings(s, d)
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(queryVec(s, d)))
+          .select(col("vec_id"), col("embedding"),
+            cosine(col("embedding"), col("qv")).as("simq"))
+          .orderBy(col("simq").desc, col("vec_id").asc)
+          .limit(30)
+          .localCheckpoint()
+        var selected = pool
+          .orderBy(col("simq").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), col("embedding"), col("simq"),
+            lit(1).as("pick"), (lit(0.5) * col("simq")).as("mmr_score"))
+          .localCheckpoint()
+        for (step <- 2 to k) {
+          val remaining = pool
+            .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          val red = remaining
+            .crossJoin(selected.select(col("embedding").as("semb")))
+            .groupBy(col("vec_id"))
+            .agg(max(cosine(col("embedding"), col("semb"))).as("maxred"))
+          val pick = remaining
+            .join(red, "vec_id")
+            .withColumn("mmr_score",
+              lit(0.5) * col("simq") - lit(0.5) * col("maxred"))
+            .orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
+            .select(col("vec_id"), col("embedding"), col("simq"),
+              lit(step).as("pick"), col("mmr_score"))
+          selected = selected.union(pick).localCheckpoint()
+        }
+        selected.select(col("pick"), col("vec_id"),
+          col("simq").as("cos_sim"), col("mmr_score"))
+      },
+      Some(mmrOracle(10)))
   )
+
+  /** The identical greedy unrolled as DuckDB CTEs (one anti-join +
+    * redundancy-max + argmax per step), every CTE MATERIALIZED — each
+    * sel$i is referenced by two step-(i+1) CTEs, and DuckDB's default
+    * inlining would blow the plan up exponentially (the g01 lesson). */
+  private def mmrOracle(k: Int): String = {
+    val head =
+      """WITH q AS MATERIALIZED (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |pool AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |         list_cosine_similarity(embedding::DOUBLE[], qv) AS simq
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY simq DESC, vec_id ASC LIMIT 30),
+        |sel1 AS MATERIALIZED (
+        |  SELECT vec_id, emb, simq, 1 AS pick,
+        |         CAST(0.5 AS DOUBLE) * simq AS mmr_score
+        |  FROM pool ORDER BY simq DESC, vec_id ASC LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""red$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.emb, p.simq,
+         |         max(list_cosine_similarity(p.emb, s.emb)) AS maxred
+         |  FROM pool p CROSS JOIN sel${i - 1} s
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY p.vec_id, p.emb, p.simq),
+         |sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  (SELECT vec_id, emb, simq, $i AS pick,
+         |          CAST(0.5 AS DOUBLE) * simq - CAST(0.5 AS DOUBLE) * maxred AS mmr_score
+         |   FROM red$i
+         |   ORDER BY CAST(0.5 AS DOUBLE) * simq - CAST(0.5 AS DOUBLE) * maxred DESC,
+         |            vec_id ASC LIMIT 1))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT pick, vec_id, simq AS cos_sim, mmr_score FROM sel$k"
+  }
 
   /** SemDeDup keeper pass over pre-assigned (vec_id, cell, embedding)
     * rows. Keeper rule: drop a vector iff ANY smaller-id vector sits in

@@ -345,18 +345,25 @@ object Events {
     // change-point statistic) per event_type: S_i = max(0, S_{i-1} + x_i -
     // (mean + slack)), flag when S crosses a threshold. All arithmetic is
     // INTEGER — multiplying through by H (the hour count) turns the
-    // mean-centered residual into x_i*H - T with T = Σx, slack = T div 2,
-    // threshold = 3T — so the recurrence is bit-exact on both engines with
-    // no float discipline needed at all.
+    // mean-centered residual into d_i = x_i*H - T with T = Σx, slack =
+    // T div 2, threshold = 3T — bit-exact on both engines with no float
+    // discipline at all.
+    //
+    // The recurrence LOOKS inherently sequential, but has the classic
+    // prefix-sum closed form S_i = P_i − min(0, min_{j≤i} P_j) with
+    // P = running Σd (the reflected-random-walk identity) — so the whole
+    // detector is two cumulative windows over the filled series, O(H)
+    // per type and fully parallel across types. (The first cut ran an
+    // aggregate() HOF whose immutable array-append made it O(H²) per
+    // type — 68 s at the 40× smoke; the window form is ~10×  cheaper and
+    // is what the streaming twin's sequential recurrence is spec'd
+    // bit-equal to.)
     //
     // Shape at 100 TB: ONE corpus aggregate down to (type × hour)
     // cardinality (the s08 spine pattern, zero-filled gaps,
     // localCheckpoint'd against the 3-consumer re-plan trap); the
-    // recurrence — inherently sequential per series — then runs as a
-    // map-side higher-order aggregate() over each type's OWN bounded hour
-    // array (H ≈ 720 for a 30-day window; types scale out, H doesn't).
-    // The oracle replays the identical recurrence as a DuckDB recursive
-    // CTE over hour index.
+    // windows run on the dimension-scale series, partitioned by type
+    // (H ≈ 720 for a 30-day window; types scale out, H doesn't).
     ("s10_cusum",
       (s, d) => {
         val hourly = Tables.events(s, d)
@@ -367,52 +374,43 @@ object Events {
         val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
           .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
           .crossJoin(hourly.select(col("event_type")).distinct())
-        spine.join(hourly, Seq("hr", "event_type"), "left")
+        val filled = spine.join(hourly, Seq("hr", "event_type"), "left")
           .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
             coalesce(col("x"), lit(0L)).as("x"))
-          .groupBy(col("event_type"))
-          .agg(sort_array(collect_list(struct(col("hour_us"), col("x")))).as("hs"))
-          .withColumn("ht", size(col("hs")).cast("long"))
-          .withColumn("tt", expr("aggregate(hs, 0L, (a, e) -> a + e.x)"))
-          .withColumn("kk", expr("tt div 2"))
-          .withColumn("out", expr(
-            """aggregate(hs,
-              |  named_struct('s', 0L,
-              |    'o', cast(array() as array<struct<hour_us: bigint, x: bigint, s: bigint>>)),
-              |  (acc, e) -> named_struct(
-              |    's', greatest(0L, acc.s + e.x * ht - tt - kk),
-              |    'o', array_append(acc.o, named_struct('hour_us', e.hour_us, 'x', e.x,
-              |           's', greatest(0L, acc.s + e.x * ht - tt - kk)))),
-              |  acc -> acc.o)""".stripMargin))
-          .select(col("event_type"), col("tt"), explode(col("out")).as("e"))
-          .select(col("event_type"), col("e.hour_us").as("hour_us"),
-            col("e.x").as("x"), col("e.s").as("cusum_scaled"),
-            (col("e.s") > col("tt") * 3).as("flag"))
+        val wTot = Window.partitionBy(col("event_type"))
+        val wCum = wTot.orderBy(col("hour_us").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled
+          .withColumn("tt", sum(col("x")).over(wTot))
+          .withColumn("ht", count(lit(1)).over(wTot))
+          .withColumn("dd", col("x") * col("ht") - col("tt") - expr("tt div 2"))
+          .withColumn("pp", sum(col("dd")).over(wCum))
+          .withColumn("ss", col("pp") - least(min(col("pp")).over(wCum), lit(0L)))
+          .select(col("event_type"), col("hour_us"), col("x"),
+            col("ss").as("cusum_scaled"),
+            (col("ss") > col("tt") * 3).as("flag"))
       },
-      Some("""WITH RECURSIVE
-              e AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hr, event_type FROM events),
+      Some("""WITH e AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hr, event_type FROM events),
               counts AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
               b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM counts),
               spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
               types AS (SELECT DISTINCT event_type FROM counts),
-              filled AS (SELECT t.event_type, epoch_us(s.hr) AS hour_us, coalesce(c.x, 0) AS x,
-                                CAST(row_number() OVER (PARTITION BY t.event_type ORDER BY s.hr) AS BIGINT) AS idx
+              filled AS (SELECT t.event_type, epoch_us(s.hr) AS hour_us, coalesce(c.x, 0) AS x
                          FROM spine s CROSS JOIN types t
                          LEFT JOIN counts c ON c.hr = s.hr AND c.event_type = t.event_type),
-              tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS ht
-                      FROM filled GROUP BY 1),
-              cusum AS (
-                SELECT f.event_type, f.idx, f.hour_us, f.x,
-                       GREATEST(0, f.x * t.ht - t.tt - t.tt // 2) AS s
-                FROM filled f JOIN tot t USING (event_type) WHERE f.idx = 1
-                UNION ALL
-                SELECT f.event_type, f.idx, f.hour_us, f.x,
-                       GREATEST(0, c.s + f.x * t.ht - t.tt - t.tt // 2) AS s
-                FROM cusum c
-                JOIN filled f ON f.event_type = c.event_type AND f.idx = c.idx + 1
-                JOIN tot t ON t.event_type = f.event_type)
-              SELECT c.event_type, c.hour_us, c.x, c.s AS cusum_scaled,
-                     c.s > t.tt * 3 AS flag
-              FROM cusum c JOIN tot t USING (event_type)"""))
+              agg AS (SELECT event_type, hour_us, x,
+                        CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+                        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ht
+                      FROM filled),
+              dd AS (SELECT *, x * ht - tt - tt // 2 AS d FROM agg),
+              pp AS (SELECT *, CAST(sum(d) OVER (PARTITION BY event_type ORDER BY hour_us ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+                     FROM dd)
+              SELECT event_type, hour_us, x,
+                     p - LEAST(CAST(min(p) OVER (PARTITION BY event_type ORDER BY hour_us ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS cusum_scaled,
+                     p - LEAST(CAST(min(p) OVER (PARTITION BY event_type ORDER BY hour_us ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) > tt * 3 AS flag
+              FROM pp"""))
   )
 }

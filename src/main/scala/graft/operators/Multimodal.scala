@@ -163,7 +163,13 @@ object Multimodal {
     * emits. PCM 8/16-bit signed/unsigned, any endianness; anything else
     * (compressed codecs, corrupt headers) returns None and the row
     * falls back to the stub — a bad payload must never kill the task. */
-  private[graft] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+  /** PCM decode core shared by the stat features (decodeWav) and the
+    * spectral path (m04): channel-0 samples normalized to [-1,1], plus
+    * sample rate and channel count. PCM 8/16-bit signed/unsigned, any
+    * endianness; anything else (compressed codecs, corrupt headers)
+    * returns None — a bad payload must never kill the task. */
+  private[graft] def wavSamples(
+      payload: Array[Byte]): Option[(Array[Double], Double, Int)] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -183,12 +189,11 @@ object Multimodal {
           if (nFrames == 0) None
           else {
             val big = fmt.isBigEndian
-            var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
-            var zc = 0L; var prev = 0.0
+            val out = new Array[Double](nFrames)
             var i = 0
             while (i < nFrames) {
               val off = i * frameSize // channel 0 leads each frame
-              val v: Double =
+              out(i) =
                 if (bits == 8) {
                   if (enc == PCM_UNSIGNED) ((bytes(off) & 0xFF) - 128) / 128.0
                   else bytes(off) / 128.0
@@ -198,26 +203,89 @@ object Multimodal {
                   if (enc == PCM_UNSIGNED) (raw - 32768) / 32768.0
                   else ((raw << 16) >> 16) / 32768.0
                 }
-              sumAbs += math.abs(v); sumSq += v * v
-              if (math.abs(v) > peak) peak = math.abs(v)
-              if (i > 0 && (v > 0) != (prev > 0)) zc += 1
-              prev = v
               i += 1
             }
-            val sr = fmt.getSampleRate.toDouble
-            Some(Array(
-              (sumAbs / nFrames).toFloat,
-              math.sqrt(sumSq / nFrames).toFloat,
-              peak.toFloat,
-              (zc.toDouble / math.max(1L, nFrames - 1L)).toFloat,
-              (nFrames / sr).toFloat,
-              (sr / 48000.0).toFloat,
-              ch.toFloat,
-              (nFrames / 1e6).toFloat))
+            Some((out, fmt.getSampleRate.toDouble, ch))
           }
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+    wavSamples(payload).map { case (samples, sr, ch) =>
+      val nFrames = samples.length
+      var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
+      var zc = 0L; var prev = 0.0
+      var i = 0
+      while (i < nFrames) {
+        val v = samples(i)
+        sumAbs += math.abs(v); sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (v > 0) != (prev > 0)) zc += 1
+        prev = v
+        i += 1
+      }
+      Array(
+        (sumAbs / nFrames).toFloat,
+        math.sqrt(sumSq / nFrames).toFloat,
+        peak.toFloat,
+        (zc.toDouble / math.max(1L, nFrames - 1L)).toFloat,
+        (nFrames / sr).toFloat,
+        (sr / 48000.0).toFloat,
+        ch.toFloat,
+        (nFrames / 1e6).toFloat)
+    }
+
+  /** Spectral features over ONE bounded analysis frame (first ≤1024
+    * samples): (peak-bin Hz, magnitude-weighted centroid Hz). Naive DFT —
+    * O(frame · frame/2) trig on a frame bounded by FrameLen, ~0.5 M ops
+    * per payload regardless of duration; a production pipeline swaps in
+    * an FFT, every other line stays. DC (k=0) excluded. */
+  private[graft] val FrameLen = 1024
+  private[graft] def spectralFeatures(
+      samples: Array[Double], sr: Double): (Double, Double) = {
+    val n = math.min(samples.length, FrameLen)
+    val bins = n / 2
+    var peakBin = 0; var peakMag = 0.0; var sumMag = 0.0; var sumFM = 0.0
+    var k = 1
+    while (k < bins) {
+      var re = 0.0; var im = 0.0; var i = 0
+      val w = -2.0 * math.Pi * k / n
+      while (i < n) {
+        val a = w * i
+        re += samples(i) * math.cos(a); im += samples(i) * math.sin(a)
+        i += 1
+      }
+      val mag = math.sqrt(re * re + im * im)
+      sumMag += mag; sumFM += mag * k
+      if (mag > peakMag) { peakMag = mag; peakBin = k }
+      k += 1
+    }
+    val hzPerBin = sr / n
+    (peakBin * hzPerBin,
+      if (sumMag == 0.0) 0.0 else sumFM / sumMag * hzPerBin)
+  }
+
+  /** Deterministic 16-bit mono PCM sine through the JDK's own WAV
+    * writer — the m04 payload generator and the spec's test fixture. */
+  private[graft] def sineWav(
+      freq: Double, amp: Double, sr: Float, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** The decode dispatcher the pipeline runs: real ImageIO decode for
     * image containers, real javax.sound.sampled decode for WAV/PCM
@@ -433,6 +501,39 @@ object Multimodal {
           .mapPartitions(rows => rows.map(m => (m.doc_id, phash(m.payload))))
           .toDF("doc_id", "phash")
         phashPairs(sig, maxHamming = 3)
+      },
+      None),
+
+    // ---- m04: audio spectral features over the REAL codec path ---------
+    // The audio analog of m01's image features: per-payload sine WAVs
+    // (freq keyed off doc_id — deterministic), decoded through the SAME
+    // javax.sound.sampled path real audio takes, then a bounded-frame
+    // DFT → (peak Hz, spectral centroid). The generate→encode→decode→
+    // analyze round trip exercises the actual codec, not a fixture. One
+    // mapPartitions pass, per-row cost bounded by FrameLen² regardless
+    // of duration; output collapses to the 8-class rollup. Rows-only
+    // (trig internals engine-specific); bin-accuracy pinned in
+    // MultimodalSpec against the known sine frequencies.
+    ("m04_audio_spectral",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("freq_class"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, cls) =>
+            val freq = 500.0 + cls * 400.0 // 500..3300 Hz, sr 8000 (Nyquist 4000)
+            val wav = sineWav(freq, 0.8, 8000f, FrameLen)
+            val (peakHz, centroidHz) = wavSamples(wav) match {
+              case Some((samples, sr, _)) => spectralFeatures(samples, sr)
+              case None => (-1.0, -1.0)
+            }
+            (id, cls, peakHz, centroidHz)
+          })
+          .toDF("doc_id", "freq_class", "peak_hz", "centroid_hz")
+          .groupBy(col("freq_class"))
+          .agg(count(lit(1)).as("n"),
+            floor(avg(col("peak_hz")) * 1000 + 0.5).as("avg_peak_millihz"),
+            floor(avg(col("centroid_hz")) * 1000 + 0.5).as("avg_centroid_millihz"))
       },
       None)
   )

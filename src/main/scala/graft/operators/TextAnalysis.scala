@@ -501,56 +501,9 @@ object TextAnalysis {
     // corpus is scanned twice (stats + score) and never shuffled; a
     // standing deployment would persist the stats row and scan once.
     ("t13_bm25_search",
-      (s, d) => {
-        val terms = Seq("spark", "join", "window")
-        val toks = words(col("text"))
-        val perDoc = Tables.documents(s, d).select(
-          col("doc_id") +:
-            size(toks).cast("long").as("dl") +:
-            terms.zipWithIndex.map { case (t, i) =>
-              size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
-            }: _*)
-        val stats = perDoc.agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl") +:
-            terms.indices.map(i =>
-              count(when(col(s"tf$i") > 0, 1)).as(s"df$i")): _*)
-        val scored = perDoc.crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-          .withColumn("nrm", lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-        val comps = terms.indices.map { i =>
-          ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
-            ((col(s"tf$i") * lit(2.2)) / (col(s"tf$i") + col("nrm")))
-        }
-        scored
-          .filter(col("tf0") + col("tf1") + col("tf2") > 0)
-          .select(col("doc_id"), col("dl"),
-            col("tf0").as("tf_spark"), col("tf1").as("tf_join"), col("tf2").as("tf_window"),
-            comps.reduce(_ + _).as("score"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      Some("""WITH p AS (SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf0,
-                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf1,
-                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf2
-                   FROM documents),
-              st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-                     count(*) FILTER (WHERE tf0 > 0) AS df0,
-                     count(*) FILTER (WHERE tf1 > 0) AS df1,
-                     count(*) FILTER (WHERE tf2 > 0) AS df2
-                   FROM p),
-              j AS (SELECT p.*, n_docs, df0, df1, df2,
-                     CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM p, st),
-              n AS (SELECT *, CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-                       + CAST(0.75 AS DOUBLE) * dl / avgdl) AS nrm FROM j)
-              SELECT doc_id, dl, tf0 AS tf_spark, tf1 AS tf_join, tf2 AS tf_window,
-                     ((n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * ((tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + nrm))
-                     + ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * ((tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + nrm))
-                     + ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * ((tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + nrm)) AS score
-              FROM n WHERE tf0 + tf1 + tf2 > 0
-              ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+      (s, d) => bm25Top20(s, d),
+      Some(s"""WITH $oracleBm25Cte
+              SELECT doc_id, dl, tf_spark, tf_join, tf_window, score FROM top20""")),
 
     // ---- t14: Zipf rank-frequency fit per source -------------------------
     // Corpus-distribution diagnostics: fit ln(freq) = a·ln(rank) + b over
@@ -712,8 +665,138 @@ object TextAnalysis {
       (s, d) => classifierScores(s, d)
         .select(col("doc_id"), col("logit"), (col("logit") > 0).as("keep")),
       Some(s"""WITH $oracleLogitCte
-               SELECT doc_id, logit, logit > 0 AS keep FROM sc"""))
+               SELECT doc_id, logit, logit > 0 AS keep FROM sc""")),
+
+    // ---- t19: NDCG ranking evaluation over the BM25 search ---------------
+    // The eval rung of the search stack (index → score → MEASURE): graded
+    // NDCG@20 of t13's ranking against term-coverage relevance (how many
+    // of the query's 3 terms the doc contains — integer, exact). Gains
+    // 2^rel−1 via CASE (no libm pow); the log2 discount is written
+    // gain / ln(pos+1) * ln(2) in the SAME op order both engines, and the
+    // cumulative DCG/IDCG land on the micro grid (ln is libm-owned —
+    // per-term ulp drift ≤ 1e-15 vs 5e-7 grid slack). The unpartitioned
+    // windows run over exactly the 20-row result set — bounded by k, not
+    // the corpus (same argument as p02's bucket totals). NDCG itself is
+    // one division of two gridded values.
+    ("t19_ndcg_eval",
+      (s, d) => {
+        val wPos = Window.orderBy(col("score").desc, col("doc_id").asc)
+        val wIdeal = Window.orderBy(col("rel").desc, col("doc_id").asc)
+        val ln2 = log(lit(2.0))
+        val pos = bm25Top20(s, d)
+          .withColumn("rel",
+            (col("tf_spark") > 0).cast("long") + (col("tf_join") > 0).cast("long")
+              + (col("tf_window") > 0).cast("long"))
+          .withColumn("gain",
+            when(col("rel") === 3, 7.0).when(col("rel") === 2, 3.0).otherwise(1.0))
+          .withColumn("pos", row_number().over(wPos).cast("long"))
+          .withColumn("ipos", row_number().over(wIdeal).cast("long"))
+        val dcg = pos.withColumn("dcg_cum",
+          micro(sum(col("gain") / log(col("pos") + 1) * ln2)
+            .over(Window.orderBy(col("pos"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        val ideal = pos.select(col("ipos"), col("gain"))
+          .withColumn("idcg_cum",
+            micro(sum(col("gain") / log(col("ipos") + 1) * ln2)
+              .over(Window.orderBy(col("ipos"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .select(col("ipos").as("pos"), col("idcg_cum"))
+        dcg.join(ideal, "pos")
+          .select(col("pos"), col("doc_id"), col("rel"),
+            col("dcg_cum"), col("idcg_cum"),
+            (col("dcg_cum") / col("idcg_cum")).as("ndcg"))
+      },
+      Some(s"""WITH $oracleBm25Cte,
+              r AS (SELECT doc_id, score,
+                      CAST(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END
+                         + CASE WHEN tf_join > 0 THEN 1 ELSE 0 END
+                         + CASE WHEN tf_window > 0 THEN 1 ELSE 0 END AS BIGINT) AS rel
+                    FROM top20),
+              g AS (SELECT doc_id, score, rel,
+                      CASE WHEN rel = 3 THEN CAST(7 AS DOUBLE)
+                           WHEN rel = 2 THEN CAST(3 AS DOUBLE)
+                           ELSE CAST(1 AS DOUBLE) END AS gain
+                    FROM r),
+              p2 AS (SELECT *,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS pos,
+                      CAST(row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS ipos
+                     FROM g),
+              d2 AS (SELECT pos, doc_id, rel,
+                      FLOOR(sum(gain / ln(pos + 1) * ln(CAST(2 AS DOUBLE)))
+                        OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        * 1000000 + 0.5) / 1000000 AS dcg_cum
+                     FROM p2),
+              i2 AS (SELECT ipos AS pos,
+                      FLOOR(sum(gain / ln(ipos + 1) * ln(CAST(2 AS DOUBLE)))
+                        OVER (ORDER BY ipos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        * 1000000 + 0.5) / 1000000 AS idcg_cum
+                     FROM p2)
+              SELECT d2.pos, d2.doc_id, d2.rel, d2.dcg_cum, i2.idcg_cum,
+                     d2.dcg_cum / i2.idcg_cum AS ndcg
+              FROM d2 JOIN i2 ON d2.pos = i2.pos"""))
   )
+
+  /** t13's BM25 search as a reusable frame: the top-20
+    * (doc_id, dl, tf_spark, tf_join, tf_window, score) for the fixed
+    * 3-term query — t19's NDCG evaluation re-ranks the same result set.
+    * See the t13 entry for the corpus-never-shuffles argument (per-doc
+    * tf/dl are one kernel pass; the only broadcast is the 1-row stats
+    * frame; top-k is TakeOrdered). */
+  private[operators] def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val toks = words(col("text"))
+    val perDoc = Tables.documents(s, d).select(
+      col("doc_id") +:
+        size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i")): _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("nrm", lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val comps = terms.indices.map { i =>
+      ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        ((col(s"tf$i") * lit(2.2)) / (col(s"tf$i") + col("nrm")))
+    }
+    scored
+      .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+      .select(col("doc_id"), col("dl"),
+        col("tf0").as("tf_spark"), col("tf1").as("tf_join"), col("tf2").as("tf_window"),
+        comps.reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** DuckDB CTE chain ending in `top20` — the oracle twin of
+    * [[bm25Top20]], shared by t13 and t19. (lazy: referenced from the
+    * `defs` val above, which initializes first.) */
+  private[operators] lazy val oracleBm25Cte: String =
+    """p AS (SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf0,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf1,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf2
+      |     FROM documents),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+      |       count(*) FILTER (WHERE tf0 > 0) AS df0,
+      |       count(*) FILTER (WHERE tf1 > 0) AS df1,
+      |       count(*) FILTER (WHERE tf2 > 0) AS df2
+      |     FROM p),
+      |j AS (SELECT p.*, n_docs, df0, df1, df2,
+      |       CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM p, st),
+      |n AS (SELECT *, CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |         + CAST(0.75 AS DOUBLE) * dl / avgdl) AS nrm FROM j),
+      |top20 AS (SELECT doc_id, dl, tf0 AS tf_spark, tf1 AS tf_join, tf2 AS tf_window,
+      |       ((n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * ((tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + nrm))
+      |       + ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * ((tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + nrm))
+      |       + ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * ((tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + nrm)) AS score
+      |       FROM n WHERE tf0 + tf1 + tf2 > 0
+      |       ORDER BY score DESC, doc_id ASC LIMIT 20)""".stripMargin
 
   /** t18's classifier inference as a reusable frame: (doc_id, logit) for
     * every document — p07's curriculum stages key off the same scores.

@@ -56,23 +56,10 @@ class MultimodalSpec extends AnyFunSuite {
     import graft.operators.{MediaRow, Multimodal}
     import spark.implicits._
     // Deterministic 16-bit mono PCM sine written through the JDK's own
-    // WAVE encoder — the decode path under test is the independent read
-    // side (header parse, PCM normalization, feature math).
-    def sineWav(freq: Double, amp: Double, sr: Float, nFrames: Int): Array[Byte] = {
-      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
-      val data = new Array[Byte](nFrames * 2)
-      for (i <- 0 until nFrames) {
-        val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
-        data(2 * i) = (v & 0xFF).toByte
-        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
-      }
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
-    }
+    // WAVE encoder (Multimodal.sineWav — also m04's payload generator);
+    // the decode path under test is the independent read side (header
+    // parse, PCM normalization, feature math).
+    import graft.operators.Multimodal.sineWav
     val tone = sineWav(440.0, 0.8, 8000f, 800) // 0.1 s @ 8 kHz
     val silence = sineWav(440.0, 0.0, 8000f, 400)
     val corrupt = "RIFFxxxxWAVEgarbage-not-audio".getBytes("UTF-8")
@@ -212,6 +199,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_frames") >= 1)
       val b = r.getAs[Long]("avg_brightness_micros")
       assert(b >= 0 && b <= 1000000)
+    }
+  }
+
+  test("m04 spectral peak lands on the true sine frequency's DFT bin") {
+    import graft.operators.Multimodal
+    // Direct kernel check: the DFT peak for a pure sine must land within
+    // one bin (sr/FrameLen = 7.8125 Hz at 8 kHz) of the true frequency.
+    // Centroid: exact on an ON-BIN frequency (500 Hz = bin 64 — zero
+    // rectangular-window leakage); off-bin sines leak sinc-tail mass
+    // across the whole 0..4 kHz span, which biases the magnitude-
+    // weighted centroid by up to ~150 Hz — an inherent property of the
+    // unwindowed frame, asserted as such.
+    val binHz = 8000.0 / Multimodal.FrameLen
+    for (freq <- Seq(500.0, 1300.0, 3300.0)) {
+      val wav = Multimodal.sineWav(freq, 0.8, 8000f, Multimodal.FrameLen)
+      val Some((samples, sr, _)) = Multimodal.wavSamples(wav)
+      val (peakHz, centroidHz) = Multimodal.spectralFeatures(samples, sr)
+      assert(math.abs(peakHz - freq) <= binHz, s"$freq Hz: peak=$peakHz")
+      val centroidTol = if (freq == 500.0) 2 * binHz else 200.0
+      assert(math.abs(centroidHz - freq) <= centroidTol,
+        s"$freq Hz: centroid=$centroidHz")
+    }
+    // The registered rollup: one row per frequency class, peaks ordered
+    // with the classes.
+    val rows = Multimodal.defs.find(_._1 == "m04_audio_spectral").get
+      ._2(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Int]("freq_class") -> r.getAs[Long]("avg_peak_millihz"))
+      .toMap
+    assert(rows.size == 8, s"classes=${rows.keySet}")
+    for (cls <- 0 to 7) {
+      val expect = (500.0 + cls * 400.0) * 1000
+      assert(math.abs(rows(cls) - expect) <= binHz * 1000 + 1,
+        s"class $cls: ${rows(cls)} vs $expect")
     }
   }
 
