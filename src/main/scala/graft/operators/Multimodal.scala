@@ -163,13 +163,32 @@ object Multimodal {
     * emits. PCM 8/16-bit signed/unsigned, any endianness; anything else
     * (compressed codecs, corrupt headers) returns None and the row
     * falls back to the stub — a bad payload must never kill the task. */
-  /** PCM decode core shared by the stat features (decodeWav) and the
-    * spectral path (m04): channel-0 samples normalized to [-1,1], plus
-    * sample rate and channel count. PCM 8/16-bit signed/unsigned, any
-    * endianness; anything else (compressed codecs, corrupt headers)
-    * returns None — a bad payload must never kill the task. */
-  private[graft] def wavSamples(
-      payload: Array[Byte]): Option[(Array[Double], Double, Int)] =
+  /** Validated raw PCM payload: decoded frame bytes + the format facts
+    * needed to read channel-0 samples by index — the shared core of the
+    * stat path (decodeWav, which STREAMS over samples with O(1) extra
+    * memory) and the spectral path (wavSamples, which materializes a
+    * BOUNDED prefix). PCM 8/16-bit signed/unsigned, any endianness;
+    * anything else (compressed codecs, corrupt headers) → None — a bad
+    * payload must never kill the task. */
+  private case class PcmData(bytes: Array[Byte], frameSize: Int, bits: Int,
+      unsigned: Boolean, big: Boolean, sr: Double, ch: Int) {
+    def nFrames: Int = bytes.length / frameSize
+    /** Channel-0 sample i, normalized to [-1,1]. */
+    def sample(i: Int): Double = {
+      val off = i * frameSize // channel 0 leads each frame
+      if (bits == 8) {
+        if (unsigned) ((bytes(off) & 0xFF) - 128) / 128.0
+        else bytes(off) / 128.0
+      } else {
+        val b0 = bytes(off) & 0xFF; val b1 = bytes(off + 1) & 0xFF
+        val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+        if (unsigned) (raw - 32768) / 32768.0
+        else ((raw << 16) >> 16) / 32768.0
+      }
+    }
+  }
+
+  private def pcmData(payload: Array[Byte]): Option[PcmData] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -183,42 +202,34 @@ object Multimodal {
             (bits != 8 && bits != 16) || ch < 1 ||
             ais.getFrameLength > MaxDecodeSamples) None
         else {
-          val frameSize = fmt.getFrameSize
           val bytes = ais.readAllBytes()
-          val nFrames = bytes.length / frameSize
-          if (nFrames == 0) None
-          else {
-            val big = fmt.isBigEndian
-            val out = new Array[Double](nFrames)
-            var i = 0
-            while (i < nFrames) {
-              val off = i * frameSize // channel 0 leads each frame
-              out(i) =
-                if (bits == 8) {
-                  if (enc == PCM_UNSIGNED) ((bytes(off) & 0xFF) - 128) / 128.0
-                  else bytes(off) / 128.0
-                } else {
-                  val b0 = bytes(off) & 0xFF; val b1 = bytes(off + 1) & 0xFF
-                  val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
-                  if (enc == PCM_UNSIGNED) (raw - 32768) / 32768.0
-                  else ((raw << 16) >> 16) / 32768.0
-                }
-              i += 1
-            }
-            Some((out, fmt.getSampleRate.toDouble, ch))
-          }
+          if (bytes.length < fmt.getFrameSize) None
+          else Some(PcmData(bytes, fmt.getFrameSize, bits,
+            enc == PCM_UNSIGNED, fmt.isBigEndian, fmt.getSampleRate.toDouble, ch))
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Channel-0 samples for the spectral path — materializes at most
+    * `maxFrames` (the analysis frame), never the whole payload. */
+  private[graft] def wavSamples(payload: Array[Byte],
+      maxFrames: Int): Option[(Array[Double], Double, Int)] =
+    pcmData(payload).map { p =>
+      val n = math.min(p.nFrames, maxFrames)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = p.sample(i); i += 1 }
+      (out, p.sr, p.ch)
+    }
+
   private[graft] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
-    wavSamples(payload).map { case (samples, sr, ch) =>
-      val nFrames = samples.length
+    pcmData(payload).map { p =>
+      val nFrames = p.nFrames
       var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
       var zc = 0L; var prev = 0.0
       var i = 0
       while (i < nFrames) {
-        val v = samples(i)
+        val v = p.sample(i)
         sumAbs += math.abs(v); sumSq += v * v
         if (math.abs(v) > peak) peak = math.abs(v)
         if (i > 0 && (v > 0) != (prev > 0)) zc += 1
@@ -230,9 +241,9 @@ object Multimodal {
         math.sqrt(sumSq / nFrames).toFloat,
         peak.toFloat,
         (zc.toDouble / math.max(1L, nFrames - 1L)).toFloat,
-        (nFrames / sr).toFloat,
-        (sr / 48000.0).toFloat,
-        ch.toFloat,
+        (nFrames / p.sr).toFloat,
+        (p.sr / 48000.0).toFloat,
+        p.ch.toFloat,
         (nFrames / 1e6).toFloat)
     }
 
@@ -523,7 +534,7 @@ object Multimodal {
           .mapPartitions(_.map { case (id, cls) =>
             val freq = 500.0 + cls * 400.0 // 500..3300 Hz, sr 8000 (Nyquist 4000)
             val wav = sineWav(freq, 0.8, 8000f, FrameLen)
-            val (peakHz, centroidHz) = wavSamples(wav) match {
+            val (peakHz, centroidHz) = wavSamples(wav, FrameLen) match {
               case Some((samples, sr, _)) => spectralFeatures(samples, sr)
               case None => (-1.0, -1.0)
             }

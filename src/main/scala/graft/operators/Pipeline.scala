@@ -459,12 +459,17 @@ object Pipeline {
     // docs each, readable in shard order by the trainer.
     ("p07_curriculum",
       (s, d) => {
+        // localCheckpoint: `scored` feeds BOTH the per-group row_number
+        // and the group-total offsets — without the cut each consumer
+        // re-runs the classifier kernel over the whole corpus (the
+        // s08/p06 multi-consumer re-plan trap).
         val scored = TextAnalysis.classifierScores(s, d)
           .select(col("doc_id"),
             when(col("logit") > 1, 0).when(col("logit") > 0, 1)
               .when(col("logit") > -1, 2).otherwise(3).as("stage"),
             md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("skey"))
           .withColumn("bkt", substring(col("skey"), 1, 2))
+          .localCheckpoint()
         val wLocal = Window.partitionBy(col("stage"), col("bkt"))
           .orderBy(col("skey").asc, col("doc_id").asc)
         val local = scored.withColumn("local_rn",

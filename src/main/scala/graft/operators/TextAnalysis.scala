@@ -683,6 +683,10 @@ object TextAnalysis {
         val wPos = Window.orderBy(col("score").desc, col("doc_id").asc)
         val wIdeal = Window.orderBy(col("rel").desc, col("doc_id").asc)
         val ln2 = log(lit(2.0))
+        // localCheckpoint: `pos` (20 rows) fans out to the DCG and IDCG
+        // branches — without the cut each branch re-plans the whole BM25
+        // subtree (itself two corpus scans): 4 corpus scans where the
+        // checkpoint needs 2 (the multi-consumer discipline of s08/p06).
         val pos = bm25Top20(s, d)
           .withColumn("rel",
             (col("tf_spark") > 0).cast("long") + (col("tf_join") > 0).cast("long")
@@ -691,6 +695,7 @@ object TextAnalysis {
             when(col("rel") === 3, 7.0).when(col("rel") === 2, 3.0).otherwise(1.0))
           .withColumn("pos", row_number().over(wPos).cast("long"))
           .withColumn("ipos", row_number().over(wIdeal).cast("long"))
+          .localCheckpoint()
         val dcg = pos.withColumn("dcg_cum",
           micro(sum(col("gain") / log(col("pos") + 1) * ln2)
             .over(Window.orderBy(col("pos"))

@@ -231,10 +231,9 @@ object EventPipeline {
     * pair (tTot, hTot) the batch uses, so the recurrence
     * S ← max(0, S + x·H − T − T div 2) is bit-identical. Hours finalize
     * strictly in order: a batch's counts fold into `pending`; every
-    * hour at least 2 behind the newest seen (the watermark's horizon —
-    * genuinely late rows are already dropped by the 2 h watermark) is
-    * zero-filled if absent, run through the recurrence ONCE, emitted,
-    * and removed. Unlike the anomaly twin there is no re-emit: the
+    * hour at least 3 behind the newest seen — the first hour the 2 h
+    * watermark can no longer admit rows for — is zero-filled if absent,
+    * run through the recurrence ONCE, emitted, and removed. Unlike the anomaly twin there is no re-emit: the
     * recurrence cascades, so finalization is the correctness boundary —
     * state is (one Long, one Long, ≤ horizon pending counts), constant
     * per type. */
@@ -263,7 +262,12 @@ object EventPipeline {
       if (h >= st.nextHr) pending = pending.updated(h, pending.getOrElse(h, 0L) + c)
     }
     val maxSeen = (pending.keySet + (st.nextHr - 1)).max
-    val finalizeThrough = maxSeen - 2
+    // Finalize only hours the watermark can no longer admit rows for: a
+    // row in hour h arrives while watermark < end(h), i.e. while
+    // maxEventTime < (h+1)+2 hours — so hour h is sealed once maxSeen
+    // reaches h+3 (maxSeen-2 could still gain counts; emitting it early
+    // would silently drop them and diverge from batch).
+    val finalizeThrough = maxSeen - 3
     val slack = tTot / 2
     val out = scala.collection.mutable.ArrayBuffer[CusumOut]()
     var s = st.s

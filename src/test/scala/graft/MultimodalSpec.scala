@@ -214,7 +214,7 @@ class MultimodalSpec extends AnyFunSuite {
     val binHz = 8000.0 / Multimodal.FrameLen
     for (freq <- Seq(500.0, 1300.0, 3300.0)) {
       val wav = Multimodal.sineWav(freq, 0.8, 8000f, Multimodal.FrameLen)
-      val Some((samples, sr, _)) = Multimodal.wavSamples(wav)
+      val Some((samples, sr, _)) = Multimodal.wavSamples(wav, Multimodal.FrameLen)
       val (peakHz, centroidHz) = Multimodal.spectralFeatures(samples, sr)
       assert(math.abs(peakHz - freq) <= binHz, s"$freq Hz: peak=$peakHz")
       val centroidTol = if (freq == 500.0) 2 * binHz else 200.0

@@ -65,10 +65,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_noora = 0
+    only_set = {q for q in only.split(",") if q}
     for pq in sorted(out_dir.iterdir()):
         if not pq.is_dir():
             continue
         name = pq.name
+        # Single-operator mode compares ONLY the requested queries —
+        # out_dir may hold stale dirs from earlier full runs.
+        if only_set and name not in only_set:
+            continue
         got = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
         got_cols = [d[0] for d in got.description]
         got_rows = got.fetchall()
