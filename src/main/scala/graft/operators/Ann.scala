@@ -356,7 +356,76 @@ object Ann {
         selected.select(col("pick"), col("vec_id"),
           col("simq").as("cos_sim"), col("mmr_score"))
       },
-      Some(mmrOracle(10)))
+      Some(mmrOracle(10))),
+
+    // ---- v13: scalar-quantized (SQ8) KNN with exact re-rank ------------
+    // The quantization rung BETWEEN brute force (v02) and PQ (v08): each
+    // dimension linearly quantized to 0..255 against per-dim corpus
+    // min/max (4× smaller than float32; the standard SQ8 index format).
+    // Unlike PQ's trained codebooks, SQ8 is fully ORACLE-EXACT: the
+    // quantizer is one floor expression in identical op order, and the
+    // quantized dot product is a sum of exact small integers (≤ 64·255²
+    // ≪ 2^53) — exact in ANY summation order, so no grid is needed
+    // anywhere. Per-dim stats are a posexplode + 64-key aggregate
+    // (map-side combined); candidates = TakeOrdered on the int score;
+    // the float path touches only the 20-row re-rank.
+    ("v13_knn_sq8",
+      (s, d) => {
+        val all = Tables.embeddings(s, d)
+        val e = all.filter(col("vec_id") =!= 0)
+        val statsRow = e.select(posexplode(col("embedding")))
+          .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("sm"))
+          .select(expr("transform(sm, x -> CAST(x.mn AS DOUBLE))").as("mns"),
+                  expr("transform(sm, x -> CAST(x.mx AS DOUBLE))").as("mxs"))
+        val quantize = expr(
+          """transform(sequence(1, size(embedding)), i ->
+            |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0.0D
+            |       ELSE least(255.0D, greatest(0.0D,
+            |         floor((element_at(embedding, i) - element_at(mns, i)) * 255
+            |               / (element_at(mxs, i) - element_at(mns, i)) + 0.5D))) END)""".stripMargin)
+        val qq = all.filter(col("vec_id") === 0)
+          .crossJoin(broadcast(statsRow))
+          .select(quantize.as("qq"))
+        e.crossJoin(broadcast(statsRow))
+          .withColumn("q", quantize)
+          .crossJoin(broadcast(qq))
+          .withColumn("sq_score",
+            expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+          .orderBy(col("sq_score").desc, col("vec_id").asc).limit(20)
+          .crossJoin(broadcast(queryVec(s, d)))
+          .select(col("vec_id"), col("sq_score"),
+            cosine(col("embedding"), col("qv")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
+      },
+      Some("""WITH base AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+              stats AS MATERIALIZED (
+                SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+                FROM base, range(1, 65) t(i) WHERE vec_id <> 0 GROUP BY i),
+              sm AS MATERIALIZED (
+                SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                FROM stats),
+              qz AS MATERIALIZED (
+                SELECT vec_id, emb,
+                       list_transform(range(1, 65), i ->
+                         CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS DOUBLE)
+                              ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                                FLOOR((emb[i] - mns[i]) * 255
+                                      / (mxs[i] - mns[i]) + 0.5))) END) AS q
+                FROM base, sm),
+              qq AS MATERIALIZED (SELECT q AS qq FROM qz WHERE vec_id = 0),
+              sc AS MATERIALIZED (
+                SELECT z.vec_id, z.emb,
+                       list_sum(list_transform(range(1, 65), i -> z.q[i] * qq.qq[i])) AS sq_score
+                FROM qz z, qq WHERE z.vec_id <> 0),
+              top20 AS MATERIALIZED (
+                SELECT * FROM sc ORDER BY sq_score DESC, vec_id ASC LIMIT 20)
+              SELECT t.vec_id, t.sq_score,
+                     list_cosine_similarity(t.emb, q.qv) AS cos_sim
+              FROM top20 t,
+                   (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+              ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

@@ -14,17 +14,22 @@ import graft.Tables
   *
   * g01 is PageRank (Page et al. 1999, public algorithm) over the implicit
   * "interaction graph": within each event_type stream ordered by time, an
-  * edge connects consecutive actors (who-follows-whom-in-the-stream). The
-  * same shape serves any real edge table.
+  * edge connects consecutive actors. g02 is triangle counting via
+  * degree-ordering (Suri & Vassilvitskii 2011) — the orientation trick
+  * that bounds every node's out-degree by O(√m), which is what keeps the
+  * wedge join from exploding on hub nodes at scale. The PageRank loop
+  * itself is generic over any weighted edge table ([[pageRankLoop]]) —
+  * t20's TextRank runs the SAME loop over a word co-occurrence graph.
   *
-  * Scale design, per iteration: ranks⋈edges is the ONLY corpus-sized
-  * join, hash-partitioned on the join key; the dangling-mass and node
-  * count are 1-row aggregates broadcast by crossJoin; lineage is cut with
-  * localCheckpoint every iteration (the d06/d09 CC-loop discipline —
-  * without it Catalyst re-plans a 10-deep join tree). On a cluster the
-  * edge table is written ONCE bucketed by src (sources/Io bucketing), so
-  * the per-iteration join shuffles only the rank side — the same
-  * standing-layout argument AnnIndexSpec proves for the ANN family.
+  * Scale design, per PageRank iteration: ranks⋈edges is the ONLY
+  * corpus-sized join, hash-partitioned on the join key; the dangling-mass
+  * and node count are 1-row aggregates broadcast by crossJoin; lineage is
+  * cut with localCheckpoint every iteration (the d06/d09 CC-loop
+  * discipline — without it Catalyst re-plans a 10-deep join tree). On a
+  * cluster the edge table is written ONCE bucketed by src (sources/Io
+  * bucketing), so the per-iteration join shuffles only the rank side —
+  * the same standing-layout argument AnnIndexSpec proves for the ANN
+  * family.
   *
   * Float discipline: each iteration's rank is landed on a 1e-9 grid with
   * IDENTICAL expression order on both engines ([[graft-float-discipline]]
@@ -53,61 +58,49 @@ object Graph {
       .distinct()
   }
 
-  /** PageRank with damping 0.85, dangling mass redistributed uniformly
-    * (the standard formulation), fixed iteration count for a
-    * deterministic, oracle-replayable result. */
-  private[graft] def pageRank(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val edges = interactionEdges(s, d).localCheckpoint()
-    val nodes = Tables.events(s, d).select(col("user_id").as("id"))
-      .distinct().localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(nn)
+  /** Weighted PageRank with damping 0.85, dangling mass redistributed
+    * uniformly (the standard formulation), fixed iteration count for a
+    * deterministic, oracle-replayable result. Generic over the node id
+    * type: `nodes(id)`, `edges(src, dst, w: long)`. Contribution is
+    * r·w/Σw — with unit weights this is bit-identical to the unweighted
+    * form (r·1.0 ≡ r in IEEE754). */
+  private[graft] def pageRankLoop(
+      nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val nodesC = nodes.localCheckpoint()
+    val edgesC = edges.localCheckpoint()
+    val deg = edgesC.groupBy(col("src")).agg(sum(col("w")).as("wdeg")).localCheckpoint()
+    val nn = nodesC.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodesC.crossJoin(nn)
       .select(col("id"), (lit(1.0) / col("n")).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = edges.join(deg, "src")
+      val contribs = edgesC.join(deg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("cin"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("w") / col("wdeg")).as("cin"))
       val dang = ranks
         .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
-      ranks = nodes.crossJoin(nn).crossJoin(dang)
+      ranks = nodesC.crossJoin(nn).crossJoin(dang)
         .join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
           grid9(lit(0.15) / col("n") +
             lit(0.85) * (coalesce(col("cin"), lit(0.0)) + col("dang") / col("n"))).as("r"))
         .localCheckpoint()
     }
-    ranks.select(col("id").as("user_id"), col("r").as("rank"))
+    ranks
   }
 
-  /** The identical computation unrolled as DuckDB CTEs — one (contrib,
-    * dangling, rank) triple per iteration, every float expression in the
-    * same op order as the Spark plan, gridded per iteration. Every CTE is
-    * AS MATERIALIZED: each r$i is referenced twice by iteration i+1
-    * (contribs + dangling), and DuckDB's default CTE INLINING would copy
-    * the whole chain per reference — 2^iters plan blowup. */
-  private def pageRankOracle(iters: Int): String = {
-    val head =
-      """WITH ev AS MATERIALIZED (
-        |  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
-        |  FROM events),
-        |lagged AS MATERIALIZED (
-        |  SELECT user_id,
-        |         lag(user_id) OVER (PARTITION BY event_type
-        |                            ORDER BY ts_us ASC, event_id ASC) AS src
-        |  FROM ev),
-        |edges AS MATERIALIZED (
-        |  SELECT DISTINCT src, user_id AS dst FROM lagged
-        |  WHERE src IS NOT NULL AND src <> user_id),
-        |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
-        |deg AS MATERIALIZED (
-        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
-        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)""".stripMargin
-    val steps = (1 to iters).map { i =>
+  /** The per-iteration (contrib, dangling, rank) CTE triples of
+    * [[pageRankLoop]] for a DuckDB oracle, every float expression in the
+    * same op order, gridded per iteration. The host query must define
+    * `edges(src, dst, w)`, `nodes(id)`, `deg(src, wdeg)`, `nn(n)` and
+    * `r0(id, r)` CTEs before splicing these in. Every CTE is
+    * MATERIALIZED: each r$i is referenced twice by iteration i+1, and
+    * DuckDB's default CTE INLINING would copy the whole chain per
+    * reference — 2^iters plan blowup. */
+  private[graft] def pageRankOracleSteps(iters: Int): String =
+    (1 to iters).map { i =>
       s"""c$i AS MATERIALIZED (
-         |  SELECT e.dst, sum(r.r / d.deg) AS cin
+         |  SELECT e.dst, sum(r.r * e.w / d.wdeg) AS cin
          |  FROM edges e JOIN deg d ON e.src = d.src
          |  JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
          |g$i AS MATERIALIZED (
@@ -122,14 +115,107 @@ object Graph {
          |               * 1000000000 + 0.5) / 1000000000 AS r
          |  FROM nodes nd CROSS JOIN nn CROSS JOIN g$i g
          |  LEFT JOIN c$i c ON nd.id = c.dst)""".stripMargin
-    }
-    (head +: steps).mkString(",\n") +
+    }.mkString(",\n")
+
+  /** g01's oracle: the event-graph base CTEs + the generic steps. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+        |  FROM events),
+        |lagged AS MATERIALIZED (
+        |  SELECT user_id,
+        |         lag(user_id) OVER (PARTITION BY event_type
+        |                            ORDER BY ts_us ASC, event_id ASC) AS src
+        |  FROM ev),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, user_id AS dst, CAST(1 AS BIGINT) AS w FROM lagged
+        |  WHERE src IS NOT NULL AND src <> user_id),
+        |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+        |deg AS MATERIALIZED (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)""".stripMargin
+    head + ",\n" + pageRankOracleSteps(iters) +
       s"\nSELECT id AS user_id, r AS rank FROM r$iters"
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("g01_pagerank",
-      (s, d) => pageRank(s, d, Iters),
-      Some(pageRankOracle(Iters)))
+      (s, d) => {
+        val nodes = Tables.events(s, d).select(col("user_id").as("id")).distinct()
+        val edges = interactionEdges(s, d).withColumn("w", lit(1L))
+        pageRankLoop(nodes, edges, Iters)
+          .select(col("id").as("user_id"), col("r").as("rank"))
+      },
+      Some(pageRankOracle(Iters))),
+
+    // ---- g02: triangle counting via degree-ordering --------------------
+    // The clustering-structure census (community density, spam/bot motif
+    // detection). Naive wedge enumeration explodes on hubs (a degree-10⁶
+    // node emits 10¹² wedges); orienting every undirected edge from its
+    // LOWER (degree, id) endpoint to the higher caps each node's
+    // out-degree at O(√m) (Suri & Vassilvitskii 2011) — every triangle
+    // is counted exactly once, from its smallest vertex, and the wedge
+    // join's fan-out is bounded no matter how skewed the graph. Two
+    // equi-joins + integer counts: fully exact.
+    ("g02_triangle_count",
+      (s, d) => {
+        val und = interactionEdges(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct().localCheckpoint()
+        val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
+        val lower = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val dir = und
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+          .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+                  when(lower, col("v")).otherwise(col("u")).as("b"))
+          .localCheckpoint()
+        val wedges = dir
+          .join(dir.select(col("a").as("b"), col("b").as("c")), "b")
+          .select(col("a"), col("c"))
+        val tri = wedges
+          .join(dir.select(col("a"), col("b").as("c")), Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        deg.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(tri)
+      },
+      Some("""WITH ev AS MATERIALIZED (
+                SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+                FROM events),
+              lagged AS MATERIALIZED (
+                SELECT user_id,
+                       lag(user_id) OVER (PARTITION BY event_type
+                                          ORDER BY ts_us ASC, event_id ASC) AS src
+                FROM ev),
+              edges0 AS MATERIALIZED (
+                SELECT DISTINCT src, user_id AS dst FROM lagged
+                WHERE src IS NOT NULL AND src <> user_id),
+              und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                FROM edges0),
+              deg AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS dg
+                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+                GROUP BY 1),
+              dir AS MATERIALIZED (
+                SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                            THEN u ELSE v END AS a,
+                       CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                            THEN v ELSE u END AS b
+                FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+              tri AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM dir e1
+                JOIN dir e2 ON e2.a = e1.b
+                JOIN dir e3 ON e3.a = e1.a AND e3.b = e2.b)
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                     (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+                     (SELECT n_triangles FROM tri) AS n_triangles"""))
   )
 }

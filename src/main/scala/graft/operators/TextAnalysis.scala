@@ -738,7 +738,64 @@ object TextAnalysis {
                      FROM p2)
               SELECT d2.pos, d2.doc_id, d2.rel, d2.dcg_cum, i2.idcg_cum,
                      d2.dcg_cum / i2.idcg_cum AS ndcg
-              FROM d2 JOIN i2 ON d2.pos = i2.pos"""))
+              FROM d2 JOIN i2 ON d2.pos = i2.pos""")),
+
+    // ---- t20: TextRank keyword extraction --------------------------------
+    // TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    // co-occurrence graph — THE classic unsupervised keyword extractor,
+    // and a composition proof: the edge table here is adjacent-word
+    // bigram counts (t11's extraction), the iteration is g01's generic
+    // weighted [[Graph.pageRankLoop]] verbatim, and the oracle splices
+    // g01's generic CTE steps onto a word-graph base. Min-support 3 +
+    // self-loop filter keep the graph at content-vocabulary size;
+    // symmetric edges (co-occurrence is undirected) mean every node has
+    // out-weight, so the dangling term is exactly 0.0 on both engines.
+    ("t20_textrank",
+      (s, d) => {
+        val ws = Tables.documents(s, d).select(words(col("text")).as("ws"))
+        val bi = ws.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(ws) - 2), " +
+              "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3)
+        val sym = bi
+          .select(least(col("w1"), col("w2")).as("u"),
+            greatest(col("w1"), col("w2")).as("v"), col("c"))
+          .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+        val edges = sym.select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .union(sym.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        Graph.pageRankLoop(nodes, edges, 10)
+          .orderBy(col("r").desc, col("id").asc).limit(30)
+          .select(col("id").as("word"), col("r").as("textrank"))
+      },
+      Some(s"""WITH w AS MATERIALIZED (SELECT string_split(text, ' ') AS ws FROM documents),
+              bi AS MATERIALIZED (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+                  SELECT ws[i] AS w1, ws[i+1] AS w2
+                  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+                        WHERE len(ws) >= 2))
+                WHERE w1 <> w2
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+              sym AS MATERIALIZED (
+                SELECT LEAST(w1, w2) AS u, GREATEST(w1, w2) AS v,
+                       CAST(sum(c) AS BIGINT) AS w
+                FROM bi GROUP BY 1, 2),
+              edges AS MATERIALIZED (
+                SELECT u AS src, v AS dst, w FROM sym
+                UNION ALL
+                SELECT v AS src, u AS dst, w FROM sym),
+              nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+              deg AS MATERIALIZED (
+                SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+              nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+              r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn),
+              ${Graph.pageRankOracleSteps(10)}
+              SELECT id AS word, r AS textrank FROM r10
+              ORDER BY r DESC, id ASC LIMIT 30"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

@@ -99,7 +99,8 @@ object ScaleSmokeMain {
       "t14_zipf", "t15_ngram_lm", "t16_ppl_buckets", "t17_bpe_tokens", "t18_quality_classifier",
       "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split", "p06_pipeline_e2e",
       "p07_curriculum",
-      "s09_anomaly", "s10_cusum", "g01_pagerank")
+      "s09_anomaly", "s10_cusum", "g01_pagerank", "g02_triangle_count",
+      "t20_textrank")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
