@@ -25,6 +25,14 @@ import org.apache.spark.sql.graft.VectorExpressions.{cosine, dot, hyperplaneSig,
 object Ann {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embedding dimensionality of the test tables (TESTDATA.md). The
+    * Spark side of v13 is dimension-generic (size(embedding)); the
+    * DuckDB oracle must unroll per-dim CTEs, so this ONE constant feeds
+    * its three range() splices — regenerated data at another dim changes
+    * one number instead of silently truncating the oracle's dots.
+    * (Declared before defs — a later val would be 0 at defs init.) */
+  private val SqDim = 64
+
   private def queryVec(s: SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
@@ -398,17 +406,17 @@ object Ann {
             cosine(col("embedding"), col("qv")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
       },
-      Some("""WITH base AS MATERIALIZED (
+      Some(s"""WITH base AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
               stats AS MATERIALIZED (
                 SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
-                FROM base, range(1, 65) t(i) WHERE vec_id <> 0 GROUP BY i),
+                FROM base, range(1, ${SqDim + 1}) t(i) WHERE vec_id <> 0 GROUP BY i),
               sm AS MATERIALIZED (
                 SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
                 FROM stats),
               qz AS MATERIALIZED (
                 SELECT vec_id, emb,
-                       list_transform(range(1, 65), i ->
+                       list_transform(range(1, ${SqDim + 1}), i ->
                          CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS DOUBLE)
                               ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
                                 FLOOR((emb[i] - mns[i]) * 255
@@ -417,7 +425,7 @@ object Ann {
               qq AS MATERIALIZED (SELECT q AS qq FROM qz WHERE vec_id = 0),
               sc AS MATERIALIZED (
                 SELECT z.vec_id, z.emb,
-                       list_sum(list_transform(range(1, 65), i -> z.q[i] * qq.qq[i])) AS sq_score
+                       list_sum(list_transform(range(1, ${SqDim + 1}), i -> z.q[i] * qq.qq[i])) AS sq_score
                 FROM qz z, qq WHERE z.vec_id <> 0),
               top20 AS MATERIALIZED (
                 SELECT * FROM sc ORDER BY sq_score DESC, vec_id ASC LIMIT 20)

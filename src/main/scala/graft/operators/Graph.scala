@@ -117,25 +117,33 @@ object Graph {
          |  LEFT JOIN c$i c ON nd.id = c.dst)""".stripMargin
     }.mkString(",\n")
 
+  /** The interaction-graph extraction as DuckDB CTEs ending in
+    * `edges0(src, dst)` — ONE definition of "the graph" shared by g01's
+    * and g02's oracles (the twin of [[interactionEdges]]). */
+  private val eventGraphBaseCte: String =
+    """ev AS MATERIALIZED (
+      |  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+      |  FROM events),
+      |lagged AS MATERIALIZED (
+      |  SELECT user_id,
+      |         lag(user_id) OVER (PARTITION BY event_type
+      |                            ORDER BY ts_us ASC, event_id ASC) AS src
+      |  FROM ev),
+      |edges0 AS MATERIALIZED (
+      |  SELECT DISTINCT src, user_id AS dst FROM lagged
+      |  WHERE src IS NOT NULL AND src <> user_id)""".stripMargin
+
   /** g01's oracle: the event-graph base CTEs + the generic steps. */
   private def pageRankOracle(iters: Int): String = {
     val head =
-      """WITH ev AS MATERIALIZED (
-        |  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
-        |  FROM events),
-        |lagged AS MATERIALIZED (
-        |  SELECT user_id,
-        |         lag(user_id) OVER (PARTITION BY event_type
-        |                            ORDER BY ts_us ASC, event_id ASC) AS src
-        |  FROM ev),
-        |edges AS MATERIALIZED (
-        |  SELECT DISTINCT src, user_id AS dst, CAST(1 AS BIGINT) AS w FROM lagged
-        |  WHERE src IS NOT NULL AND src <> user_id),
-        |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
-        |deg AS MATERIALIZED (
-        |  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
-        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)""".stripMargin
+      s"""WITH $eventGraphBaseCte,
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)""".stripMargin
     head + ",\n" + pageRankOracleSteps(iters) +
       s"\nSELECT id AS user_id, r AS rank FROM r$iters"
   }
@@ -185,17 +193,7 @@ object Graph {
           .crossJoin(und.agg(count(lit(1)).as("n_edges")))
           .crossJoin(tri)
       },
-      Some("""WITH ev AS MATERIALIZED (
-                SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
-                FROM events),
-              lagged AS MATERIALIZED (
-                SELECT user_id,
-                       lag(user_id) OVER (PARTITION BY event_type
-                                          ORDER BY ts_us ASC, event_id ASC) AS src
-                FROM ev),
-              edges0 AS MATERIALIZED (
-                SELECT DISTINCT src, user_id AS dst FROM lagged
-                WHERE src IS NOT NULL AND src <> user_id),
+      Some(s"""WITH $eventGraphBaseCte,
               und AS MATERIALIZED (
                 SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
                 FROM edges0),

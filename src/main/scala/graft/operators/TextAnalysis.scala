@@ -89,6 +89,12 @@ object TextAnalysis {
   private def sqlCountIn(set: Seq[String]): String =
     s"len(list_filter(w, x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
 
+  /** t20's iteration count — ONE constant drives both the Spark loop and
+    * the oracle's unrolled CTE chain (r$TrIters tail included).
+    * Declared BEFORE defs: a val after it would still be 0 (primitive
+    * default) when the defs Seq initializes. */
+  private val TrIters = 10
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- t01: language ID by marker-word scoring ----------------------
@@ -760,15 +766,22 @@ object TextAnalysis {
           .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
           .filter(col("w1") =!= col("w2"))
           .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 3)
+        // Min-support on the SYMMETRIZED weight (the quantity the
+        // algorithm ranks by) — thresholding directed counts first would
+        // drop a 2+2 pair while keeping a 3+0 one. localCheckpoint: sym
+        // fans out to both union branches AND the loop's nodes/edges
+        // materializations — without the cut the corpus bigram
+        // extraction re-executes per consumer.
         val sym = bi
           .select(least(col("w1"), col("w2")).as("u"),
             greatest(col("w1"), col("w2")).as("v"), col("c"))
           .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+          .filter(col("w") >= 3)
+          .localCheckpoint()
         val edges = sym.select(col("u").as("src"), col("v").as("dst"), col("w"))
           .union(sym.select(col("v").as("src"), col("u").as("dst"), col("w")))
         val nodes = edges.select(col("src").as("id")).distinct()
-        Graph.pageRankLoop(nodes, edges, 10)
+        Graph.pageRankLoop(nodes, edges, TrIters)
           .orderBy(col("r").desc, col("id").asc).limit(30)
           .select(col("id").as("word"), col("r").as("textrank"))
       },
@@ -779,11 +792,11 @@ object TextAnalysis {
                   FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
                         WHERE len(ws) >= 2))
                 WHERE w1 <> w2
-                GROUP BY 1, 2 HAVING count(*) >= 3),
+                GROUP BY 1, 2),
               sym AS MATERIALIZED (
                 SELECT LEAST(w1, w2) AS u, GREATEST(w1, w2) AS v,
                        CAST(sum(c) AS BIGINT) AS w
-                FROM bi GROUP BY 1, 2),
+                FROM bi GROUP BY 1, 2 HAVING sum(c) >= 3),
               edges AS MATERIALIZED (
                 SELECT u AS src, v AS dst, w FROM sym
                 UNION ALL
@@ -793,8 +806,8 @@ object TextAnalysis {
                 SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
               nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
               r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn),
-              ${Graph.pageRankOracleSteps(10)}
-              SELECT id AS word, r AS textrank FROM r10
+              ${Graph.pageRankOracleSteps(TrIters)}
+              SELECT id AS word, r AS textrank FROM r$TrIters
               ORDER BY r DESC, id ASC LIMIT 30"""))
   )
 
