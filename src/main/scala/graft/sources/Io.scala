@@ -98,6 +98,23 @@ object Io {
   def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
+  /** Schema-evolution read: a corpus written over months gains columns
+    * (new quality signals, new metadata) without rewriting old files.
+    * `mergeSchema` unions the footer schemas across all files — old
+    * files surface the new columns as NULL, new files keep them — at
+    * the cost of reading every file footer at planning time, so at
+    * 100 TB prefer declaring the SUPERSET schema explicitly (the
+    * `schemaDdl` overload below: no footer sweep, same null-fill
+    * semantics) and reserve mergeSchema for exploration. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Production form of schema evolution: pin the superset schema —
+    * planning cost is O(1) in file count and column types are enforced
+    * rather than inferred from whichever footers happen to exist. */
+  def readParquetAs(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).parquet(path)
+
   // ---- layout maintenance ----------------------------------------------
 
   /** Small-file compaction — the housekeeping pass every streaming/

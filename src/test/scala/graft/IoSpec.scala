@@ -219,4 +219,30 @@ class IoSpec extends AnyFunSuite {
     assert(math.abs(byDims((16, 8))(0) - 1.0f) < 1e-3) // red channel mean
     assert(math.abs(byDims((10, 10))(1) - 1.0f) < 1e-3) // green channel mean
   }
+
+  test("schema evolution: old files null-fill new columns under both read forms") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo").toString
+    // Month 1: (doc_id, text). Month 2 adds a quality column.
+    Seq((1L, "old doc")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "new doc", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    // Exploration form: footer-merged union schema.
+    val merged = Io.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality"))
+    val rows = merged.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(r.fieldIndex("quality"))) None
+         else Some(r.getAs[Double]("quality")))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.9)))
+    // Production form: pinned superset schema — same semantics, no
+    // footer sweep, and a plain read (which would pick ONE footer and
+    // either miss the column or fail) is avoided.
+    val pinned = Io.readParquetAs(spark, dir,
+      "doc_id BIGINT, text STRING, quality DOUBLE")
+    assert(pinned.columns.toSet == Set("doc_id", "text", "quality"))
+    assert(pinned.filter($"doc_id" === 1L && $"quality".isNull).count() == 1)
+    assert(pinned.filter($"doc_id" === 2L && $"quality" === 0.9).count() == 1)
+  }
 }
