@@ -561,11 +561,13 @@ object Multimodal {
     // ---- m04: audio spectral features over the REAL codec path ---------
     // The audio analog of m01's image features: per-payload sine WAVs
     // (freq keyed off doc_id — deterministic), decoded through the SAME
-    // javax.sound.sampled path real audio takes, then a bounded-frame
-    // DFT → (peak Hz, spectral centroid). The generate→encode→decode→
-    // analyze round trip exercises the actual codec, not a fixture. One
-    // mapPartitions pass, per-row cost bounded by FrameLen² regardless
-    // of duration; output collapses to the 8-class rollup. Rows-only
+    // javax.sound.sampled path real audio takes, then a radix-2 FFT
+    // over one bounded frame → (peak Hz, spectral centroid). The
+    // generate→encode→decode→analyze round trip exercises the actual
+    // codec, not a fixture. One mapPartitions pass, per-row cost
+    // O(FrameLen·log FrameLen) regardless of duration (the naive-DFT
+    // first cut was FrameLen²/2 — 61 s on the full bench, caught and
+    // replaced); output collapses to the 8-class rollup. Rows-only
     // (trig internals engine-specific); bin-accuracy pinned in
     // MultimodalSpec against the known sine frequencies.
     ("m04_audio_spectral",
