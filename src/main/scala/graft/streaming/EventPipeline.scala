@@ -34,6 +34,12 @@ case class CusumState(nextHr: Long, s: Long, pending: Map[Long, Long])
 case class CusumOut(
     hr_no: Long, event_type: String, x: Long, cusum_scaled: Long, flag: Boolean)
 
+/** Per-open-hour top-k state: event-type counts for that hour. */
+case class TopKState(counts: Map[String, Long])
+
+/** One row of a sealed hour's top-k. */
+case class TopKOut(hour_start_us: Long, event_type: String, n_events: Long)
+
 /** Per-user funnel progress (Long.MaxValue = stage not reached). */
 case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
 
@@ -281,6 +287,51 @@ object EventPipeline {
     }
     state.update(CusumState(h, s, pending))
     out.iterator
+  }
+
+  /** s07's streaming twin: per-hour top-k trending event types. Keyed
+    * by HOUR (not type — the ranking needs all of an hour's types in
+    * one place), counts fold into per-type state, and the hour emits
+    * its top-3 EXACTLY ONCE when the event-time timeout fires — i.e.
+    * when the watermark has passed the hour's end, so no further count
+    * can arrive (the same sealing contract as the CUSUM twin, here via
+    * the native timeout mechanism instead of a horizon scan, because an
+    * hour-keyed group can't observe other keys' progress). State per
+    * open hour is one count per event type — bounded by the type domain
+    * × the watermark horizon, independent of event rate. */
+  def windowTopKStream(events: Dataset[ValueEvent], k: Int = 3): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => micros(e.ts) / (3600L * 1000000L))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateWindowTopK(k))
+  }
+
+  private[streaming] def updateWindowTopK(k: Int)(
+      hourNo: Long,
+      batch: Iterator[ValueEvent],
+      state: GroupState[TopKState]): Iterator[TopKOut] = {
+    if (state.hasTimedOut) {
+      // Watermark passed the hour end: the count set is final. Rank by
+      // (count desc, type asc) — the batch GroupedTopK ordering.
+      val counts = state.get.counts
+      state.remove()
+      counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+        .map { case (t, n) => TopKOut(hourNo * 3600L * 1000000L, t, n) }
+        .iterator
+    } else {
+      var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+      batch.foreach { e =>
+        counts = counts.updated(e.event_type, counts.getOrElse(e.event_type, 0L) + 1L)
+      }
+      state.update(TopKState(counts))
+      // Seal when the watermark passes the hour's end (must stay above
+      // the current watermark — a very late group re-arms just ahead).
+      val hourEndMs = (hourNo + 1) * 3600L * 1000L
+      state.setTimeoutTimestamp(math.max(hourEndMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
   }
 
   /** s02 twin: gap-based sessionization via flatMapGroupsWithState.

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{CusumOut, EventPipeline, FunnelOut, HourEvent, SessionOut, StreamEvent, TypedEvent, ValueEvent}
+import graft.streaming.{CusumOut, EventPipeline, FunnelOut, HourEvent, SessionOut, StreamEvent, TopKOut, TypedEvent, ValueEvent}
 
 case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
 
@@ -352,6 +352,38 @@ class StreamingSpec extends AnyFunSuite {
         }
       } finally q.stop()
     }
+  }
+
+  test("streaming windowed top-k matches batch s07 on every sealed hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"), col("value")).as[ValueEvent]
+      .collect().toSeq
+    // A far-future sentinel pushes the watermark past every real hour's
+    // end so every real hour seals; the sentinel's own hour stays open.
+    val maxUs = events.map(e => e.ts.getTime).max
+    val sentinel = ValueEvent(
+      new java.sql.Timestamp(maxUs + 4L * 3600L * 1000L), "zzz_sentinel", 0.0)
+    val in = MemoryStream[ValueEvent]
+    val q = EventPipeline.windowTopKStream(in.toDS())
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      in.addData(Seq(sentinel)) // advances watermark; timeouts fire
+      q.processAllAvailable()
+      in.addData(Seq.empty)     // one more trigger drains remaining timeouts
+      q.processAllAvailable()
+      val streamed = spark.table("wtopk").as[TopKOut].collect()
+        .filter(_.event_type != "zzz_sentinel").toSet
+      val batch = SparkEntry.queries("s07_window_topk")(spark, TestSpark.sf)
+        .collect()
+        .map(r => TopKOut(r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-batch= ${(streamed -- batch).take(3)} batch-stream= ${(batch -- streamed).take(3)}")
+    } finally q.stop()
   }
 
   test("streaming funnel advances stages across micro-batches") {
