@@ -170,6 +170,23 @@ object AnnIndex {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
 
+  /** INCREMENTAL index maintenance — the d13 story for ANN: a new batch
+    * of vectors joins the standing IVF layout WITHOUT retraining or
+    * rewriting it. The centroids are frozen model state (the quantizer's
+    * contract — retraining would move every cell boundary and demand a
+    * full rebuild), the batch is assigned with the same cellOf
+    * expression, and `append` mode adds files only under the touched
+    * cell directories — untouched cells' files are not rewritten, and a
+    * probe needs no code change (partition pruning reads old + appended
+    * files alike). Per-batch cost: O(batch) assignment + append; the
+    * corpus is never re-read. Assignment-drift (centroids vs the grown
+    * corpus) is the operator's tuning knob, same as any production IVF:
+    * re-train when recall decays, not per batch. AnnIndexSpec pins
+    * append-probe equality with a from-scratch rebuild of the union. */
+  def appendIvf(batch: DataFrame, cents: Array[Array[Float]], path: String): Unit =
+    batch.withColumn("cell", cellOf(col("embedding"), cents))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** SemDeDup's at-scale layout: the cell assignment written BUCKETED by
     * `cell`, so the within-cell pair join reads both sides pre-shuffled
     * and runs with ZERO exchange — cross-cell traffic is impossible by

@@ -340,6 +340,32 @@ object Events {
               FROM spine s CROSS JOIN types t
               LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = t.event_type""")),
 
+    // ---- s12: hopping (sliding) window aggregation -----------------------
+    // s01's tumbling windows miss trends that straddle hour boundaries;
+    // the 2h-window/1h-slide form scores every event into BOTH windows
+    // containing it. Spark's window(ts, "2 hours", "1 hour") is the
+    // native generator (each row fans out to windowLength/slide rows
+    // map-side — no shuffle until the aggregate); the oracle mirrors the
+    // fan-out as a two-branch UNION ALL on the truncated hour. Same
+    // exchange budget as s01: ONE corpus hash-aggregate, map-side
+    // combined, output (windows × types) dimension-scale.
+    ("s12_hopping",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             cents(sum(col("value"))).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("sum_value")),
+      Some("""WITH x AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type, value
+                         FROM events),
+              w AS (SELECT epoch_us(h) AS win_start_us, event_type, value FROM x
+                    UNION ALL
+                    SELECT epoch_us(h - INTERVAL 1 HOUR) AS win_start_us, event_type, value FROM x)
+              SELECT win_start_us, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     FLOOR(sum(value) * 100 + 0.5) / 100 AS sum_value
+              FROM w GROUP BY 1, 2""")),
+
     // ---- s10: CUSUM change-point detection over hourly series ------------
     // Page's cumulative-sum drift detector (Page 1954, the classic
     // change-point statistic) per event_type: S_i = max(0, S_{i-1} + x_i -

@@ -494,6 +494,47 @@ object Pipeline {
               SELECT doc_id, stage,
                      CAST(row_number() OVER (ORDER BY stage, skey, doc_id) AS BIGINT) AS ord,
                      CAST((row_number() OVER (ORDER BY stage, skey, doc_id) - 1) // 1000 AS BIGINT) AS shard_id
-              FROM st"""))
+              FROM st""")),
+
+    // ---- p08: length-bucketed batching (padding-efficiency report) -------
+    // The dynamic-batching concern: a trainer padding every sequence in
+    // a batch to the batch max wastes FLOPs proportional to length
+    // variance, so production loaders bucket by length first. Docs land
+    // in width-64 token buckets (real t17 BPE counts); within a bucket
+    // every doc pads to the bucket ceiling, so waste is computable in
+    // closed form. Output per bucket: docs, real tokens, padded tokens,
+    // waste fraction — all integers plus ONE exact division. The plan is
+    // a map-side tokenize (codegen'd BPE count) + a bucket-keyed
+    // aggregate: one corpus exchange carrying ~n/64-bucket keys, nothing
+    // else — the report a loader uses to pick bucket boundaries.
+    ("p08_length_buckets",
+      (s, d) => {
+        val width = 64L
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            org.apache.spark.sql.graft.TextHash
+              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("bucket", expr(s"(n_tokens - 1) div $width"))
+          .withColumn("padded", (col("bucket") + 1) * width)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("real_tokens"),
+            sum(col("padded")).as("padded_tokens"))
+          .withColumn("waste_frac",
+            (col("padded_tokens") - col("real_tokens")).cast("double")
+              / col("padded_tokens"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              b AS (SELECT doc_id, n_tokens,
+                      CAST((n_tokens - 1) // 64 AS BIGINT) AS bucket,
+                      CAST(((n_tokens - 1) // 64 + 1) * 64 AS BIGINT) AS padded
+                    FROM bpetok WHERE n_tokens > 0)
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+                     CAST(sum(padded) AS BIGINT) AS padded_tokens,
+                     CAST(sum(padded) - sum(n_tokens) AS DOUBLE)
+                       / CAST(sum(padded) AS BIGINT) AS waste_frac
+              FROM b GROUP BY 1"""))
   )
 }

@@ -65,6 +65,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("incremental IVF append: no retrain, no rewrite, probe equals a full rebuild") {
+    val k = 16; val nProbe = 6
+    val e = embeddings
+    // Standing index from the first 80% of the corpus; centroids are
+    // frozen model state.
+    val standing = e.filter(col("vec_id") % 5 =!= 4)
+    val batch = e.filter(col("vec_id") % 5 === 4)
+    val cents = AnnIndex.trainCentroids(standing, k)
+    AnnIndex.writeIvf(standing, cents, s"$tmp/ivfinc")
+    def allFiles = new File(s"$tmp/ivfinc").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles()).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    val before = allFiles
+    // Append the new batch: same frozen quantizer, append-mode write.
+    AnnIndex.appendIvf(batch, cents, s"$tmp/ivfinc")
+    val after = allFiles
+    // The standing files are untouched — append added, never rewrote.
+    assert(before.subsetOf(after), s"append rewrote ${(before -- after).take(3)}")
+    assert(after.size > before.size, "append added no files")
+    // The appended index answers EXACTLY like a from-scratch rebuild of
+    // the union under the same centroids.
+    val qv = queryVec
+    AnnIndex.writeIvf(e, cents, s"$tmp/ivffull")
+    val inc = AnnIndex.probeIvf(spark, s"$tmp/ivfinc", qv, cents, nProbe, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = AnnIndex.probeIvf(spark, s"$tmp/ivffull", qv, cents, nProbe, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inc == full)
+  }
+
   test("IVF+PQ probe: ADC scan is partition-pruned, reads codes not embeddings, re-rank is exact") {
     val kCells = 16; val nProbe = 6; val m = 8; val ksub = 32
     val e = embeddings
