@@ -155,9 +155,10 @@ object AnnIndex {
 
   /** Write the vectors partitioned by IVF cell: one directory per cell,
     * so a probe's equality/IN filter on `cell` is directory pruning. */
-  def writeIvf(e: DataFrame, cents: Array[Array[Float]], path: String): Unit =
+  def writeIvf(e: DataFrame, cents: Array[Array[Float]], path: String,
+      mode: String = "overwrite"): Unit =
     Io.writePartitioned(
-      e.withColumn("cell", cellOf(col("embedding"), cents)), path, Seq("cell"))
+      e.withColumn("cell", cellOf(col("embedding"), cents)), path, Seq("cell"), mode)
 
   /** Probe the written IVF layout: filter to the query's nProbe cells
     * (partition-pruned I/O — asserted in AnnIndexSpec), exact cosine on
@@ -184,8 +185,7 @@ object AnnIndex {
     * re-train when recall decays, not per batch. AnnIndexSpec pins
     * append-probe equality with a from-scratch rebuild of the union. */
   def appendIvf(batch: DataFrame, cents: Array[Array[Float]], path: String): Unit =
-    batch.withColumn("cell", cellOf(col("embedding"), cents))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    writeIvf(batch, cents, path, mode = "append")
 
   /** SemDeDup's at-scale layout: the cell assignment written BUCKETED by
     * `cell`, so the within-cell pair join reads both sides pre-shuffled

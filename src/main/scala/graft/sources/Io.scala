@@ -29,8 +29,9 @@ object Io {
 
   /** Hive-style partitioned parquet: one directory per distinct value
     * tuple. Keep partition columns low-cardinality (date, type, lang). */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** Bucketed + sorted table (requires a catalog table, not a bare path).
     * `buckets` should match the downstream join parallelism. */

@@ -68,10 +68,12 @@ class AnnIndexSpec extends AnyFunSuite {
   test("incremental IVF append: no retrain, no rewrite, probe equals a full rebuild") {
     val k = 16; val nProbe = 6
     val e = embeddings
-    // Standing index from the first 80% of the corpus; centroids are
-    // frozen model state.
-    val standing = e.filter(col("vec_id") % 5 =!= 4)
-    val batch = e.filter(col("vec_id") % 5 === 4)
+    // Standing index from the PREFIX 80% of the corpus (a modular
+    // holdout would punch holes in trainCentroids' [0, k) seed range
+    // and silently train fewer centroids); centroids are frozen model
+    // state.
+    val standing = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
     val cents = AnnIndex.trainCentroids(standing, k)
     AnnIndex.writeIvf(standing, cents, s"$tmp/ivfinc")
     def allFiles = new File(s"$tmp/ivfinc").listFiles()

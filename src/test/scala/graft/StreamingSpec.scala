@@ -362,9 +362,9 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq
     // A far-future sentinel pushes the watermark past every real hour's
     // end so every real hour seals; the sentinel's own hour stays open.
-    val maxUs = events.map(e => e.ts.getTime).max
+    val maxMs = events.map(e => e.ts.getTime).max
     val sentinel = ValueEvent(
-      new java.sql.Timestamp(maxUs + 4L * 3600L * 1000L), "zzz_sentinel", 0.0)
+      new java.sql.Timestamp(maxMs + 4L * 3600L * 1000L), "zzz_sentinel", 0.0)
     val in = MemoryStream[ValueEvent]
     val q = EventPipeline.windowTopKStream(in.toDS())
       .writeStream.format("memory").queryName("wtopk")
@@ -376,8 +376,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       in.addData(Seq.empty)     // one more trigger drains remaining timeouts
       q.processAllAvailable()
-      val streamed = spark.table("wtopk").as[TopKOut].collect()
-        .filter(_.event_type != "zzz_sentinel").toSet
+      val streamedRows = spark.table("wtopk").as[TopKOut].collect()
+        .filter(_.event_type != "zzz_sentinel")
+      // Exactly-once: a re-fired timeout would duplicate rows, which a
+      // bare set compare could not see.
+      assert(streamedRows.length == streamedRows.distinct.length,
+        s"duplicate emissions: ${streamedRows.groupBy(identity).filter(_._2.length > 1).keys.take(3)}")
+      val streamed = streamedRows.toSet
       val batch = SparkEntry.queries("s07_window_topk")(spark, TestSpark.sf)
         .collect()
         .map(r => TopKOut(r.getLong(0), r.getString(1), r.getLong(2))).toSet
