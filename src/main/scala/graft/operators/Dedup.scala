@@ -160,34 +160,12 @@ object Dedup {
     * than d04's 0.2 bound. localCheckpoint cuts lineage each round; the
     * driver sees only scalar fixpoint counts, never data. Returns
     * (doc_id, label) for every doc with at least one near-dup edge. */
-  private def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val edges = ngramPairs(s, d, 9, 10)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint() // cut the lineage: the edge set is re-joined every round
-    val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    var labels = sym.groupBy(col("a_id"))
-      .agg(min(col("b_id")).as("mn"))
-      .select(col("a_id").as("doc_id"), least(col("a_id"), col("mn")).as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 10) {
-      val nbr = sym.join(labels, sym("b_id") === labels("doc_id"))
-        .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
-      // Carry the previous label through the update so the fixpoint check
-      // is a narrow filter-count over the checkpoint — not another join
-      // (which would re-shuffle the label table every round).
-      val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("old"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("doc_id"), col("label"))
-      iter += 1
-    }
-    labels
-  }
+  /** Near-dup components = the generic min-label-propagation loop
+    * ([[Graph.minLabelPropagation]] — the d06/d09 machinery, shared with
+    * g03's event-graph communities) over the jac ≥ 0.9 edge set. */
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    Graph.minLabelPropagation(
+      ngramPairs(s, d, 9, 10).select(col("a_id"), col("b_id")))
 
   /** d12 core over any (doc_id, text) frame: per-doc duplicated-position
     * stats from positional 5-gram hashes. Positions collapse to

@@ -340,6 +340,49 @@ object Events {
               FROM spine s CROSS JOIN types t
               LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = t.event_type""")),
 
+    // ---- s13: conversion-lag distribution --------------------------------
+    // The funnel's (s05) other half: not WHETHER users convert but HOW
+    // LONG it takes — first view → first subsequent purchase per user,
+    // summarized as exact dyadic percentiles (q58's trick: 0.25/0.5/0.75
+    // make the interpolation bit-exact on integer micros, no grid) plus
+    // an exact mean (sum of longs ≪ 2^53 cast once, one IEEE division).
+    // Shape: two filtered user-keyed aggregates + one user-keyed join —
+    // the per-user work co-partitions on ONE user exchange class; the
+    // final global aggregate sees one row per converted user.
+    ("s13_conversion_lag",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+        val lags = v.join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
+          .filter(col("us") >= col("v_us"))
+          .groupBy(col("user_id"), col("v_us")).agg(min(col("us")).as("p_us"))
+          .select((col("p_us") - col("v_us")).as("lag_us"))
+        lags.agg(
+          count(lit(1)).as("n_converted"),
+          expr("percentile(lag_us, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          (sum(col("lag_us")).cast("double") / count(lit(1))).as("avg_lag_us"))
+          .select(col("n_converted"),
+            col("qs").getItem(0).as("p25_us"),
+            col("qs").getItem(1).as("p50_us"),
+            col("qs").getItem(2).as("p75_us"),
+            col("avg_lag_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+              v AS (SELECT user_id, min(us) AS v_us FROM e
+                    WHERE event_type = 'view' GROUP BY 1),
+              lags AS (SELECT p.user_id, min(p.us) - v.v_us AS lag_us
+                       FROM e p JOIN v ON v.user_id = p.user_id
+                       WHERE p.event_type = 'purchase' AND p.us >= v.v_us
+                       GROUP BY p.user_id, v.v_us)
+              SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                     quantile_cont(lag_us, 0.25) AS p25_us,
+                     quantile_cont(lag_us, 0.5)  AS p50_us,
+                     quantile_cont(lag_us, 0.75) AS p75_us,
+                     CAST(sum(lag_us) AS DOUBLE) / count(*) AS avg_lag_us
+              FROM lags""")),
+
     // ---- s12: hopping (sliding) window aggregation -----------------------
     // s01's tumbling windows miss trends that straddle hour boundaries;
     // the 2h-window/1h-slide form scores every event into BOTH windows

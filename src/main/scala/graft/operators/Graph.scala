@@ -117,6 +117,40 @@ object Graph {
          |  LEFT JOIN c$i c ON nd.id = c.dst)""".stripMargin
     }.mkString(",\n")
 
+  /** Generic min-label-propagation connected components over an
+    * undirected edge list `(a_id, b_id)`: one join + one aggregate per
+    * round, O(component diameter) rounds, localCheckpoint lineage cuts,
+    * scalar-only fixpoint checks on the driver — the d06/d09 loop,
+    * factored here so the SAME machinery labels near-dup document
+    * groups (Dedup.ccLabels) and event-graph communities (g03). */
+  private[operators] def minLabelPropagation(
+      edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+    val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = sym.groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("mn"))
+      .select(col("a_id").as("doc_id"), least(col("a_id"), col("mn")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = sym.join(labels, sym("b_id") === labels("doc_id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
+      // Carry the previous label through the update so the fixpoint check
+      // is a narrow filter-count over the checkpoint — not another join
+      // (which would re-shuffle the label table every round).
+      val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
+      iter += 1
+    }
+    labels
+  }
+
   /** The interaction-graph extraction as DuckDB CTEs ending in
     * `edges0(src, dst)` — ONE definition of "the graph" shared by g01's
     * and g02's oracles (the twin of [[interactionEdges]]). */
@@ -214,6 +248,57 @@ object Graph {
                 JOIN dir e3 ON e3.a = e1.a AND e3.b = e2.b)
               SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
                      (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
-                     (SELECT n_triangles FROM tri) AS n_triangles"""))
+                     (SELECT n_triangles FROM tri) AS n_triangles""")),
+
+    // ---- g03: temporal-proximity communities (connected components) ----
+    // Who acts TOGETHER: an edge connects consecutive actors in the same
+    // event_type stream only when they act within 5 minutes — the gap
+    // rule breaks the chain where activity pauses, so the stream
+    // decomposes into co-activity components instead of one giant chain.
+    // Labeling is the generic min-label-propagation loop shared with
+    // d06/d09's near-dup groups ([[minLabelPropagation]]); users with no
+    // proximity edge belong to no component (mirrored by the oracle's
+    // closure over edge endpoints). Output: one row per component with
+    // its size (the label IS the component's min user id).
+    ("g03_components",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val prox = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .withColumn("src", lag(col("user_id"), 1).over(w))
+          .withColumn("src_ts", lag(col("ts_us"), 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id")
+            && col("ts_us") - col("src_ts") <= 300L * 1000000L)
+          .select(col("src").as("a_id"), col("user_id").as("b_id"))
+          .distinct()
+        minLabelPropagation(prox)
+          .groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH RECURSIVE
+              ev AS MATERIALIZED (
+                SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+                FROM events),
+              lagged AS MATERIALIZED (
+                SELECT user_id, ts_us,
+                       lag(user_id) OVER (PARTITION BY event_type
+                                          ORDER BY ts_us ASC, event_id ASC) AS src,
+                       lag(ts_us) OVER (PARTITION BY event_type
+                                        ORDER BY ts_us ASC, event_id ASC) AS src_ts
+                FROM ev),
+              prox AS MATERIALIZED (
+                SELECT DISTINCT src AS a, user_id AS b FROM lagged
+                WHERE src IS NOT NULL AND src <> user_id
+                  AND ts_us - src_ts <= 300000000),
+              edges AS MATERIALIZED (
+                SELECT a, b FROM prox UNION SELECT b, a FROM prox),
+              reach(a, b) AS (SELECT a, b FROM edges
+                              UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              comp AS (SELECT a AS id, least(a, min(b)) AS component
+                       FROM reach GROUP BY a)
+              SELECT component, CAST(count(*) AS BIGINT) AS n_users
+              FROM comp GROUP BY component"""))
   )
 }

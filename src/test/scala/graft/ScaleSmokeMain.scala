@@ -99,8 +99,9 @@ object ScaleSmokeMain {
       "t14_zipf", "t15_ngram_lm", "t16_ppl_buckets", "t17_bpe_tokens", "t18_quality_classifier",
       "p01_curation_pipeline", "p02_pack_sequences", "p05_dataset_split", "p06_pipeline_e2e",
       "p07_curriculum", "p08_length_buckets",
-      "s09_anomaly", "s10_cusum", "s12_hopping", "g01_pagerank",
-      "g02_triangle_count", "t20_textrank")
+      "s09_anomaly", "s10_cusum", "s12_hopping", "s13_conversion_lag",
+      "g01_pagerank", "g02_triangle_count", "g03_components",
+      "t20_textrank")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
