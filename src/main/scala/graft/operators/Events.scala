@@ -340,6 +340,43 @@ object Events {
               FROM spine s CROSS JOIN types t
               LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = t.event_type""")),
 
+    // ---- s11: inter-event gap distribution -------------------------------
+    // Stream cadence profiling (capacity planning, bot detection —
+    // machine traffic has pathologically regular gaps): consecutive-event
+    // gaps per event_type, summarized with exact dyadic percentiles
+    // (q58's trick on integer micros) and an exact mean. One type-keyed
+    // window for the lag, one type-keyed aggregate — both on the same
+    // exchange class; per-type output rows.
+    ("s11_event_gaps",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_us, array(0.25D, 0.5D, 0.75D))").as("qs"),
+            (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"))
+          .select(col("event_type"), col("n_gaps"),
+            col("qs").getItem(0).as("p25_us"),
+            col("qs").getItem(1).as("p50_us"),
+            col("qs").getItem(2).as("p75_us"),
+            col("avg_gap_us"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+              g AS (SELECT event_type,
+                      us - lag(us) OVER (PARTITION BY event_type
+                                         ORDER BY us ASC, event_id ASC) AS gap_us
+                    FROM e)
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                     quantile_cont(gap_us, 0.25) AS p25_us,
+                     quantile_cont(gap_us, 0.5)  AS p50_us,
+                     quantile_cont(gap_us, 0.75) AS p75_us,
+                     CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+              FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""")),
+
     // ---- s13: conversion-lag distribution --------------------------------
     // The funnel's (s05) other half: not WHETHER users convert but HOW
     // LONG it takes — first view → first subsequent purchase per user,

@@ -1136,6 +1136,50 @@ object Relational {
                      CAST(sum(first_seen) OVER (PARTITION BY user_id
                        ORDER BY ts_us ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS types_so_far
-              FROM m"""))
+              FROM m""")),
+
+    // ---- q61: SCD Type-2 merge (versioned dimension history) -------------
+    // The Kimball slowly-changing-dimension pattern q38's MERGE can't
+    // express: an update doesn't overwrite the row, it CLOSES the old
+    // version (valid_to = batch time) and OPENS a new one — the
+    // dimension keeps full history, and an as-of join (s03's machinery)
+    // can reconstruct any past state. Over immutable parquet this is the
+    // natural form: one left join marks affected keys, one union appends
+    // the new versions, and the write is an append of closed+opened rows
+    // — no in-place mutation anywhere. Updates here are the
+    // deterministic custkey % 17 slice with a +100 balance change
+    // (cents-valued doubles + integer — exact).
+    ("q61_scd2",
+      (s, d) => {
+        val t1 = 1700000000000000L // batch effective time (epoch micros)
+        val cur = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        val upd = cur.filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"))
+        val closed = cur
+          .join(upd.select(col("c_custkey"), lit(1).as("u")), Seq("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_acctbal"),
+            lit(0L).as("valid_from_us"),
+            when(col("u") === 1, lit(t1)).otherwise(lit(null).cast("long")).as("valid_to_us"),
+            col("u").isNull.as("is_current"))
+        val opened = upd.select(col("c_custkey"), col("c_acctbal"),
+          lit(t1).as("valid_from_us"),
+          lit(null).cast("long").as("valid_to_us"), lit(true).as("is_current"))
+        closed.union(opened)
+      },
+      Some("""WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+              upd AS (SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+                      FROM cur WHERE c_custkey % 17 = 0)
+              SELECT c.c_custkey, c.c_acctbal,
+                     CAST(0 AS BIGINT) AS valid_from_us,
+                     CASE WHEN u.c_custkey IS NOT NULL
+                          THEN CAST(1700000000000000 AS BIGINT) END AS valid_to_us,
+                     u.c_custkey IS NULL AS is_current
+              FROM cur c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+              UNION ALL
+              SELECT c_custkey, c_acctbal,
+                     CAST(1700000000000000 AS BIGINT) AS valid_from_us,
+                     CAST(NULL AS BIGINT) AS valid_to_us,
+                     true AS is_current
+              FROM upd"""))
   )
 }

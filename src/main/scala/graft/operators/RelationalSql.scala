@@ -515,6 +515,23 @@ object RelationalSql {
         |       FLOOR(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
 
+    "q61_scd2" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+        |        FROM cur WHERE c_custkey % 17 = 0)
+        |SELECT c.c_custkey, c.c_acctbal,
+        |       CAST(0 AS BIGINT) AS valid_from_us,
+        |       CASE WHEN u.c_custkey IS NOT NULL
+        |            THEN CAST(1700000000000000 AS BIGINT) END AS valid_to_us,
+        |       u.c_custkey IS NULL AS is_current
+        |FROM cur c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal,
+        |       CAST(1700000000000000 AS BIGINT) AS valid_from_us,
+        |       CAST(NULL AS BIGINT) AS valid_to_us,
+        |       true AS is_current
+        |FROM upd""".stripMargin,
+
     "q60_window_distinct" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, unix_micros(ts) AS ts_us
