@@ -433,8 +433,48 @@ object Ann {
                      list_cosine_similarity(t.emb, q.qv) AS cos_sim
               FROM top20 t,
                    (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
-              ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))
+              ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- v14: embedding drift between corpus snapshots -----------------
+    // The model-ops monitoring rung: when a new crawl (or a re-embedded
+    // corpus half) shifts the embedding distribution, IVF cells go
+    // stale and retraining is due (the appendIvf Scaladoc's "re-train
+    // when recall decays" knob needs a METRIC — this is it). Per-dim
+    // mean shift between the two halves: means land on the 1e-9 grid
+    // (their sums are merge-order-dependent), then diffs/squares are
+    // exact products of gridded values, the 64-term total re-grids once,
+    // and the worst dimension is an exact argmax. One posexplode +
+    // 64-key aggregate — map-side combined, dimension-scale after.
+    ("v14_embedding_drift",
+      (s, d) => {
+        val ex = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), posexplode(col("embedding")))
+        val ds = ex.groupBy(col("pos")).agg(
+            grid9(avg(when(col("vec_id") < 250, col("col")))).as("ma"),
+            grid9(avg(when(col("vec_id") >= 250, col("col")))).as("mb"))
+          .withColumn("dsq", (col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .localCheckpoint() // feeds the total AND the argmax
+        ds.agg(grid9(sum(col("dsq"))).as("drift_sq"))
+          .crossJoin(ds.orderBy(col("dsq").desc, col("pos").asc).limit(1)
+            .select(col("pos").as("max_dim"), col("dsq").as("max_dsq")))
+      },
+      Some(s"""WITH ex AS (
+                SELECT vec_id, CAST(i - 1 AS INT) AS pos, emb[i] AS v
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+                      FROM embeddings WHERE vec_id <> 0), range(1, ${SqDim + 1}) t(i)),
+              st AS (SELECT pos,
+                       FLOOR(avg(CASE WHEN vec_id < 250 THEN v END) * 1000000000 + 0.5) / 1000000000 AS ma,
+                       FLOOR(avg(CASE WHEN vec_id >= 250 THEN v END) * 1000000000 + 0.5) / 1000000000 AS mb
+                     FROM ex GROUP BY pos),
+              ds AS (SELECT pos, (ma - mb) * (ma - mb) AS dsq FROM st),
+              tot AS (SELECT FLOOR(sum(dsq) * 1000000000 + 0.5) / 1000000000 AS drift_sq FROM ds),
+              top AS (SELECT pos AS max_dim, dsq AS max_dsq FROM ds
+                      ORDER BY dsq DESC, pos ASC LIMIT 1)
+              SELECT t.drift_sq, p.max_dim, p.max_dsq FROM tot t, top p"""))
   )
+
+  private def grid9(c: org.apache.spark.sql.Column) =
+    floor(c * 1000000000L + 0.5) / 1000000000L
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +
     * redundancy-max + argmax per step), every CTE MATERIALIZED — each

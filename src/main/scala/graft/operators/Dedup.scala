@@ -896,7 +896,50 @@ object Dedup {
                       c * 1.0 / LEAST(na, nb) AS containment
                FROM cont
                WHERE c * 5 >= LEAST(na, nb) * 4
-                 AND LEAST(na, nb) >= 5 AND has_cold = 1"""))
+                 AND LEAST(na, nb) >= 5 AND has_cold = 1""")),
+
+    // ---- d17: crawl-diff (cross-snapshot churn report) -----------------
+    // What changed between two crawls of the same sources — the
+    // refresh-rate signal that drives recrawl scheduling and d13's batch
+    // sizing. The "next crawl" here is a deterministic transform of the
+    // corpus (drop doc_id % 7 = 3, append a marker to doc_id % 5 = 1,
+    // leave the rest); the operator is a FULL OUTER join on doc_id with
+    // md5 content comparison → status ∈ added/removed/modified/unchanged,
+    // rolled up per source. Shape at 100 TB: both sides carry only
+    // (doc_id, source, md5) — 48-byte rows, one co-partitioned join on
+    // the id; text never shuffles. All counts integer-exact.
+    ("d17_crawl_diff",
+      (s, d) => {
+        val old = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        val nw = Tables.documents(s, d)
+          .filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"), col("source"),
+            md5(when(col("doc_id") % 5 === 1, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h"))
+        val joined = old.select(col("doc_id"), col("source").as("src_a"), col("h").as("ha"))
+          .join(nw.select(col("doc_id"), col("source").as("src_b"), col("h").as("hb")),
+            Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src_a"), col("src_b")).as("source"),
+            when(col("ha").isNull, "added")
+              .when(col("hb").isNull, "removed")
+              .when(col("ha") === col("hb"), "unchanged")
+              .otherwise("modified").as("status"))
+        joined.groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH old AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+              nw AS (SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END) AS h
+                     FROM documents WHERE doc_id % 7 <> 3),
+              j AS (SELECT coalesce(o.source, n.source) AS source,
+                      CASE WHEN o.h IS NULL THEN 'added'
+                           WHEN n.h IS NULL THEN 'removed'
+                           WHEN o.h = n.h THEN 'unchanged'
+                           ELSE 'modified' END AS status
+                    FROM old o FULL OUTER JOIN nw n ON n.doc_id = o.doc_id)
+              SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+              FROM j GROUP BY 1, 2"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -372,4 +372,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "containment must stay inverted-index driven")
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("s11 event gaps: ONE type-keyed exchange serves the lag window and the aggregate") {
+    // The window partitions by event_type and the groupBy keys on it too
+    // — the aggregate must reuse the window's exchange, not add one.
+    val p = planOf("s11_event_gaps")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+  }
+
+  test("s13 conversion lag co-partitions its user-keyed stages") {
+    // view-agg, join and first-purchase-agg all key on user_id; the
+    // (user_id, v_us) aggregate is satisfied by HashPartitioning(user).
+    val p = planOf("s13_conversion_lag")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"user-keyed stages re-shuffling: $exchanges exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d17 crawl diff and q61 scd2 stay equi-join only") {
+    for (n <- Seq("d17_crawl_diff", "q61_scd2")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested-loop join")
+    }
+  }
 }
