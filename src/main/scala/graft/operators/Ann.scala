@@ -447,24 +447,31 @@ object Ann {
     // 64-key aggregate — map-side combined, dimension-scale after.
     ("v14_embedding_drift",
       (s, d) => {
-        val ex = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), posexplode(col("embedding")))
+        // Median-derived split point (max id div 2) — a hardcoded
+        // constant would degrade to "tiny prefix vs everything" as the
+        // corpus grows; the 1-row threshold frame broadcasts.
+        val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        val thr = e.agg(expr("max(vec_id) div 2").as("thr"))
+        val ex = e.select(col("vec_id"), posexplode(col("embedding")))
+          .crossJoin(broadcast(thr))
         val ds = ex.groupBy(col("pos")).agg(
-            grid9(avg(when(col("vec_id") < 250, col("col")))).as("ma"),
-            grid9(avg(when(col("vec_id") >= 250, col("col")))).as("mb"))
+            Graph.grid9(avg(when(col("vec_id") <= col("thr"), col("col")))).as("ma"),
+            Graph.grid9(avg(when(col("vec_id") > col("thr"), col("col")))).as("mb"))
           .withColumn("dsq", (col("ma") - col("mb")) * (col("ma") - col("mb")))
           .localCheckpoint() // feeds the total AND the argmax
-        ds.agg(grid9(sum(col("dsq"))).as("drift_sq"))
+        ds.agg(Graph.grid9(sum(col("dsq"))).as("drift_sq"))
           .crossJoin(ds.orderBy(col("dsq").desc, col("pos").asc).limit(1)
             .select(col("pos").as("max_dim"), col("dsq").as("max_dsq")))
       },
-      Some(s"""WITH ex AS (
-                SELECT vec_id, CAST(i - 1 AS INT) AS pos, emb[i] AS v
+      Some(s"""WITH thr AS (SELECT CAST(max(vec_id) // 2 AS BIGINT) AS thr
+                            FROM embeddings WHERE vec_id <> 0),
+              ex AS (
+                SELECT vec_id, CAST(i - 1 AS INT) AS pos, emb[i] AS v, thr.thr
                 FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
-                      FROM embeddings WHERE vec_id <> 0), range(1, ${SqDim + 1}) t(i)),
+                      FROM embeddings WHERE vec_id <> 0), range(1, ${SqDim + 1}) t(i), thr),
               st AS (SELECT pos,
-                       FLOOR(avg(CASE WHEN vec_id < 250 THEN v END) * 1000000000 + 0.5) / 1000000000 AS ma,
-                       FLOOR(avg(CASE WHEN vec_id >= 250 THEN v END) * 1000000000 + 0.5) / 1000000000 AS mb
+                       FLOOR(avg(CASE WHEN vec_id <= thr THEN v END) * 1000000000 + 0.5) / 1000000000 AS ma,
+                       FLOOR(avg(CASE WHEN vec_id > thr THEN v END) * 1000000000 + 0.5) / 1000000000 AS mb
                      FROM ex GROUP BY pos),
               ds AS (SELECT pos, (ma - mb) * (ma - mb) AS dsq FROM st),
               tot AS (SELECT FLOOR(sum(dsq) * 1000000000 + 0.5) / 1000000000 AS drift_sq FROM ds),
@@ -472,9 +479,6 @@ object Ann {
                       ORDER BY dsq DESC, pos ASC LIMIT 1)
               SELECT t.drift_sq, p.max_dim, p.max_dsq FROM tot t, top p"""))
   )
-
-  private def grid9(c: org.apache.spark.sql.Column) =
-    floor(c * 1000000000L + 0.5) / 1000000000L
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +
     * redundancy-max + argmax per step), every CTE MATERIALIZED — each

@@ -151,18 +151,15 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
-  /** Connected-component labels over the jac ≥ 0.9 near-dup edge set:
-    * min-label propagation, one join + one aggregate per round,
-    * converging in O(component diameter) rounds (near-dup components are
-    * cliques/short chains ⇒ 2-3 rounds). Edge generation runs the ngram
+  /** Connected-component labels over the jac ≥ 0.9 near-dup edge set,
+    * via the generic min-label-propagation loop
+    * ([[Graph.minLabelPropagation]] — shared with g03's event-graph
+    * communities; near-dup components are cliques/short chains, so it
+    * converges in 2-3 rounds here). Edge generation runs the ngram
     * scorer AT the 0.9 threshold, so the no-false-drop prefilter prunes
     * with the 0.9 bound (required intersection ≈ 47% of |A|+|B|) rather
-    * than d04's 0.2 bound. localCheckpoint cuts lineage each round; the
-    * driver sees only scalar fixpoint counts, never data. Returns
-    * (doc_id, label) for every doc with at least one near-dup edge. */
-  /** Near-dup components = the generic min-label-propagation loop
-    * ([[Graph.minLabelPropagation]] — the d06/d09 machinery, shared with
-    * g03's event-graph communities) over the jac ≥ 0.9 edge set. */
+    * than d04's 0.2 bound. Returns (doc_id, label) for every doc with
+    * at least one near-dup edge. */
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     Graph.minLabelPropagation(
       ngramPairs(s, d, 9, 10).select(col("a_id"), col("b_id")))
@@ -910,32 +907,47 @@ object Dedup {
     // the id; text never shuffles. All counts integer-exact.
     ("d17_crawl_diff",
       (s, d) => {
-        val old = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-        val nw = Tables.documents(s, d)
-          .filter(col("doc_id") % 7 =!= 3)
+        val base = Tables.documents(s, d)
+        val old = base.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        // Next crawl: %7=3 disappear, %5=1 change content, and %11=0
+        // re-appear under NEW ids (fresh pages) — so every status
+        // branch, including `added`, is live on real data.
+        val nw = base.filter(col("doc_id") % 7 =!= 3)
           .select(col("doc_id"), col("source"),
             md5(when(col("doc_id") % 5 === 1, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("h"))
-        val joined = old.select(col("doc_id"), col("source").as("src_a"), col("h").as("ha"))
-          .join(nw.select(col("doc_id"), col("source").as("src_b"), col("h").as("hb")),
+          .union(base.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+              md5(concat(col("text"), lit(" fresh"))).as("h")))
+        // Presence via literal markers, NOT hash nullness — a NULL-text
+        // row present on both sides must compare as unchanged, not be
+        // misread as absent (md5(NULL) is NULL).
+        val joined = old
+          .select(col("doc_id"), col("source").as("src_a"), col("h").as("ha"),
+            lit(1).as("pa"))
+          .join(nw.select(col("doc_id"), col("source").as("src_b"),
+              col("h").as("hb"), lit(1).as("pb")),
             Seq("doc_id"), "full_outer")
           .select(coalesce(col("src_a"), col("src_b")).as("source"),
-            when(col("ha").isNull, "added")
-              .when(col("hb").isNull, "removed")
-              .when(col("ha") === col("hb"), "unchanged")
+            when(col("pa").isNull, "added")
+              .when(col("pb").isNull, "removed")
+              .when(col("ha") <=> col("hb"), "unchanged")
               .otherwise("modified").as("status"))
         joined.groupBy(col("source"), col("status"))
           .agg(count(lit(1)).as("n_docs"))
       },
-      Some("""WITH old AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      Some("""WITH old AS (SELECT doc_id, source, md5(text) AS h, 1 AS pa FROM documents),
               nw AS (SELECT doc_id, source,
-                       md5(CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END) AS h
-                     FROM documents WHERE doc_id % 7 <> 3),
+                       md5(CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END) AS h,
+                       1 AS pb
+                     FROM documents WHERE doc_id % 7 <> 3
+                     UNION ALL
+                     SELECT doc_id + 5000000, source, md5(text || ' fresh'), 1
+                     FROM documents WHERE doc_id % 11 = 0),
               j AS (SELECT coalesce(o.source, n.source) AS source,
-                      CASE WHEN o.h IS NULL THEN 'added'
-                           WHEN n.h IS NULL THEN 'removed'
-                           WHEN o.h = n.h THEN 'unchanged'
+                      CASE WHEN o.pa IS NULL THEN 'added'
+                           WHEN n.pb IS NULL THEN 'removed'
+                           WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
                            ELSE 'modified' END AS status
                     FROM old o FULL OUTER JOIN nw n ON n.doc_id = o.doc_id)
               SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs

@@ -42,7 +42,11 @@ object Graph {
 
   private val Iters = 10
 
-  private def grid9(c: Column): Column = floor(c * 1000000000L + 0.5) / 1000000000L
+  /** The 1e-9 grid used by every iterative float algorithm in the graph
+    * family (and v14's drift metric) — one definition so the grid
+    * discipline can't drift between operators. */
+  private[operators] def grid9(c: Column): Column =
+    floor(c * 1000000000L + 0.5) / 1000000000L
 
   /** Directed interaction edges: consecutive distinct actors in each
     * event_type stream, ordered by (ts, event_id) — deterministic. */
@@ -124,7 +128,7 @@ object Graph {
     * factored here so the SAME machinery labels near-dup document
     * groups (Dedup.ccLabels) and event-graph communities (g03). */
   private[operators] def minLabelPropagation(
-      edges: DataFrame, maxIter: Int = 10): DataFrame = {
+      edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
     val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = sym.groupBy(col("a_id"))
@@ -148,6 +152,16 @@ object Graph {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    // Propagation advances min labels ONE HOP per round, so a component
+    // whose diameter exceeds maxIter would exit UNCONVERGED — and
+    // unconverged labels are silently WRONG (one community reported as
+    // several). Near-dup components are cliques/short chains (2-3
+    // rounds), but g03's temporal chains have no such bound: fail loudly
+    // rather than return wrong components.
+    require(changed == 0,
+      s"minLabelPropagation did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — a component's diameter exceeds " +
+        "the cap; raise maxIter")
     labels
   }
 
