@@ -477,7 +477,60 @@ object Ann {
               tot AS (SELECT FLOOR(sum(dsq) * 1000000000 + 0.5) / 1000000000 AS drift_sq FROM ds),
               top AS (SELECT pos AS max_dim, dsq AS max_dsq FROM ds
                       ORDER BY dsq DESC, pos ASC LIMIT 1)
-              SELECT t.drift_sq, p.max_dim, p.max_dsq FROM tot t, top p"""))
+              SELECT t.drift_sq, p.max_dim, p.max_dsq FROM tot t, top p""")),
+
+    // ---- v15: nearest-seed cluster assignment report ---------------------
+    // The IVF/k-means ASSIGNMENT pass as a first-class report: every
+    // vector lands on its most-similar seed (the 8 lowest vec_ids — the
+    // same deterministic prefix trainCentroids seeds from), giving the
+    // cluster-balance view that drives cluster-balanced sampling and
+    // index sizing. The argmax is INTEGER-EXACT cross-engine: cosine is
+    // gridded to 1e-6 while still scaled (an exactly-representable
+    // integer-valued double), offset positive, and packed with the
+    // seed's tie-break into ONE long — so per-vector argmax is max() over
+    // longs, never a float comparison or a window. That also makes it
+    // map-side combinable: the 8-rows-per-vector frame collapses in the
+    // partial aggregate before any shuffle. Output: 8 rows with exact
+    // counts and exact (gridded) min/max winning similarity — no
+    // merge-order-dependent float sums anywhere.
+    ("v15_cluster_assign",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("semb"))
+        val gInt = floor(cosine(col("embedding"), col("semb")) * 1000000 + 0.5)
+          .cast("long")
+        val packed = (gInt + 1000000L) * 8L + (lit(7L) - col("seed_id"))
+        e.filter(col("vec_id") >= 8)
+          .crossJoin(broadcast(seeds))
+          .select(col("vec_id"), packed.as("pk"))
+          .groupBy(col("vec_id")).agg(max(col("pk")).as("pk"))
+          .select((lit(7L) - col("pk") % 8).as("cluster"),
+            (expr("pk div 8") - 1000000L).as("g"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            (min(col("g")).cast("double") / 1000000).as("min_sim"),
+            (max(col("g")).cast("double") / 1000000).as("max_sim"))
+      },
+      Some("""WITH seeds AS (
+                SELECT vec_id AS seed_id, embedding::DOUBLE[] AS semb
+                FROM embeddings WHERE vec_id < 8),
+              sims AS (
+                SELECT v.vec_id,
+                       (CAST(FLOOR(list_cosine_similarity(v.embedding::DOUBLE[],
+                                                          s.semb) * 1000000 + 0.5)
+                             AS BIGINT) + 1000000) * 8 + (7 - s.seed_id) AS pk
+                FROM embeddings v CROSS JOIN seeds s
+                WHERE v.vec_id >= 8),
+              best AS (
+                SELECT vec_id, max(pk) AS pk FROM sims GROUP BY 1),
+              assigned AS (
+                SELECT 7 - (pk % 8) AS cluster, (pk // 8) - 1000000 AS g
+                FROM best)
+              SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(g) AS DOUBLE) / 1000000 AS min_sim,
+                     CAST(max(g) AS DOUBLE) / 1000000 AS max_sim
+              FROM assigned GROUP BY cluster"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

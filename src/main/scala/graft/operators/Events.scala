@@ -517,6 +517,116 @@ object Events {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS cusum_scaled,
                      p - LEAST(CAST(min(p) OVER (PARTITION BY event_type ORDER BY hour_us ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) > tt * 3 AS flag
-              FROM pp"""))
+              FROM pp""")),
+
+    // ---- s14: last-touch attribution ------------------------------------
+    // WHICH channel gets credit for each purchase — the question every
+    // marketing warehouse asks of its event stream. For each purchase,
+    // the credited touch is the LATEST preceding click/view/signup by the
+    // same user within a 7-day lookback (error events are never touches).
+    // The carry is ONE window max over a sortable packed string
+    // (zero-padded ts_us ‖ zero-padded event_id ‖ type): both engines
+    // compare strings bytewise, ASCII digits order numerically under
+    // zero-padding, so max(pack) IS "latest (ts, event_id)" — no as-of
+    // join, no second pass, and ties are impossible (event_id is packed).
+    // The lookback check unpacks the timestamp AFTER the carry, so a
+    // stale touch falls through to 'unattributed' instead of letting an
+    // out-of-window row shadow an in-window one… which can't happen:
+    // max(pack) is the latest touch, and any other in-window touch is
+    // earlier. Scale: one user-keyed exchange (window), then a
+    // channel-keyed aggregate over purchases only — output is
+    // #channels+1 rows; countDistinct stays inside the channel
+    // aggregate's own exchange.
+    ("s14_attribution",
+      (s, d) => {
+        val lookbackUs = 7L * 86400L * 1000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isin("click", "view", "signup")
+        val packed = concat(
+          lpad(col("us").cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"),
+          col("event_type"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("last_touch", max(when(isTouch, packed)).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            when(col("last_touch").isNotNull &&
+                 col("us") - substring(col("last_touch"), 1, 20).cast("long") <= lookbackUs,
+              substring(col("last_touch"), 33, 100))
+              .otherwise(lit("unattributed")).as("channel"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+                                epoch_us(ts::TIMESTAMP) AS us FROM events),
+              carried AS (
+                SELECT user_id, event_type, us,
+                       max(CASE WHEN event_type IN ('click', 'view', 'signup')
+                                THEN lpad(CAST(us AS VARCHAR), 20, '0')
+                                     || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                                     || event_type END)
+                         OVER (PARTITION BY user_id
+                               ORDER BY us ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS last_touch
+                FROM e),
+              attributed AS (
+                SELECT user_id,
+                       CASE WHEN last_touch IS NOT NULL
+                             AND us - CAST(substring(last_touch, 1, 20) AS BIGINT)
+                                 <= 604800000000
+                            THEN substring(last_touch, 33, 100)
+                            ELSE 'unattributed' END AS channel
+                FROM carried WHERE event_type = 'purchase')
+              SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM attributed GROUP BY channel""")),
+
+    // ---- s15: Markov transition matrix ----------------------------------
+    // WHERE do users go next — the session path analysis behind "users
+    // who view then click convert 3× more". One lag over the per-user
+    // event order yields (prev → next) pairs; the pair aggregate's
+    // output is |types|² rows, so the per-prev probability normalization
+    // is a window over a 25-row frame, not the corpus. The division is
+    // long/long → double, gridded once (micro); counts are exact.
+    // Scale: ONE user-keyed exchange (the lag window), one pair-keyed
+    // hash aggregate with map-side combine; nothing downstream of the
+    // aggregate ever sees more than |types|² rows.
+    ("s15_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        val wp = Window.partitionBy(col("prev_type"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
+            (floor(col("n").cast("double") / sum(col("n")).over(wp) * 1000000 + 0.5)
+              / 1000000).as("p"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                                epoch_us(ts::TIMESTAMP) AS us FROM events),
+              pairs AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY us ASC, event_id ASC) AS prev_type,
+                       event_type AS next_type
+                FROM e),
+              c AS (
+                SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+                FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+              SELECT prev_type, next_type, n,
+                     FLOOR(CAST(n AS DOUBLE)
+                           / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000 AS p
+              FROM c"""))
   )
 }

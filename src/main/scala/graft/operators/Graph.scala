@@ -42,6 +42,11 @@ object Graph {
 
   private val Iters = 10
 
+  /** g05's fixed peel unroll — declared BEFORE `defs` (the oracle string
+    * interpolates it eagerly at object construction; a later declaration
+    * would read the default 0 under Scala's in-order val initialization). */
+  private val KcoreRounds = 8
+
   /** The 1e-9 grid used by every iterative float algorithm in the graph
     * family (and v14's drift metric) — one definition so the grid
     * discipline can't drift between operators. */
@@ -165,6 +170,48 @@ object Graph {
     labels
   }
 
+  /** Undirected dedup + degree table + degree-ordered orientation over
+    * [[interactionEdges]] — the Suri & Vassilvitskii machinery shared by
+    * g02 (triangle census) and g04 (clustering coefficients), ONE
+    * definition so the orientation rule can't drift between the two.
+    * Returns (und(u,v), deg(x,dg), dir(a,b)) — all localCheckpoint'd
+    * (each feeds ≥2 downstream joins; without the cut Catalyst re-plans
+    * the whole lag-window extraction per consumer). */
+  private def orientedEdges(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val und = interactionEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val dir = und
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+              when(lower, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    (und, deg, dir)
+  }
+
+  /** The und/deg/dir CTEs of [[orientedEdges]] for the DuckDB oracles —
+    * spliced after [[eventGraphBaseCte]] by g02 and g04. */
+  private val orientedEdgesCte: String =
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      |  FROM edges0),
+      |deg AS MATERIALIZED (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS dg
+      |  FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+      |  GROUP BY 1),
+      |dir AS MATERIALIZED (
+      |  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+      |              THEN u ELSE v END AS a,
+      |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+      |              THEN v ELSE u END AS b
+      |  FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v)""".stripMargin
+
   /** The interaction-graph extraction as DuckDB CTEs ending in
     * `edges0(src, dst)` — ONE definition of "the graph" shared by g01's
     * and g02's oracles (the twin of [[interactionEdges]]). */
@@ -217,20 +264,7 @@ object Graph {
     // equi-joins + integer counts: fully exact.
     ("g02_triangle_count",
       (s, d) => {
-        val und = interactionEdges(s, d)
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v"))
-          .distinct().localCheckpoint()
-        val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
-          .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
-        val lower = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val dir = und
-          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
-          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
-          .select(when(lower, col("u")).otherwise(col("v")).as("a"),
-                  when(lower, col("v")).otherwise(col("u")).as("b"))
-          .localCheckpoint()
+        val (und, deg, dir) = orientedEdges(s, d)
         val wedges = dir
           .join(dir.select(col("a").as("b"), col("b").as("c")), "b")
           .select(col("a"), col("c"))
@@ -242,19 +276,7 @@ object Graph {
           .crossJoin(tri)
       },
       Some(s"""WITH $eventGraphBaseCte,
-              und AS MATERIALIZED (
-                SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-                FROM edges0),
-              deg AS MATERIALIZED (
-                SELECT x, CAST(count(*) AS BIGINT) AS dg
-                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
-                GROUP BY 1),
-              dir AS MATERIALIZED (
-                SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
-                            THEN u ELSE v END AS a,
-                       CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
-                            THEN v ELSE u END AS b
-                FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+              $orientedEdgesCte,
               tri AS MATERIALIZED (
                 SELECT CAST(count(*) AS BIGINT) AS n_triangles
                 FROM dir e1
@@ -313,6 +335,136 @@ object Graph {
               comp AS (SELECT a AS id, least(a, min(b)) AS component
                        FROM reach GROUP BY a)
               SELECT component, CAST(count(*) AS BIGINT) AS n_users
-              FROM comp GROUP BY component"""))
+              FROM comp GROUP BY component""")),
+
+    // ---- g04: clustering coefficients (degree-bucketed census) ---------
+    // HOW CLIQUISH is each degree class — the density signal that
+    // separates organic communities (high local CC at moderate degree)
+    // from bot/spam hubs (huge degree, near-zero CC). Per-node triangle
+    // counts reuse g02's degree-ordered orientation ([[orientedEdges]]):
+    // each closed wedge (a→b, b→c, a→c) is found exactly once, then
+    // credited to ALL THREE corners via explode — so per-node counts stay
+    // exact while the wedge join keeps its O(√m) out-degree bound (a
+    // per-node naive wedge count would re-explode on hubs, the exact
+    // failure mode the orientation exists to kill). Local CC of node x =
+    // 2·tri_x / (dg_x·(dg_x−1)); within a degree bucket every node shares
+    // the denominator, so the bucket average collapses to ONE float
+    // division on integer sums — exact, merge-order-free, gridded once
+    // ([[grid9]]). Global CC is derivable downstream (Σ2·tri / Σdg(dg−1))
+    // from the same rows. Scale: explode triples the (bounded) triangle
+    // set; everything else is the g02 plan plus one integer aggregate
+    // keyed on node id and one on degree (≤ max-degree rows).
+    ("g04_clustering",
+      (s, d) => {
+        val (_, deg, dir) = orientedEdges(s, d)
+        val tri = dir
+          .join(dir.select(col("a").as("b"), col("b").as("c")), "b")
+          .join(dir.select(col("a"), col("b").as("c")), Seq("a", "c"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("x"), "left")
+          .select(col("dg"), coalesce(col("tri"), lit(0L)).as("tri"))
+          .groupBy(col("dg"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("total_tri"))
+          .select(col("dg"), col("n_nodes"), col("total_tri"),
+            when(col("dg") >= 2,
+              grid9(lit(2.0) * col("total_tri") /
+                (col("n_nodes") * col("dg") * (col("dg") - 1))))
+              .otherwise(lit(0.0)).as("avg_cc"))
+      },
+      Some(s"""WITH $eventGraphBaseCte,
+              $orientedEdgesCte,
+              tri3 AS MATERIALIZED (
+                SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM dir e1
+                JOIN dir e2 ON e2.a = e1.b
+                JOIN dir e3 ON e3.a = e1.a AND e3.b = e2.b),
+              tv AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS tri
+                FROM (SELECT a AS x FROM tri3 UNION ALL
+                      SELECT b AS x FROM tri3 UNION ALL
+                      SELECT c AS x FROM tri3)
+                GROUP BY 1),
+              pern AS MATERIALIZED (
+                SELECT d.dg, coalesce(tv.tri, CAST(0 AS BIGINT)) AS tri
+                FROM deg d LEFT JOIN tv ON tv.x = d.x)
+              SELECT dg, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(tri) AS BIGINT) AS total_tri,
+                     CASE WHEN dg >= 2
+                          THEN FLOOR((CAST(2 AS DOUBLE) * sum(tri)
+                                      / (count(*) * dg * (dg - 1)))
+                                     * 1000000000 + 0.5) / 1000000000
+                          ELSE CAST(0 AS DOUBLE) END AS avg_cc
+              FROM pern GROUP BY dg""")),
+
+    // ---- g05: k-core decomposition (k = 3 peel) --------------------------
+    // The DENSE NUCLEUS of the interaction graph: peel nodes of degree
+    // < k until fixpoint — what survives is the 3-core, the standard
+    // spam/community-density substrate (Seidman 1983). Each round is one
+    // degree aggregate + two semi-joins (edges keep both endpoints),
+    // localCheckpoint'd like every iterative-family loop; the round count
+    // is FIXED at [[KcoreRounds]] so the DuckDB oracle can replay the
+    // identical unroll, and a driver-side scalar check fails LOUDLY if
+    // the peel hasn't converged by then (an unconverged core silently
+    // overcounts — same posture as minLabelPropagation's require). Peel
+    // rounds after convergence are no-ops (deg ≥ k everywhere ⇒ both
+    // semi-joins keep everything), so fixed-unroll ≡ fixpoint. Scale:
+    // every round strictly shrinks the edge set; degrees are one
+    // map-side-combined aggregate; no join ever carries more than the
+    // current (shrinking) edge list.
+    ("g05_kcore",
+      (s, d) => {
+        val k = 3
+        var e = interactionEdges(s, d)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct().localCheckpoint()
+        for (_ <- 1 to KcoreRounds) {
+          val keep = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+            .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+            .filter(col("dg") >= k)
+            .select(col("x")).localCheckpoint()
+          e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+            .select(col("u"), col("v")).localCheckpoint()
+        }
+        val mdRow = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+          .agg(min(col("dg")).as("md")).head()
+        require(mdRow.isNullAt(0) || mdRow.getLong(0) >= k,
+          s"k-core peel did not converge in $KcoreRounds rounds (min residual " +
+            s"degree ${mdRow.get(0)} < $k) — raise KcoreRounds (oracle unroll " +
+            "must match)")
+        val nodes = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(nodes)
+          .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"))
+      },
+      Some(s"""WITH $eventGraphBaseCte,
+              e0 AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                FROM edges0),
+              ${kcorePeelSteps(KcoreRounds, 3)}
+              SELECT CAST(3 AS BIGINT) AS k,
+                     (SELECT CAST(count(*) AS BIGINT) FROM
+                        (SELECT DISTINCT x FROM
+                          (SELECT u AS x FROM e$KcoreRounds UNION ALL
+                           SELECT v AS x FROM e$KcoreRounds))) AS n_nodes,
+                     (SELECT CAST(count(*) AS BIGINT) FROM e$KcoreRounds) AS n_edges"""))
   )
+
+  /** The per-round (degree, survivor, edge) CTE triples of g05's peel for
+    * the DuckDB oracle — identical unroll count as the Spark loop. */
+  private def kcorePeelSteps(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS dg
+         |  FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v AS x FROM e${i - 1})
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE dg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT x FROM k$i) AND v IN (SELECT x FROM k$i))""".stripMargin
+    }.mkString(",\n")
 }

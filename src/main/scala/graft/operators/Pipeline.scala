@@ -535,6 +535,67 @@ object Pipeline {
                      CAST(sum(padded) AS BIGINT) AS padded_tokens,
                      CAST(sum(padded) - sum(n_tokens) AS DOUBLE)
                        / CAST(sum(padded) AS BIGINT) AS waste_frac
-              FROM b GROUP BY 1"""))
+              FROM b GROUP BY 1""")),
+
+    // ---- p09: data-quality constraint report -----------------------------
+    // The dbt-test / Deequ-style VALIDATION GATE a pipeline runs before
+    // trusting an ingest: referential integrity, key uniqueness, range
+    // and null-rate checks, each reported as (check, n_violations) so a
+    // scheduler can fail the run on any nonzero row. Every check is its
+    // own minimal plan — orphan FKs are LEFT ANTI joins (the dimension
+    // side broadcasts when small), duplicate keys a groupBy-HAVING on
+    // the key's own exchange, range/null checks map-side filter-counts
+    // with NO shuffle at all — union'd only after each collapses to one
+    // row. Scale: nothing materializes violations themselves; counts
+    // flow, rows don't.
+    ("p09_dq_checks",
+      (s, d) => {
+        def one(name: String, cnt: DataFrame): DataFrame =
+          cnt.select(lit(name).as("check"), col("n").as("n_violations"))
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        one("orders_orphan_custkey",
+          Tables.orders(s, d)
+            .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+              col("o_custkey") === col("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("n")))
+        .unionAll(one("lineitem_orphan_orderkey",
+          li.join(ord.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n"))))
+        .unionAll(one("part_dup_partkey",
+          Tables.part(s, d).groupBy(col("p_partkey"))
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+            .agg(count(lit(1)).as("n"))))
+        .unionAll(one("lineitem_qty_out_of_range",
+          li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+            .agg(count(lit(1)).as("n"))))
+        .unionAll(one("customer_null_name",
+          Tables.customer(s, d).filter(col("c_name").isNull)
+            .agg(count(lit(1)).as("n"))))
+        .unionAll(one("lineitem_nonpositive_price",
+          li.filter(col("l_extendedprice") <= 0)
+            .agg(count(lit(1)).as("n"))))
+      },
+      Some("""SELECT 'orders_orphan_custkey' AS check,
+                     CAST(count(*) AS BIGINT) AS n_violations
+              FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+              UNION ALL
+              SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT)
+              FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+              UNION ALL
+              SELECT 'part_dup_partkey', CAST(count(*) AS BIGINT)
+              FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'lineitem_qty_out_of_range', CAST(count(*) AS BIGINT)
+              FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+              UNION ALL
+              SELECT 'customer_null_name', CAST(count(*) AS BIGINT)
+              FROM customer WHERE c_name IS NULL
+              UNION ALL
+              SELECT 'lineitem_nonpositive_price', CAST(count(*) AS BIGINT)
+              FROM lineitem WHERE l_extendedprice <= 0"""))
   )
 }

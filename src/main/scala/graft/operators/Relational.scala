@@ -1180,6 +1180,54 @@ object Relational {
                      CAST(1700000000000000 AS BIGINT) AS valid_from_us,
                      CAST(NULL AS BIGINT) AS valid_to_us,
                      true AS is_current
-              FROM upd"""))
+              FROM upd""")),
+
+    // ---- q62: gaps-and-islands (activity-run detection) ------------------
+    // The classic islands rewrite: within each user's DISTINCT active
+    // hours, hour − row_number() is constant across a consecutive run, so
+    // one subtraction turns runs into group keys — no self-join, no
+    // iteration. Integer-only math (hour = us div 3600000000). One
+    // exchange serves the whole plan (the q60 discipline):
+    // repartition(user_id) co-locates a user's rows, the dedup window on
+    // (user_id, hr), the position window on user_id, and BOTH aggregates
+    // — keyed (user_id, grp) then user_id — all satisfy their clustering
+    // from that single HashPartitioning, so everything after the shuffle
+    // is sort/agg-local (plan-gated). At 100 TB: distinct-hours ≪ events
+    // per user, runs ≪ hours — each step strictly shrinks within the
+    // same partitioning.
+    ("q62_gaps_islands",
+      (s, d) => {
+        val wDedup = Window.partitionBy(col("user_id"), col("hr"))
+          .orderBy(col("event_id").asc)
+        val wPos = Window.partitionBy(col("user_id")).orderBy(col("hr").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .repartition(col("user_id"))
+          .withColumn("rn", row_number().over(wDedup))
+          .filter(col("rn") === 1)
+          .withColumn("grp", col("hr") - row_number().over(wPos))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            max(col("len")).as("longest_run"),
+            sum(col("len")).as("active_hours"))
+      },
+      Some("""WITH e AS (
+                SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 3600000000 AS hr
+                FROM events),
+              runs AS (
+                SELECT user_id,
+                       hr - row_number() OVER (PARTITION BY user_id
+                                               ORDER BY hr ASC) AS grp
+                FROM e),
+              islands AS (
+                SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+                FROM runs GROUP BY user_id, grp)
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                     max(len) AS longest_run,
+                     CAST(sum(len) AS BIGINT) AS active_hours
+              FROM islands GROUP BY user_id"""))
   )
 }

@@ -546,6 +546,29 @@ object RelationalSql {
         |       sum(first_seen) OVER (PARTITION BY user_id
         |         ORDER BY ts_us ASC, event_id ASC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS types_so_far
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q62_gaps_islands" ->
+      """WITH e AS (
+        |  SELECT /*+ REPARTITION(user_id) */ user_id, event_id,
+        |         unix_micros(ts) div 3600000000 AS hr
+        |  FROM events),
+        |dedup AS (
+        |  SELECT user_id, hr FROM (
+        |    SELECT user_id, hr,
+        |           row_number() OVER (PARTITION BY user_id, hr
+        |                              ORDER BY event_id ASC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |runs AS (
+        |  SELECT user_id,
+        |         hr - row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY hr ASC) AS grp
+        |  FROM dedup),
+        |islands AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM runs GROUP BY user_id, grp)
+        |SELECT user_id, count(*) AS n_islands, max(len) AS longest_run,
+        |       sum(len) AS active_hours
+        |FROM islands GROUP BY user_id""".stripMargin
   )
 }

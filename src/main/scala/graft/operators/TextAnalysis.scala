@@ -808,7 +808,100 @@ object TextAnalysis {
               r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes, nn),
               ${Graph.pageRankOracleSteps(TrIters)}
               SELECT id AS word, r AS textrank FROM r$TrIters
-              ORDER BY r DESC, id ASC LIMIT 30"""))
+              ORDER BY r DESC, id ASC LIMIT 30""")),
+
+    // ---- t21: readability signals (syllable-complexity profile) ----------
+    // The Flesch/LIX feature family as corpus signals: vowel-GROUP count
+    // is the classic deterministic syllable proxy ('[aeiouy]+' — spaces
+    // break groups, so whole-text regexp_count equals the per-word sum).
+    // The synthetic corpus has no sentence delimiters, so the
+    // sentence-length composites (FRE/FK grade) are degenerate here; the
+    // operator reports the per-lang SIGNALS those composites are built
+    // from — avg syllables/word, share of 3+-syllable words, share of
+    // 7+-char words, avg word length — each a single division over
+    // integer sums (exact, merge-order-free), gridded once. All per-doc
+    // work is map-side codegen (regexp + HOF over the split array); ONE
+    // lang-keyed aggregate is the only exchange.
+    ("t21_readability",
+      (s, d) => {
+        val ws = words(col("text"))
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(ws).cast("long").as("n_words"),
+            regexp_count(col("text"), lit("[aeiouy]+")).cast("long").as("n_syll"),
+            size(filter(transform(ws, w => regexp_count(w, lit("[aeiouy]+"))),
+              c => c >= 3)).cast("long").as("n_complex"),
+            size(filter(ws, w => length(w) >= 7)).cast("long").as("n_long"),
+            (length(col("text")) - size(ws) + 1).cast("long").as("n_letters"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            micro(sum(col("n_syll")).cast("double") / sum(col("n_words"))).as("syll_per_word"),
+            micro(sum(col("n_complex")).cast("double") / sum(col("n_words"))).as("pct_complex"),
+            micro(sum(col("n_long")).cast("double") / sum(col("n_words"))).as("pct_long"),
+            micro(sum(col("n_letters")).cast("double") / sum(col("n_words"))).as("avg_word_len"))
+      },
+      Some("""WITH t AS (
+                SELECT lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll,
+                       CAST(len(list_filter(string_split(text, ' '),
+                              w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+                            AS BIGINT) AS n_complex,
+                       CAST(len(list_filter(string_split(text, ' '),
+                              w -> length(w) >= 7)) AS BIGINT) AS n_long,
+                       CAST(length(text) - len(string_split(text, ' ')) + 1
+                            AS BIGINT) AS n_letters
+                FROM documents)
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     FLOOR(CAST(sum(n_syll) AS DOUBLE) / sum(n_words)
+                           * 1000000 + 0.5) / 1000000 AS syll_per_word,
+                     FLOOR(CAST(sum(n_complex) AS DOUBLE) / sum(n_words)
+                           * 1000000 + 0.5) / 1000000 AS pct_complex,
+                     FLOOR(CAST(sum(n_long) AS DOUBLE) / sum(n_words)
+                           * 1000000 + 0.5) / 1000000 AS pct_long,
+                     FLOOR(CAST(sum(n_letters) AS DOUBLE) / sum(n_words)
+                           * 1000000 + 0.5) / 1000000 AS avg_word_len
+              FROM t GROUP BY lang""")),
+
+    // ---- t22: lexical diversity (TTR + hapax profile per doc) ------------
+    // Repetitive machine-generated text shows up as LOW type-token ratio
+    // and LOW hapax share long before a dedup pass finds its twin — the
+    // Gopher/CCNet repetition gates' cousin keyed on vocabulary richness.
+    // Per-doc token counting goes through ONE explicit repartition(doc_id)
+    // that then serves BOTH aggregates — (doc_id, tok) counts and the
+    // per-doc rollup — with zero further exchanges (the q60/q62
+    // discipline; a groupBy(doc_id, tok) without it would shuffle on the
+    // pair key and AGAIN on doc_id). Ratios are one integer-sum division
+    // each, gridded; no doubles are ever summed.
+    ("t22_lexical_diversity",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(words(col("text"))).as("tok"))
+        .repartition(col("doc_id"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("n_distinct"),
+          col("n_hapax"),
+          micro(col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+          micro(col("n_hapax").cast("double") / col("n_tokens")).as("hapax_ratio")),
+      Some("""WITH w AS (
+                SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, tok, count(*) AS cnt
+                FROM w GROUP BY 1, 2, 3)
+              SELECT doc_id, source,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                     FLOOR(CAST(count(*) AS DOUBLE) / sum(cnt)
+                           * 1000000 + 0.5) / 1000000 AS ttr,
+                     FLOOR(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                           / sum(cnt) * 1000000 + 0.5) / 1000000 AS hapax_ratio
+              FROM c GROUP BY doc_id, source"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

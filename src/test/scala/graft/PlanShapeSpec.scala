@@ -397,4 +397,61 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested-loop join")
     }
   }
+
+  test("q62 gaps-and-islands: ONE exchange serves dedup, position and both aggregates") {
+    // repartition(user_id) must satisfy the (user, hr) dedup window, the
+    // user-ordered position window, the (user, grp) aggregate AND the
+    // final user aggregate — everything after the single shuffle is
+    // sort/agg-local. A second exchange means one of the four stages
+    // stopped being clustered by user_id.
+    val p = planOf("q62_gaps_islands")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+  }
+
+  test("s14 attribution: user-keyed window, channel aggregate, no joins") {
+    // The last-touch carry is a window max, never an as-of join: the plan
+    // must contain NO join at all, and only the user window exchange plus
+    // the #channels-sized aggregate exchange.
+    val p = planOf("s14_attribution")
+    assert(!p.contains("Join"), "attribution must be join-free (window carry)")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"window + distinct-agg exchanges only, got $exchanges")
+  }
+
+  test("g04 clustering keeps g02's bounded wedge join (equi-join only)") {
+    val p = planOf("g04_clustering")
+    assert(!p.contains("CartesianProduct"), "wedge join must stay equi-keyed")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s15 transitions: join-free — lag window, pair aggregate, tiny normalizer") {
+    // The probability normalization must ride a window over the |types|²
+    // aggregate OUTPUT, never join totals back against the corpus.
+    val p = planOf("s15_transitions")
+    assert(!p.contains("Join"), "transition matrix must be join-free")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"lag + pair-agg + tiny normalizer only, got $exchanges")
+  }
+
+  test("v15 cluster assignment: integer argmax, no window, no shuffle-side join") {
+    // The 8-row seed table fans out via broadcast nested-loop (intended —
+    // the v02 pattern); the argmax must be a map-side-combinable long max,
+    // NOT a per-vector window (which would force a vec_id sort-shuffle of
+    // the ×8 frame before any reduction).
+    val p = planOf("v15_cluster_assign")
+    assert(!p.contains("Window"), "argmax must be packed-long max(), not a window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "seed fan-out must broadcast, never shuffle")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "per-vector argmax must be an aggregate with map-side combine")
+  }
+
+  test("p09 dq checks: anti-join integrity, broadcast dims, no violation-row shuffle") {
+    val p = planOf("p09_dq_checks")
+    assert(p.contains("LeftAnti"), "orphan checks must plan as anti joins")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the customer dim side must broadcast in the orphan-FK check")
+  }
 }
