@@ -24,11 +24,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong so
-    * it surfaces as nanos-since-epoch, converted here to a microsecond
-    * timestamp (integer `div` — a double division would lose precision
-    * above 2^53 ns). */
+  /** The driver has generated events.parquet two ways across rounds:
+    * ts as TIMESTAMP(NANOS) — which Spark's reader rejects, so sessions
+    * set spark.sql.legacy.parquet.nanosAsLong and it surfaces as
+    * nanos-since-epoch, converted here with integer `div` (a double
+    * division would lose precision above 2^53 ns) — and as plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). For the latter, sessions
+    * set spark.sql.parquet.inferTimestampNTZ.enabled=false so every
+    * timestamp column (ts, o_orderdate, l_shipdate) reads as a session-TZ
+    * TIMESTAMP under the UTC session — identical micros, and the type
+    * unix_micros/watermarks require. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")

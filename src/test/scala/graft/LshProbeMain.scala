@@ -15,6 +15,7 @@ object LshProbeMain {
       .appName("lsh-probe")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
 
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {

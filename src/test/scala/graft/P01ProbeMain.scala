@@ -11,6 +11,7 @@ object P01ProbeMain {
       .master("local[8]").appName("p01-probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/tmp/graft_scale_smoke"
