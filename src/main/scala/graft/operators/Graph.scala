@@ -451,7 +451,65 @@ object Graph {
                         (SELECT DISTINCT x FROM
                           (SELECT u AS x FROM e$KcoreRounds UNION ALL
                            SELECT v AS x FROM e$KcoreRounds))) AS n_nodes,
-                     (SELECT CAST(count(*) AS BIGINT) FROM e$KcoreRounds) AS n_edges"""))
+                     (SELECT CAST(count(*) AS BIGINT) FROM e$KcoreRounds) AS n_edges""")),
+
+    // ---- g06: bipartite projection (event-type co-engagement) ------------
+    // Project the user×event_type bipartite graph onto its type side:
+    // for every type pair, how many users touch BOTH, and the Jaccard
+    // overlap of their audiences — the "users who do A also do B"
+    // affinity matrix behind recommendation and funnel design. The
+    // pair expansion NEVER self-joins the corpus: one user-keyed
+    // aggregate collects each user's sorted distinct-type array
+    // (bounded by the type DOMAIN, not their event count), and ordered
+    // pairs explode from the array map-side — ≤ C(|types|,2) rows per
+    // user, linear in users whatever the stream volume. The collected
+    // frame is user-sized and localCheckpoint'd once (the p06/d13
+    // shared-subtree discipline: both the pair aggregate and the
+    // per-type audience counts consume it — without the cut the
+    // corpus-sized collect_set subtree re-plans per consumer). Audience
+    // counts are a |types|-row broadcast; Jaccard is one long/long
+    // division on the 1e-9 grid (grid9 — the graph family's shared
+    // float discipline).
+    ("g06_bipartite",
+      (s, d) => {
+        val sets = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+          .localCheckpoint()
+        val pairs = sets
+          .select(explode(expr(
+            """flatten(transform(ts, (x, i) ->
+              |  transform(slice(ts, i + 2, size(ts)),
+              |            y -> named_struct('ta', x, 'tb', y))))""".stripMargin)).as("p"))
+          .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+          .agg(count(lit(1)).as("n_users_both"))
+        // |types| rows, consumed twice (a-side and b-side audience
+        // joins) — checkpointed so the audience aggregate runs once.
+        val tc = sets.select(explode(col("ts")).as("et"))
+          .groupBy(col("et")).agg(count(lit(1)).as("nu"))
+          .localCheckpoint()
+        pairs
+          .join(broadcast(tc.select(col("et").as("type_a"), col("nu").as("na"))), "type_a")
+          .join(broadcast(tc.select(col("et").as("type_b"), col("nu").as("nb"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_users_both"),
+            grid9(col("n_users_both").cast("double")
+              / (col("na") + col("nb") - col("n_users_both"))).as("jaccard"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                               CAST(count(*) AS BIGINT) AS n_users_both
+                        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                           AND a.event_type < b.event_type
+                        GROUP BY 1, 2),
+              tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+                     FROM ut GROUP BY 1)
+              SELECT p.type_a, p.type_b, p.n_users_both,
+                     FLOOR(CAST(p.n_users_both AS DOUBLE)
+                           / (ta.nu + tb.nu - p.n_users_both)
+                           * 1000000000 + 0.5) / 1000000000 AS jaccard
+              FROM pairs p
+              JOIN tc ta ON p.type_a = ta.event_type
+              JOIN tc tb ON p.type_b = tb.event_type"""))
   )
 
   /** The per-round (degree, survivor, edge) CTE triples of g05's peel for

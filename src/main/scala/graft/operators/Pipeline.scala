@@ -596,6 +596,64 @@ object Pipeline {
               FROM customer WHERE c_name IS NULL
               UNION ALL
               SELECT 'lineitem_nonpositive_price', CAST(count(*) AS BIGINT)
-              FROM lineitem WHERE l_extendedprice <= 0"""))
+              FROM lineitem WHERE l_extendedprice <= 0""")),
+
+    // ---- p10: multi-epoch shuffle schedule -------------------------------
+    // Training runs read the corpus SEVERAL times, and each epoch needs
+    // its OWN deterministic permutation (re-reading epoch 1's order is a
+    // curriculum bug; orderBy(rand()) is an audit bug). The epoch id is
+    // salted into p04's md5 shuffle key — md5(epoch‖':'‖doc_id) — so
+    // every epoch gets an independent uniform order while staying a pure
+    // function of (epoch, row): reruns, resumed jobs and the oracle
+    // agree byte-for-byte. Each doc's global position within its epoch
+    // comes from the p02/p04 split prefix sum — the corpus-order count
+    // runs bucket-partitioned on (epoch, md5-prefix), the global window
+    // sees only the 768 bucket totals, offsets ride back broadcast —
+    // and shard assignment is pure integer arithmetic (pos·S div n):
+    // every epoch yields the SAME S equal shard sizes, so shard files
+    // stay budget-stable across epochs. The epoch fan-out is a GENERATOR
+    // (explode over the epoch range): the corpus is scanned once per
+    // consumer subtree, never joined against itself. At 100 TB: widen
+    // the prefix like p04, write partitionBy(epoch, shard_id), and a
+    // resumed epoch re-derives its exact order from the key alone.
+    ("p10_epoch_plan",
+      (s, d) => {
+        val epochs = 3L; val shards = 8L
+        def fanout = Tables.documents(s, d)
+          .select(col("doc_id"), explode(sequence(lit(0L), lit(epochs - 1))).as("epoch"))
+          .withColumn("skey", md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+          .withColumn("bkt", substring(col("skey"), 1, 2))
+        val wLocal = Window.partitionBy(col("epoch"), col("bkt"))
+          .orderBy(col("skey").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = fanout.withColumn("lpos",
+          coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
+        val wBkt = Window.partitionBy(col("epoch")).orderBy(col("bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = fanout.groupBy(col("epoch"), col("bkt"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
+          .select(col("epoch"), col("bkt"), col("boff"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        local.join(broadcast(offsets), Seq("epoch", "bkt"))
+          .crossJoin(broadcast(n))
+          .withColumn("pos", col("lpos") + col("boff"))
+          .select(col("epoch"), col("doc_id"), col("skey"), col("pos"),
+            expr(s"pos * $shards div n_docs").as("shard_id"))
+      },
+      Some("""WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+              t AS (SELECT e.epoch, d.doc_id,
+                      md5(CAST(e.epoch AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)) AS skey
+                    FROM documents d CROSS JOIN e),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              c AS (SELECT epoch, doc_id, skey,
+                      CAST(row_number() OVER (PARTITION BY epoch
+                        ORDER BY skey ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+                    FROM t)
+              SELECT c.epoch, c.doc_id, c.skey, c.pos,
+                     c.pos * 8 // n.n_docs AS shard_id
+              FROM c, n"""))
   )
 }

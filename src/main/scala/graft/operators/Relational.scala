@@ -1228,6 +1228,56 @@ object Relational {
               SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
                      max(len) AS longest_run,
                      CAST(sum(len) AS BIGINT) AS active_hours
-              FROM islands GROUP BY user_id"""))
+              FROM islands GROUP BY user_id""")),
+
+    // ---- q63: ranking window-function surface ----------------------------
+    // ntile / percent_rank / cume_dist / nth_value — the distribution-
+    // ranking quartet the q20/q49 entries don't cover, over per-priority
+    // order spend. Spend is floored to a long per ROW (exact on both
+    // engines) so no double is ever summed; the two fractional ranks are
+    // engine-built doubles landed on the 1e-6 grid (both engines compute
+    // (rank−1)/(n−1) and peers/n, but the grid removes any last-ulp
+    // hazard). The ORDER BY carries o_orderkey as tie-break, so peer
+    // groups are singletons and cume_dist is row_number/n on both
+    // engines. nth_value runs over the explicit full frame — the default
+    // running frame would NULL the first row. Shape: ONE exchange on
+    // o_orderpriority serves all four windows (same partition + same
+    // sort order ⇒ one sort, plan-gated); at 100 TB a priority-skewed
+    // partition splits under AQE like any window... it doesn't — windows
+    // pin keys to tasks — which is why the partition key is a 5-value
+    // DIMENSION here and a high-cardinality key (q20's per-customer
+    // ranks) in the high-volume entries.
+    ("q63_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("spend").desc, col("o_orderkey").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice")).cast("long").as("spend"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("spend"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            (floor(percent_rank().over(w) * 1000000 + 0.5) / 1000000).as("pct_rank"),
+            (floor(cume_dist().over(w) * 1000000 + 0.5) / 1000000).as("cum_dist"),
+            nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+      },
+      Some("""WITH t AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(floor(o_totalprice) AS BIGINT) AS spend
+                FROM orders)
+              SELECT o_orderkey, o_orderpriority, spend,
+                     CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                       ORDER BY spend DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+                     FLOOR(percent_rank() OVER (PARTITION BY o_orderpriority
+                       ORDER BY spend DESC, o_orderkey ASC) * 1000000 + 0.5)
+                       / 1000000 AS pct_rank,
+                     FLOOR(cume_dist() OVER (PARTITION BY o_orderpriority
+                       ORDER BY spend DESC, o_orderkey ASC) * 1000000 + 0.5)
+                       / 1000000 AS cum_dist,
+                     nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                       ORDER BY spend DESC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS second_key
+              FROM t"""))
   )
 }

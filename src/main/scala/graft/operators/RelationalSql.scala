@@ -569,6 +569,26 @@ object RelationalSql {
         |  FROM runs GROUP BY user_id, grp)
         |SELECT user_id, count(*) AS n_islands, max(len) AS longest_run,
         |       sum(len) AS active_hours
-        |FROM islands GROUP BY user_id""".stripMargin
+        |FROM islands GROUP BY user_id""".stripMargin,
+
+    "q63_window_funcs" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(floor(o_totalprice) AS BIGINT) AS spend
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, spend,
+        |       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY spend DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |       floor(percent_rank() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY spend DESC, o_orderkey ASC) * 1000000 + 0.5)
+        |         / 1000000 AS pct_rank,
+        |       floor(cume_dist() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY spend DESC, o_orderkey ASC) * 1000000 + 0.5)
+        |         / 1000000 AS cum_dist,
+        |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY spend DESC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS second_key
+        |FROM t""".stripMargin
   )
 }

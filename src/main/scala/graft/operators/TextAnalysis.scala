@@ -901,7 +901,71 @@ object TextAnalysis {
                            * 1000000 + 0.5) / 1000000 AS ttr,
                      FLOOR(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                            / sum(cnt) * 1000000 + 0.5) / 1000000 AS hapax_ratio
-              FROM c GROUP BY doc_id, source"""))
+              FROM c GROUP BY doc_id, source""")),
+
+    // ---- t23: per-source distinctive terms (smoothed keyness) ------------
+    // WHICH words make src7 different from the rest of the corpus — the
+    // source-profiling complement to t07's per-DOC tf-idf: contamination
+    // by a boilerplate-heavy source, a mislabeled crawl, or a synthetic
+    // slice shows up as its top keyness terms before any manual reading.
+    // Score is the add-one-smoothed odds ratio of "word in source" vs
+    // "word in rest of corpus": ((c+1)·(T−S+V)) / ((S+V)·(g−c+1)) — the
+    // log-odds ranking without the log (log is monotone; ln() is a
+    // per-libm last-ulp hazard, the rational form is two exact long
+    // products under 2^53 and ONE division, gridded). Shape at scale:
+    // corpus work collapses to the (source, word) aggregate first;
+    // global per-word counts ride a word-keyed window on that
+    // VOCABULARY-sized frame (the t07 discipline — nothing
+    // vocabulary-sized is broadcast or joined), per-source totals and
+    // the top-5 rank ride one source-keyed exchange; T and V are a
+    // 1-row broadcast. The (source, word) frame feeds three consumers
+    // (totals, windows), so it is localCheckpoint'd once — the
+    // p06/d13 shared-subtree cut; without it each consumer re-plans
+    // the corpus explode. Post-checkpoint exchange budget: 3 (word
+    // window, source window — the rank reuses its clustering — and
+    // the countDistinct partial inside the 1-row totals broadcast),
+    // all vocabulary-sized, plan-gated.
+    ("t23_keyness",
+      (s, d) => {
+        val wWord = Window.partitionBy(col("word"))
+        val wSrc = Window.partitionBy(col("source"))
+        val wRank = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("word").asc)
+        val sw = Tables.documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("word"))
+          .groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val totals = sw.agg(sum(col("c")).as("t"),
+          countDistinct(col("word")).as("v"))
+        sw.withColumn("g", sum(col("c")).over(wWord))
+          .crossJoin(broadcast(totals))
+          .withColumn("s_tot", sum(col("c")).over(wSrc))
+          .withColumn("score",
+            micro(((col("c") + 1) * (col("t") - col("s_tot") + col("v"))).cast("double")
+              / ((col("s_tot") + col("v")) * (col("g") - col("c") + 1))))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("word"), col("c").as("n"), col("score"))
+      },
+      Some("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                         FROM documents),
+              sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+                     FROM w GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                             CAST(count(DISTINCT word) AS BIGINT) AS v FROM sw),
+              x AS (SELECT source, word, c,
+                      CAST(sum(c) OVER (PARTITION BY word) AS BIGINT) AS g,
+                      CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS s_tot
+                    FROM sw),
+              sc AS (SELECT source, word, c,
+                      FLOOR(CAST((c + 1) * (t - s_tot + v) AS DOUBLE)
+                            / ((s_tot + v) * (g - c + 1)) * 1000000 + 0.5)
+                        / 1000000 AS score
+                     FROM x, tot),
+              r AS (SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY score DESC, word ASC) AS rn FROM sc)
+              SELECT source, word, c AS n, score FROM r WHERE rn <= 5"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

@@ -454,4 +454,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "the customer dim side must broadcast in the orphan-FK check")
   }
+
+  test("q63 ranking quartet: ONE exchange + one sort serve all four windows") {
+    // ntile / percent_rank / cume_dist / nth_value share partition key
+    // AND sort order, so Catalyst must collapse them onto a single
+    // priority-keyed exchange and a single sort.
+    val p = planOf("q63_window_funcs")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 1, s"windows must share one sort, got $sorts")
+  }
+
+  test("t23 keyness: corpus collapses once, then vocabulary-sized exchanges only") {
+    // The (source, word) aggregate is checkpointed; downstream only the
+    // word-keyed window, the source-keyed window (the rank window reuses
+    // its clustering) and the countDistinct partial INSIDE the 1-row
+    // totals broadcast may shuffle — all vocabulary-sized.
+    val p = planOf("t23_keyness")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"word/source windows + totals partial only, got $exchanges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus totals must broadcast, never shuffle-join")
+  }
+
+  test("g06 bipartite projection: pairs explode from arrays, never a corpus self-join") {
+    // The user-keyed collect_set ran at checkpoint time; the projection
+    // plan itself may only aggregate the bounded per-user pair fan-out
+    // and broadcast the |types|-row audience counts.
+    val p = planOf("g06_bipartite")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "audience counts must broadcast, never shuffle-join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"pair + audience aggregates only, got $exchanges")
+  }
+
+  test("p10 epoch plan splits its per-epoch prefix sum like p02/p04") {
+    // Corpus-order counting must stay (epoch, bucket)-partitioned; any
+    // coarser window may only see the 768 aggregated bucket totals.
+    val df = SparkEntry.queries("p10_epoch_plan")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local + bucket-total windows, got ${wins.size}")
+    val (coarse, fine) = wins.partition(_.partitionSpec.size < 2)
+    assert(fine.nonEmpty, "doc-level count must be (epoch, bucket)-partitioned")
+    coarse.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"epoch-level window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+  }
 }
