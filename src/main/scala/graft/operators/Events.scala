@@ -349,21 +349,38 @@ object Events {
     // exchange class; per-type output rows.
     ("s11_event_gaps",
       (s, d) => {
-        val w = Window.partitionBy(col("event_type"))
+        // Percentiles are SORT-BASED selection, not the buffering
+        // `percentile` aggregate: that aggregate holds every group value
+        // in executor memory (the 80× doubling smoke showed it going
+        // superlinear under GC pressure — 6 → 21 s), while a rank window
+        // is an external, spillable sort. Three windows (lag, gap-rank,
+        // group count) all ride ONE type-keyed exchange (same partition
+        // key; the rank adds a local sort), then quantile q = i/4 is the
+        // standard linear interpolation at position (n−1)·i/4 picked out
+        // by TWO marked rows per group: lower index gets weight 4−r,
+        // upper gets r (r = the position's quarter fraction), summed and
+        // divided by 4 — all-integer until one exact dyadic division,
+        // identical to quantile_cont on both engines.
+        val wLag = Window.partitionBy(col("event_type"))
           .orderBy(col("us").asc, col("event_id").asc)
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("gap_us").asc, col("event_id").asc)
+        val wN = Window.partitionBy(col("event_type"))
+        def qsel(i: Int) =
+          (sum(when(col("rn") === expr(s"((n - 1) * $i) div 4") + 1,
+              col("gap_us") * (lit(4) - expr(s"((n - 1) * $i) % 4")))
+            .when(col("rn") === expr(s"((n - 1) * $i) div 4") + 2,
+              col("gap_us") * expr(s"((n - 1) * $i) % 4"))) / lit(4.0))
         Tables.events(s, d)
           .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
-          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wLag))
           .filter(col("gap_us").isNotNull)
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_gaps"),
-            expr("percentile(gap_us, array(0.25D, 0.5D, 0.75D))").as("qs"),
+            qsel(1).as("p25_us"), qsel(2).as("p50_us"), qsel(3).as("p75_us"),
             (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"))
-          .select(col("event_type"), col("n_gaps"),
-            col("qs").getItem(0).as("p25_us"),
-            col("qs").getItem(1).as("p50_us"),
-            col("qs").getItem(2).as("p75_us"),
-            col("avg_gap_us"))
       },
       Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
               g AS (SELECT event_type,
@@ -627,6 +644,57 @@ object Events {
                      FLOOR(CAST(n AS DOUBLE)
                            / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
                            * 1000000 + 0.5) / 1000000 AS p
-              FROM c"""))
+              FROM c""")),
+
+    // ---- s16: weekly seasonality profile ---------------------------------
+    // WHEN does traffic happen — the hour-of-day × day-of-week heatmap
+    // behind capacity planning and anomaly baselining (s09's z-scores
+    // assume you know the weekly shape; this measures it). Both time
+    // keys are pure integer arithmetic on epoch micros (epoch day 0 =
+    // Thursday, so dow = (days+4) mod 7 with 0 = Sunday) — no calendar
+    // functions, so both engines and any session TZ agree byte-for-byte.
+    // The observed/expected ratio against the independence model
+    // (rowTot·colTot/total) exposes interactions a per-hour OR per-day
+    // profile hides ("weekend nights run hot"). Shape at scale: the
+    // corpus collapses through ONE (dow, hr) aggregate — ≤ 168 rows out
+    // — and every margin (dow total, hour total, grand total) is a
+    // window over that aggregate's OUTPUT; floats are two exact long
+    // products and one gridded division each.
+    ("s16_seasonality",
+      (s, d) => {
+        val wDow = Window.partitionBy(col("dow"))
+        val wHr = Window.partitionBy(col("hr"))
+        val wAll = Window.partitionBy()
+        Tables.events(s, d)
+          .select(expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hr"))
+          .groupBy(col("dow"), col("hr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rt", sum(col("n")).over(wDow))
+          .withColumn("ct", sum(col("n")).over(wHr))
+          .withColumn("tot", sum(col("n")).over(wAll))
+          .select(col("dow"), col("hr"), col("n"),
+            (floor((col("rt") * col("ct")).cast("double") / col("tot")
+              * 1000000 + 0.5) / 1000000).as("expected"),
+            (floor((col("n") * col("tot")).cast("double") / (col("rt") * col("ct"))
+              * 1000000 + 0.5) / 1000000).as("ratio"))
+      },
+      Some("""WITH e AS (SELECT
+                ((epoch_us(ts::TIMESTAMP) // 86400000000 + 4) % 7) AS dow,
+                ((epoch_us(ts::TIMESTAMP) // 3600000000) % 24) AS hr
+              FROM events),
+              c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n
+                    FROM e GROUP BY 1, 2),
+              m AS (SELECT dow, hr, n,
+                      CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS rt,
+                      CAST(sum(n) OVER (PARTITION BY hr) AS BIGINT) AS ct,
+                      CAST(sum(n) OVER () AS BIGINT) AS tot
+                    FROM c)
+              SELECT dow, hr, n,
+                     FLOOR(CAST(rt * ct AS DOUBLE) / tot * 1000000 + 0.5)
+                       / 1000000 AS expected,
+                     FLOOR(CAST(n * tot AS DOUBLE) / (rt * ct) * 1000000 + 0.5)
+                       / 1000000 AS ratio
+              FROM m"""))
   )
 }

@@ -350,6 +350,74 @@ object Multimodal {
     else if (looksLikeWav(payload)) decodeWav(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
+  // ---- patch grid (ViT-style patchify) ---------------------------------
+
+  /** g×g per-patch mean luma in [0, 1] over a decoded image — the
+    * patchify step a vision-transformer ingest runs before embedding
+    * (each patch would feed a linear projection; here the mean stands in
+    * for the projection so the PLUMBING — proportional tiling, bounded
+    * decode, batch shape — is real and testable). Patch (r, c) covers
+    * the half-open pixel box [⌊rh/g⌋, ⌊(r+1)h/g⌋) × [⌊cw/g⌋, ⌊(c+1)w/g⌋)
+    * — exact cover, no gaps/overlap whatever the dimensions; a
+    * degenerate empty box (image smaller than the grid) yields 0. */
+  private[graft] def patchGridOf(
+      img: java.awt.image.BufferedImage, g: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Float](g * g)
+    var pr = 0
+    while (pr < g) {
+      val y0 = (pr.toLong * h / g).toInt; val y1 = ((pr + 1).toLong * h / g).toInt
+      var pc = 0
+      while (pc < g) {
+        val x0 = (pc.toLong * w / g).toInt; val x1 = ((pc + 1).toLong * w / g).toInt
+        var s = 0.0; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+              0.114 * (p & 0xFF)
+            cnt += 1; x += 1
+          }
+          y += 1
+        }
+        out(pr * g + pc) = if (cnt == 0) 0f else (s / cnt / 255.0).toFloat
+        pc += 1
+      }
+      pr += 1
+    }
+    out
+  }
+
+  /** Deterministic patch stub for non-decodable payloads: the byte
+    * stream proportionally tiled into g² slices, per-slice mean byte
+    * value in [0, 1] — same shape contract as the real path, so the
+    * pipeline plumbing is exercised end-to-end on any input. */
+  private[graft] def patchStub(payload: Array[Byte], g: Int): Array[Float] = {
+    val n = g * g; val len = payload.length
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val s0 = (i.toLong * len / n).toInt; val s1 = ((i + 1).toLong * len / n).toInt
+      var s = 0L; var j = s0
+      while (j < s1) { s += payload(j) & 0xFF; j += 1 }
+      out(i) = if (s1 == s0) 0f else (s.toDouble / (s1 - s0) / 255.0).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Patchify dispatcher: real bounded decode for image containers
+    * (bomb cap shared with every other decode path), byte stub
+    * otherwise. */
+  private[graft] def patchify(payload: Array[Byte], g: Int): Array[Float] =
+    if (looksLikeImage(payload))
+      (try readImageBounded(payload)
+       catch { case scala.util.control.NonFatal(_) => None })
+        .map(patchGridOf(_, g)).getOrElse(patchStub(payload, g))
+    else patchStub(payload, g)
+
   // ---- perceptual hash (dHash) ----------------------------------------
 
   /** 64-bit difference hash over a decoded image: luma means on a 9×8
@@ -590,6 +658,45 @@ object Multimodal {
           .agg(count(lit(1)).as("n"),
             floor(avg(col("peak_hz")) * 1000 + 0.5).as("avg_peak_millihz"),
             floor(avg(col("centroid_hz")) * 1000 + 0.5).as("avg_centroid_millihz"))
+      },
+      None),
+
+    // ---- m05: patch-grid extraction (ViT patchify plumbing) -------------
+    // The vision-pretraining ingest step: tile every image into a g×g
+    // patch grid and emit per-patch statistics — the batch a patch
+    // embedder consumes. Decode + tiling run in ONE typed map pass
+    // (no shuffle; output parallelism = scan parallelism, the m02
+    // contract), and only the g²-float patch vector leaves the decode —
+    // never pixels. The rollup proves the patch batch is a first-class
+    // frame again: per-format patch-contrast profile (max−min patch
+    // luma) and mean luma. Real proportional tiling pinned on generated
+    // PNGs in MultimodalSpec (two-tone halves → exact patch means);
+    // registered corpus rows take the deterministic byte stub —
+    // rows-only, like every m-entry.
+    ("m05_patch_grid",
+      (s, d) => {
+        import s.implicits._
+        val g = 4
+        mediaTable(s, d)
+          .filter(col("format") =!= "wav")
+          .map { m =>
+            val p = patchify(m.payload, g)
+            var mn = 1f; var mx = 0f; var sum = 0.0
+            var i = 0
+            while (i < p.length) {
+              if (p(i) < mn) mn = p(i)
+              if (p(i) > mx) mx = p(i)
+              sum += p(i); i += 1
+            }
+            (m.doc_id, m.format, p.length.toLong,
+              ((mx - mn).toDouble * 1000000).round, (sum / p.length * 1000000).round)
+          }
+          .toDF("doc_id", "format", "n_patches", "contrast_micros", "mean_micros")
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_media"),
+            max(col("n_patches")).as("n_patches"),
+            floor(avg(col("contrast_micros")) + 0.5).as("avg_contrast_micros"),
+            floor(avg(col("mean_micros")) + 0.5).as("avg_mean_micros"))
       },
       None)
   )

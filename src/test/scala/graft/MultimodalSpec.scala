@@ -235,6 +235,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m05 patchify tiles real PNGs proportionally and stubs the rest") {
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // Half-black/half-white 64×64: on a 4×4 grid, patch columns 0–1 are
+    // exactly black, 2–3 exactly white — the tiling must be proportional
+    // and gap-free, so each patch is pure.
+    val halves = png(64, 64, (x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val grid = Multimodal.patchify(halves, 4)
+    assert(grid.length == 16)
+    for (r <- 0 until 4; c <- 0 until 4) {
+      val v = grid(r * 4 + c)
+      if (c < 2) assert(v < 1e-3, s"patch ($r,$c)=$v should be black")
+      else assert(v > 1.0f - 1e-3, s"patch ($r,$c)=$v should be white")
+    }
+    // Uniform mid-gray: every patch identical, zero contrast.
+    val gray = png(40, 24, (_, _) => 0x808080)
+    val gGrid = Multimodal.patchify(gray, 4)
+    assert(gGrid.forall(v => math.abs(v - gGrid(0)) < 1e-6))
+    // Non-image payload takes the deterministic byte stub with the same
+    // shape contract — and is rerun-stable.
+    val stub = Multimodal.patchify("definitely not an image".getBytes("UTF-8"), 4)
+    assert(stub.length == 16)
+    assert(stub.sameElements(
+      Multimodal.patchify("definitely not an image".getBytes("UTF-8"), 4)))
+    // Registered rollup: per-format rows with full 16-patch grids.
+    val rows = Multimodal.defs.find(_._1 == "m05_patch_grid").get
+      ._2(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_patches") == 16L))
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }

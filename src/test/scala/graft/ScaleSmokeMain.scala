@@ -102,7 +102,18 @@ object ScaleSmokeMain {
       "p07_curriculum", "p08_length_buckets",
       "s09_anomaly", "s10_cusum", "s12_hopping", "s13_conversion_lag",
       "g01_pagerank", "g02_triangle_count", "g03_components",
-      "t20_textrank")
+      "t20_textrank",
+      // Round-5 additions. Absent by construction, not oversight:
+      // q63/p09 read TPC-H tables the smoke dir doesn't replicate;
+      // v14/v15 read embeddings (same); m-family timing is decode-bound
+      // (MultimodalSpec owns its semantics).
+      // s14 is absent like q56: its literal touch/purchase type filter
+      // matches nothing in the replica-PREFIXED type domain, so its
+      // smoke timing would measure an empty result's window pass.
+      "d17_crawl_diff", "t21_readability", "t22_lexical_diversity",
+      "t23_keyness", "p10_epoch_plan", "q62_gaps_islands",
+      "s11_event_gaps", "s15_transitions",
+      "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
