@@ -232,31 +232,7 @@ object Pipeline {
     // broadcast. At 100 TB: widen the prefix (3 hex chars = 4096
     // buckets); the downstream write is partitionBy(shard_id), giving
     // training-ready files of ~budget tokens each.
-    ("p04_shuffle_shard",
-      (s, d) => {
-        // Shard budgets in REAL BPE tokens (the t17 model) — a shard is
-        // "~2048 trainer tokens", not a whitespace approximation of it.
-        val budget = 2048L
-        val t = Tables.documents(s, d).select(col("doc_id"),
-            org.apache.spark.sql.graft.TextHash
-              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"),
-            md5(col("doc_id").cast("string")).as("skey"))
-          .withColumn("bkt", substring(col("skey"), 1, 2))
-        val wLocal = Window.partitionBy(col("bkt"))
-          .orderBy(col("skey"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val local = t.withColumn("local_start",
-          coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-        val wBkt = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btok"))
-          .withColumn("boff", coalesce(sum(col("btok")).over(wBkt), lit(0L)))
-          .select(col("bkt"), col("boff"))
-        local.join(broadcast(offsets), "bkt")
-          .select(col("doc_id"), col("skey"), col("n_tokens"),
-            (col("local_start") + col("boff")).as("tok_start"))
-          .withColumn("shard_id", floor(col("tok_start") / budget).cast("long"))
-      },
+    ("p04_shuffle_shard", (s, d) => shuffleShards(s, d),
       Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
               t AS (SELECT doc_id, n_tokens,
                      md5(CAST(doc_id AS VARCHAR)) AS skey
@@ -654,6 +630,78 @@ object Pipeline {
                     FROM t)
               SELECT c.epoch, c.doc_id, c.skey, c.pos,
                      c.pos * 8 // n.n_docs AS shard_id
-              FROM c, n"""))
+              FROM c, n""")),
+
+    // ---- p11: shard manifests (the dataset card / audit trail) -----------
+    // Every produced training layout needs a manifest: per shard, how
+    // many docs, how many REAL tokens, where it starts in the global
+    // order, and a content fingerprint (md5 over the ordered doc-id
+    // list) that a resumed job, a downstream trainer, or an auditor can
+    // recompute to prove the shard on disk is the shard the pipeline
+    // meant. Rides p04's exact sharding core (shuffleShards — shared
+    // def, not a copy), so manifest and layout can never drift. The
+    // fingerprint's collect_list is SHARD-bounded (~budget/doc-tokens
+    // docs), never corpus-bounded, and the aggregate runs on the
+    // shard key's own exchange; output is one row per shard.
+    ("p11_manifest",
+      (s, d) => shuffleShards(s, d)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("tok_start")).as("tok_start"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("tok_start").as("o"),
+                col("doc_id").as("i")))),
+              x => x.getField("i").cast("string")),
+            ",")).as("content_md5")),
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              t AS (SELECT doc_id, n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS skey
+                   FROM bpetok),
+              c AS (SELECT doc_id, skey, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tok_start
+                    FROM t),
+              sh AS (SELECT doc_id, n_tokens, tok_start,
+                       CAST(FLOOR(tok_start / 2048.0) AS BIGINT) AS shard_id
+                     FROM c)
+              SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(min(tok_start) AS BIGINT) AS tok_start,
+                     md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                         ORDER BY tok_start ASC, doc_id ASC)) AS content_md5
+              FROM sh GROUP BY shard_id"""))
   )
+
+  /** p04's deterministic shuffle + token-budget sharding core —
+    * (doc_id, skey, n_tokens, tok_start, shard_id) for every doc. ONE
+    * implementation shared by p04 (the layout) and p11 (its manifests):
+    * shard assignment and audit can never drift apart. See the p04
+    * entry for the split-prefix-sum scale argument. */
+  private[operators] def shuffleShards(s: SparkSession, d: String): DataFrame = {
+    // Shard budgets in REAL BPE tokens (the t17 model) — a shard is
+    // "~2048 trainer tokens", not a whitespace approximation of it.
+    val budget = 2048L
+    val t = Tables.documents(s, d).select(col("doc_id"),
+        org.apache.spark.sql.graft.TextHash
+          .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("bkt", substring(col("skey"), 1, 2))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = t.withColumn("local_start",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff", coalesce(sum(col("btok")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    local.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("skey"), col("n_tokens"),
+        (col("local_start") + col("boff")).as("tok_start"))
+      .withColumn("shard_id", floor(col("tok_start") / budget).cast("long"))
+  }
 }

@@ -1278,6 +1278,35 @@ object Relational {
                        ORDER BY spend DESC, o_orderkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                        AS second_key
-              FROM t"""))
+              FROM t""")),
+
+    // ---- q64: relational division (FOR ALL) -------------------------------
+    // The one classic relational-algebra operator SQL has no keyword for:
+    // "customers whose orders cover EVERY priority class" — ÷ in Codd's
+    // algebra, the universal quantifier the EXISTS surface (q52) can't
+    // say directly. The standard set-cover rewrite: per-customer distinct
+    // divisor count == |divisor|, with the divisor cardinality computed
+    // from the data (a 1-row broadcast), not hardcoded — new priority
+    // classes tighten the requirement automatically. Shape at scale: ONE
+    // customer-keyed aggregate (countDistinct rides the same exchange —
+    // Spark plans the expand internally), the |divisor| side is a 1-row
+    // crossJoin broadcast, and the filter drops rows post-aggregate —
+    // nothing corpus-sized survives the aggregate.
+    ("q64_division",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val np = ord.agg(countDistinct(col("o_orderpriority")).as("np"))
+        ord.groupBy(col("o_custkey"))
+          .agg(countDistinct(col("o_orderpriority")).as("n_prio"),
+            count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(np))
+          .filter(col("n_prio") === col("np"))
+          .select(col("o_custkey"), col("n_orders"))
+      },
+      Some("""WITH np AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders)
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders CROSS JOIN np
+              GROUP BY o_custkey, np.np
+              HAVING count(DISTINCT o_orderpriority) = np.np"""))
   )
 }

@@ -589,6 +589,13 @@ object RelationalSql {
         |         ORDER BY spend DESC, o_orderkey ASC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |         AS second_key
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q64_division" ->
+      """WITH np AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders
+        |FROM orders CROSS JOIN np
+        |GROUP BY o_custkey, np.np
+        |HAVING count(DISTINCT o_orderpriority) = np.np""".stripMargin
   )
 }

@@ -965,7 +965,55 @@ object TextAnalysis {
                      FROM x, tot),
               r AS (SELECT *, row_number() OVER (PARTITION BY source
                       ORDER BY score DESC, word ASC) AS rn FROM sc)
-              SELECT source, word, c AS n, score FROM r WHERE rn <= 5"""))
+              SELECT source, word, c AS n, score FROM r WHERE rn <= 5""")),
+
+    // ---- t24: term burstiness (dispersion profile) -----------------------
+    // HOW a frequent word distributes across documents — Church & Gale's
+    // burstiness: content words clump ("once a doc mentions it, it
+    // mentions it again"), function words and injected boilerplate spread
+    // uniformly. The variance-to-mean ratio over ALL docs (zeros
+    // included) needs only three integer sums — T = Σc, S2 = Σc², df —
+    // because VMR = (S2·N − T²)/(T·N): exact long products, ONE gridded
+    // division (the [[graft-float-discipline]] rational form; no
+    // per-doc float variance is ever summed). mean-per-containing-doc
+    // (T/df) is the companion clumpiness signal. Shape at scale: one
+    // (word, doc) aggregate, then word-keyed stats with map-side
+    // combine, corpus size a 1-row broadcast, top-20 via TakeOrdered —
+    // the t06 discipline with one more moment.
+    ("t24_burstiness",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .groupBy(col("word"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("word"))
+          .agg(sum(col("c")).as("t"),
+            sum(col("c") * col("c")).as("s2"),
+            count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("word"), col("t").as("freq"), col("df"),
+            micro(col("t").cast("double") / col("df")).as("mean_per_doc"),
+            micro((col("s2") * col("nd") - col("t") * col("t")).cast("double")
+              / (col("t") * col("nd"))).as("vmr"))
+          .orderBy(col("freq").desc, col("word").asc)
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                         FROM documents),
+              wd AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+                     FROM w GROUP BY 1, 2),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+              ws AS (SELECT word, CAST(sum(c) AS BIGINT) AS t,
+                            CAST(sum(c * c) AS BIGINT) AS s2,
+                            CAST(count(*) AS BIGINT) AS df
+                     FROM wd GROUP BY 1)
+              SELECT word, t AS freq, df,
+                     FLOOR(CAST(t AS DOUBLE) / df * 1000000 + 0.5)
+                       / 1000000 AS mean_per_doc,
+                     FLOOR(CAST(s2 * nd - t * t AS DOUBLE) / (t * nd)
+                           * 1000000 + 0.5) / 1000000 AS vmr
+              FROM ws, n ORDER BY freq DESC, word ASC LIMIT 20"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20
