@@ -546,6 +546,9 @@ object Events {
     // compare strings bytewise, ASCII digits order numerically under
     // zero-padding, so max(pack) IS "latest (ts, event_id)" — no as-of
     // join, no second pass, and ties are impossible (event_id is packed).
+    // Both fields pad to 20 — a long is at most 19 digits, so the pack
+    // never truncates (lpad TRUNCATES longer inputs in both engines,
+    // which would corrupt the ordering key past 1e12 events).
     // The lookback check unpacks the timestamp AFTER the carry, so a
     // stale touch falls through to 'unattributed' instead of letting an
     // out-of-window row shadow an in-window one… which can't happen:
@@ -563,7 +566,7 @@ object Events {
         val isTouch = col("event_type").isin("click", "view", "signup")
         val packed = concat(
           lpad(col("us").cast("string"), 20, "0"),
-          lpad(col("event_id").cast("string"), 12, "0"),
+          lpad(col("event_id").cast("string"), 20, "0"),
           col("event_type"))
         Tables.events(s, d)
           .select(col("user_id"), col("event_type"), col("event_id"),
@@ -573,7 +576,7 @@ object Events {
           .select(col("user_id"),
             when(col("last_touch").isNotNull &&
                  col("us") - substring(col("last_touch"), 1, 20).cast("long") <= lookbackUs,
-              substring(col("last_touch"), 33, 100))
+              substring(col("last_touch"), 41, 100))
               .otherwise(lit("unattributed")).as("channel"))
           .groupBy(col("channel"))
           .agg(count(lit(1)).as("n_purchases"),
@@ -585,7 +588,7 @@ object Events {
                 SELECT user_id, event_type, us,
                        max(CASE WHEN event_type IN ('click', 'view', 'signup')
                                 THEN lpad(CAST(us AS VARCHAR), 20, '0')
-                                     || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                                     || lpad(CAST(event_id AS VARCHAR), 20, '0')
                                      || event_type END)
                          OVER (PARTITION BY user_id
                                ORDER BY us ASC, event_id ASC
@@ -597,7 +600,7 @@ object Events {
                        CASE WHEN last_touch IS NOT NULL
                              AND us - CAST(substring(last_touch, 1, 20) AS BIGINT)
                                  <= 604800000000
-                            THEN substring(last_touch, 33, 100)
+                            THEN substring(last_touch, 41, 100)
                             ELSE 'unattributed' END AS channel
                 FROM carried WHERE event_type = 'purchase')
               SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
@@ -658,8 +661,10 @@ object Events {
     // profile hides ("weekend nights run hot"). Shape at scale: the
     // corpus collapses through ONE (dow, hr) aggregate — ≤ 168 rows out
     // — and every margin (dow total, hour total, grand total) is a
-    // window over that aggregate's OUTPUT; floats are two exact long
-    // products and one gridded division each.
+    // window over that aggregate's OUTPUT. The margin products rt·ct
+    // and n·tot are computed in binary64 (IEEE multiply rounds
+    // identically in both engines): a long×long would wrap past ~4e10
+    // events (rt·ct ≈ N²/168), and the output is 1e-6-gridded anyway.
     ("s16_seasonality",
       (s, d) => {
         val wDow = Window.partitionBy(col("dow"))
@@ -674,9 +679,10 @@ object Events {
           .withColumn("ct", sum(col("n")).over(wHr))
           .withColumn("tot", sum(col("n")).over(wAll))
           .select(col("dow"), col("hr"), col("n"),
-            (floor((col("rt") * col("ct")).cast("double") / col("tot")
+            (floor(col("rt").cast("double") * col("ct").cast("double") / col("tot")
               * 1000000 + 0.5) / 1000000).as("expected"),
-            (floor((col("n") * col("tot")).cast("double") / (col("rt") * col("ct"))
+            (floor(col("n").cast("double") * col("tot").cast("double")
+              / (col("rt").cast("double") * col("ct").cast("double"))
               * 1000000 + 0.5) / 1000000).as("ratio"))
       },
       Some("""WITH e AS (SELECT
@@ -691,10 +697,11 @@ object Events {
                       CAST(sum(n) OVER () AS BIGINT) AS tot
                     FROM c)
               SELECT dow, hr, n,
-                     FLOOR(CAST(rt * ct AS DOUBLE) / tot * 1000000 + 0.5)
-                       / 1000000 AS expected,
-                     FLOOR(CAST(n * tot AS DOUBLE) / (rt * ct) * 1000000 + 0.5)
-                       / 1000000 AS ratio
+                     FLOOR(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / tot
+                       * 1000000 + 0.5) / 1000000 AS expected,
+                     FLOOR(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)
+                       / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 AS ratio
               FROM m"""))
   )
 }

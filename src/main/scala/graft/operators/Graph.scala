@@ -178,10 +178,7 @@ object Graph {
     * (each feeds ≥2 downstream joins; without the cut Catalyst re-plans
     * the whole lag-window extraction per consumer). */
   private def orientedEdges(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val und = interactionEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
+    val und = undirectedEdges(s, d)
     val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
     val lower = col("du") < col("dv") ||
@@ -195,12 +192,27 @@ object Graph {
     (und, deg, dir)
   }
 
+  /** Undirected distinct edge set (u < v) — ONE definition of the
+    * undirected-dedup rule, shared by [[orientedEdges]] (g02/g04) and
+    * g05's peel so a future change (e.g. a self-loop filter) can't
+    * drift between consumers. localCheckpoint'd: every caller feeds it
+    * to ≥2 downstream joins. */
+  private def undirectedEdges(s: SparkSession, d: String): DataFrame =
+    interactionEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+
+  /** The oracle twin of [[undirectedEdges]]: `und(u, v)` from `edges0`. */
+  private val undirectedCte: String =
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      |  FROM edges0)""".stripMargin
+
   /** The und/deg/dir CTEs of [[orientedEdges]] for the DuckDB oracles —
     * spliced after [[eventGraphBaseCte]] by g02 and g04. */
   private val orientedEdgesCte: String =
-    """und AS MATERIALIZED (
-      |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-      |  FROM edges0),
+    s"""$undirectedCte,
       |deg AS MATERIALIZED (
       |  SELECT x, CAST(count(*) AS BIGINT) AS dg
       |  FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
@@ -415,10 +427,7 @@ object Graph {
     ("g05_kcore",
       (s, d) => {
         val k = 3
-        var e = interactionEdges(s, d)
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v"))
-          .distinct().localCheckpoint()
+        var e = undirectedEdges(s, d)
         for (_ <- 1 to KcoreRounds) {
           val keep = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
             .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -442,9 +451,8 @@ object Graph {
           .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"))
       },
       Some(s"""WITH $eventGraphBaseCte,
-              e0 AS MATERIALIZED (
-                SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-                FROM edges0),
+              $undirectedCte,
+              e0 AS (SELECT u, v FROM und),
               ${kcorePeelSteps(KcoreRounds, 3)}
               SELECT CAST(3 AS BIGINT) AS k,
                      (SELECT CAST(count(*) AS BIGINT) FROM

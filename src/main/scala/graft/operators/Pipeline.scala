@@ -530,9 +530,10 @@ object Pipeline {
           cnt.select(lit(name).as("check"), col("n").as("n_violations"))
         val li = Tables.lineitem(s, d)
         val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
         one("orders_orphan_custkey",
-          Tables.orders(s, d)
-            .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          ord
+            .join(broadcast(cust.select(col("c_custkey"))),
               col("o_custkey") === col("c_custkey"), "left_anti")
             .agg(count(lit(1)).as("n")))
         .unionAll(one("lineitem_orphan_orderkey",
@@ -547,7 +548,7 @@ object Pipeline {
           li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
             .agg(count(lit(1)).as("n"))))
         .unionAll(one("customer_null_name",
-          Tables.customer(s, d).filter(col("c_name").isNull)
+          cust.filter(col("c_name").isNull)
             .agg(count(lit(1)).as("n"))))
         .unionAll(one("lineitem_nonpositive_price",
           li.filter(col("l_extendedprice") <= 0)

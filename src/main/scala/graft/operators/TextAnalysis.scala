@@ -911,8 +911,11 @@ object TextAnalysis {
     // Score is the add-one-smoothed odds ratio of "word in source" vs
     // "word in rest of corpus": ((c+1)·(T−S+V)) / ((S+V)·(g−c+1)) — the
     // log-odds ranking without the log (log is monotone; ln() is a
-    // per-libm last-ulp hazard, the rational form is two exact long
-    // products under 2^53 and ONE division, gridded). Shape at scale:
+    // per-libm last-ulp hazard). The sums stay exact longs; the two
+    // PRODUCTS are computed in binary64 — at corpus scale (T ~ 1e13
+    // tokens) a long×long wraps, and IEEE multiply rounds identically
+    // in both engines, so the 1e-6-gridded score stays engine-portable
+    // where an overflowing long form would diverge. Shape at scale:
     // corpus work collapses to the (source, word) aggregate first;
     // global per-word counts ride a word-keyed window on that
     // VOCABULARY-sized frame (the t07 discipline — nothing
@@ -942,8 +945,10 @@ object TextAnalysis {
           .crossJoin(broadcast(totals))
           .withColumn("s_tot", sum(col("c")).over(wSrc))
           .withColumn("score",
-            micro(((col("c") + 1) * (col("t") - col("s_tot") + col("v"))).cast("double")
-              / ((col("s_tot") + col("v")) * (col("g") - col("c") + 1))))
+            micro((col("c") + 1).cast("double")
+              * (col("t") - col("s_tot") + col("v")).cast("double")
+              / ((col("s_tot") + col("v")).cast("double")
+                * (col("g") - col("c") + 1).cast("double"))))
           .withColumn("rn", row_number().over(wRank))
           .filter(col("rn") <= 5)
           .select(col("source"), col("word"), col("c").as("n"), col("score"))
@@ -959,8 +964,9 @@ object TextAnalysis {
                       CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS s_tot
                     FROM sw),
               sc AS (SELECT source, word, c,
-                      FLOOR(CAST((c + 1) * (t - s_tot + v) AS DOUBLE)
-                            / ((s_tot + v) * (g - c + 1)) * 1000000 + 0.5)
+                      FLOOR(CAST(c + 1 AS DOUBLE) * CAST(t - s_tot + v AS DOUBLE)
+                            / (CAST(s_tot + v AS DOUBLE) * CAST(g - c + 1 AS DOUBLE))
+                            * 1000000 + 0.5)
                         / 1000000 AS score
                      FROM x, tot),
               r AS (SELECT *, row_number() OVER (PARTITION BY source
@@ -973,9 +979,12 @@ object TextAnalysis {
     // mentions it again"), function words and injected boilerplate spread
     // uniformly. The variance-to-mean ratio over ALL docs (zeros
     // included) needs only three integer sums — T = Σc, S2 = Σc², df —
-    // because VMR = (S2·N − T²)/(T·N): exact long products, ONE gridded
-    // division (the [[graft-float-discipline]] rational form; no
-    // per-doc float variance is ever summed). mean-per-containing-doc
+    // because VMR = (S2·N − T²)/(T·N). The sums are exact longs; the
+    // products are computed in binary64 (T² for a 1e10-occurrence
+    // stopword wraps a long; IEEE multiply/subtract round identically
+    // in both engines, so the gridded value stays portable), ONE
+    // gridded division (the [[graft-float-discipline]] rational form;
+    // no per-doc float variance is ever summed). mean-per-containing-doc
     // (T/df) is the companion clumpiness signal. Shape at scale: one
     // (word, doc) aggregate, then word-keyed stats with map-side
     // combine, corpus size a 1-row broadcast, top-20 via TakeOrdered —
@@ -994,8 +1003,9 @@ object TextAnalysis {
           .crossJoin(broadcast(nd))
           .select(col("word"), col("t").as("freq"), col("df"),
             micro(col("t").cast("double") / col("df")).as("mean_per_doc"),
-            micro((col("s2") * col("nd") - col("t") * col("t")).cast("double")
-              / (col("t") * col("nd"))).as("vmr"))
+            micro((col("s2").cast("double") * col("nd").cast("double")
+              - col("t").cast("double") * col("t").cast("double"))
+              / (col("t").cast("double") * col("nd").cast("double"))).as("vmr"))
           .orderBy(col("freq").desc, col("word").asc)
           .limit(20)
       },
@@ -1011,7 +1021,9 @@ object TextAnalysis {
               SELECT word, t AS freq, df,
                      FLOOR(CAST(t AS DOUBLE) / df * 1000000 + 0.5)
                        / 1000000 AS mean_per_doc,
-                     FLOOR(CAST(s2 * nd - t * t AS DOUBLE) / (t * nd)
+                     FLOOR((CAST(s2 AS DOUBLE) * CAST(nd AS DOUBLE)
+                            - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+                           / (CAST(t AS DOUBLE) * CAST(nd AS DOUBLE))
                            * 1000000 + 0.5) / 1000000 AS vmr
               FROM ws, n ORDER BY freq DESC, word ASC LIMIT 20"""))
   )

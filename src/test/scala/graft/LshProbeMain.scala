@@ -16,6 +16,7 @@ object LshProbeMain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
 
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {

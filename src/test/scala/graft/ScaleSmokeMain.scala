@@ -111,7 +111,8 @@ object ScaleSmokeMain {
       // matches nothing in the replica-PREFIXED type domain, so its
       // smoke timing would measure an empty result's window pass.
       "d17_crawl_diff", "t21_readability", "t22_lexical_diversity",
-      "t23_keyness", "p10_epoch_plan", "q62_gaps_islands",
+      "t23_keyness", "t24_burstiness", "p10_epoch_plan", "p11_manifest",
+      "q62_gaps_islands",
       "s11_event_gaps", "s15_transitions",
       "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
