@@ -24,6 +24,7 @@ object Events {
   type Q = (SparkSession, String) => DataFrame
 
   private def cents(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+  private def micro(c: org.apache.spark.sql.Column) = floor(c * 1000000 + 0.5) / 1000000
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
@@ -702,6 +703,68 @@ object Events {
                      FLOOR(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)
                        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
                        * 1000000 + 0.5) / 1000000 AS ratio
-              FROM m"""))
+              FROM m""")),
+
+    // ---- s17: RFM customer segmentation ----------------------------------
+    // The classic recency/frequency/monetary quintile grid (Hughes 1994)
+    // every CRM warehouse computes over its purchase stream: score each
+    // buyer 1–5 on how recently, how often, and how much, then report the
+    // segment census. The corpus collapses through ONE user aggregate
+    // FIRST (purchases → last_us/freq/monetary per buyer); the three
+    // ntile(5) windows run on that USER-sized frame, never on raw events.
+    // Determinism: each ntile orders by (metric, user_id) — the monetary
+    // metric is cents-gridded BEFORE ordering so a last-ulp double-sum
+    // difference between engines can't flip two near-equal buyers across
+    // a quintile boundary. Scale: the ntile frame is dimension-scale
+    // (buyers, not events) but still unpartitioned — past ~1e8 buyers
+    // swap each ntile for the split prefix-sum global rank (p02's
+    // pattern: bucket by key prefix, intra-bucket window, 256 bucket
+    // totals correct the offsets). Aggregate floats: avg recency is
+    // exact-long-sum / count (one gridded division), segment monetary is
+    // the s01 cents-gridded sum.
+    ("s17_rfm",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("freq"),
+            cents(sum(col("value"))).as("monetary"))
+        val mx = p.agg(max(col("last_us")).as("maxus"))
+        val wR = Window.orderBy(col("last_us").desc, col("user_id").asc)
+        val wF = Window.orderBy(col("freq").desc, col("user_id").asc)
+        val wM = Window.orderBy(col("monetary").desc, col("user_id").asc)
+        p.crossJoin(broadcast(mx))
+          .withColumn("recency_days",
+            expr("(maxus - last_us) div 86400000000"))
+          .withColumn("r", ntile(5).over(wR))
+          .withColumn("f", ntile(5).over(wF))
+          .withColumn("m", ntile(5).over(wM))
+          .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("freq")).as("total_purchases"),
+            cents(sum(col("monetary"))).as("monetary"),
+            micro(sum(col("recency_days")).cast("double") / count(lit(1)))
+              .as("avg_recency_days"))
+      },
+      Some("""WITH p AS (SELECT user_id,
+                     max(epoch_us(ts::TIMESTAMP)) AS last_us,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     FLOOR(sum(value) * 100 + 0.5) / 100 AS monetary
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              mx AS (SELECT max(last_us) AS maxus FROM p),
+              sc AS (SELECT user_id, freq, monetary,
+                       (maxus - last_us) // 86400000000 AS recency_days,
+                       ntile(5) OVER (ORDER BY last_us DESC, user_id ASC) AS r,
+                       ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+                       ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+                     FROM p, mx)
+              SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(freq) AS BIGINT) AS total_purchases,
+                     FLOOR(sum(monetary) * 100 + 0.5) / 100 AS monetary,
+                     FLOOR(CAST(sum(recency_days) AS DOUBLE) / count(*)
+                           * 1000000 + 0.5) / 1000000 AS avg_recency_days
+              FROM sc GROUP BY 1"""))
   )
 }

@@ -47,6 +47,10 @@ object Graph {
     * would read the default 0 under Scala's in-order val initialization). */
   private val KcoreRounds = 8
 
+  /** g07's fixed power-iteration unroll — declared before `defs` for the
+    * same eager-interpolation reason as [[KcoreRounds]]. */
+  private val HitsIters = 8
+
   /** The 1e-9 grid used by every iterative float algorithm in the graph
     * family (and v14's drift metric) — one definition so the grid
     * discipline can't drift between operators. */
@@ -517,8 +521,97 @@ object Graph {
                            * 1000000000 + 0.5) / 1000000000 AS jaccard
               FROM pairs p
               JOIN tc ta ON p.type_a = ta.event_type
-              JOIN tc tb ON p.type_b = tb.event_type"""))
+              JOIN tc tb ON p.type_b = tb.event_type""")),
+
+    // ---- g07: HITS hubs and authorities ----------------------------------
+    // WHO curates vs WHO is cited — Kleinberg's mutually-recursive pair
+    // PageRank's single score can't separate: a(v) = Σ h(u) over in-edges,
+    // h(u) = Σ a(v) over out-edges, L1-normalized each half-step (the
+    // public power-iteration formulation, fixed [[HitsIters]] rounds so
+    // the DuckDB oracle replays the identical unroll). Float discipline =
+    // g01's: sums are merge-order-dependent, so every half-step lands on
+    // the 1e-9 grid with identical op order in both engines — the grid
+    // re-synchronizes per step instead of letting drift compound.
+    // Scale, per iteration: TWO corpus-edge joins (vs PageRank's one —
+    // the price of mutual recursion), each hash-keyed on its join column;
+    // the L1 norm is a 1-row aggregate broadcast by crossJoin; lineage
+    // cut per half-step (the iterative-family localCheckpoint
+    // discipline). On a cluster the edge table is written once bucketed
+    // by src (and its dst-keyed twin by dst) so each half-step shuffles
+    // only the score side. Top-20 by authority via TakeOrdered.
+    ("g07_hits",
+      (s, d) => {
+        val nodesC = Tables.events(s, d).select(col("user_id").as("id"))
+          .distinct().localCheckpoint()
+        val edgesC = interactionEdges(s, d).localCheckpoint()
+        var h = nodesC.select(col("id"), lit(1.0).as("h")).localCheckpoint()
+        var a: DataFrame = null
+        for (_ <- 1 to HitsIters) {
+          val ain = edgesC.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst")).agg(sum(col("h")).as("ain"))
+          val ar = nodesC.join(ain, col("id") === col("dst"), "left")
+            .select(col("id"), coalesce(col("ain"), lit(0.0)).as("ar"))
+            .localCheckpoint()
+          val sa = ar.agg(sum(col("ar")).as("s"))
+          a = ar.crossJoin(sa)
+            .select(col("id"), grid9(col("ar") / col("s")).as("a"))
+            .localCheckpoint()
+          val hout = edgesC.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src")).agg(sum(col("a")).as("hout"))
+          val hr = nodesC.join(hout, col("id") === col("src"), "left")
+            .select(col("id"), coalesce(col("hout"), lit(0.0)).as("hr"))
+            .localCheckpoint()
+          val sh = hr.agg(sum(col("hr")).as("s"))
+          h = hr.crossJoin(sh)
+            .select(col("id"), grid9(col("hr") / col("s")).as("h"))
+            .localCheckpoint()
+        }
+        a.join(h, "id")
+          .select(col("id").as("user_id"), col("a").as("authority"), col("h").as("hub"))
+          .orderBy(col("authority").desc, col("user_id").asc)
+          .limit(20)
+      },
+      Some(hitsOracle(HitsIters)))
   )
+
+  /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */
+  private def hitsOracle(iters: Int): String =
+    s"""WITH $eventGraphBaseCte,
+       |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+       |edges AS MATERIALIZED (SELECT src, dst FROM edges0),
+       |h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS h FROM nodes),
+       |${hitsOracleSteps(iters)}
+       |SELECT aa.id AS user_id, aa.a AS authority, hh.h AS hub
+       |FROM aa$iters aa JOIN h$iters hh ON aa.id = hh.id
+       |ORDER BY authority DESC, user_id ASC LIMIT 20""".stripMargin
+
+  /** The per-iteration (authority, norm, hub, norm) CTE quadruples of
+    * g07's loop — every float expression in the same op order as the
+    * Spark side, gridded per half-step. MATERIALIZED for the same
+    * 2^iters-inlining reason as [[pageRankOracleSteps]]. */
+  private def hitsOracleSteps(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""ai$i AS MATERIALIZED (
+         |  SELECT e.dst, sum(h.h) AS ain
+         |  FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
+         |ar$i AS MATERIALIZED (
+         |  SELECT nd.id, coalesce(a.ain, CAST(0 AS DOUBLE)) AS ar
+         |  FROM nodes nd LEFT JOIN ai$i a ON nd.id = a.dst),
+         |sa$i AS MATERIALIZED (SELECT sum(ar) AS s FROM ar$i),
+         |aa$i AS MATERIALIZED (
+         |  SELECT id, FLOOR(ar / s * 1000000000 + 0.5) / 1000000000 AS a
+         |  FROM ar$i, sa$i),
+         |ho$i AS MATERIALIZED (
+         |  SELECT e.src, sum(a.a) AS hout
+         |  FROM edges e JOIN aa$i a ON a.id = e.dst GROUP BY 1),
+         |hr$i AS MATERIALIZED (
+         |  SELECT nd.id, coalesce(o.hout, CAST(0 AS DOUBLE)) AS hr
+         |  FROM nodes nd LEFT JOIN ho$i o ON nd.id = o.src),
+         |sh$i AS MATERIALIZED (SELECT sum(hr) AS s FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT id, FLOOR(hr / s * 1000000000 + 0.5) / 1000000000 AS h
+         |  FROM hr$i, sh$i)""".stripMargin
+    }.mkString(",\n")
 
   /** The per-round (degree, survivor, edge) CTE triples of g05's peel for
     * the DuckDB oracle — identical unroll count as the Spark loop. */

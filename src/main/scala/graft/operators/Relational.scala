@@ -1307,6 +1307,53 @@ object Relational {
               SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
               FROM orders CROSS JOIN np
               GROUP BY o_custkey, np.np
-              HAVING count(DISTINCT o_orderpriority) = np.np"""))
+              HAVING count(DISTINCT o_orderpriority) = np.np""")),
+
+    // ---- q65: reorder latency (consecutive-order gaps) -------------------
+    // HOW LONG between a customer's consecutive orders — the repurchase-
+    // cadence profile behind churn models and demand forecasting, and the
+    // TPC-H twin of s11's event-cadence operator. One lag over each
+    // customer's order history (epoch-day arithmetic — both engines
+    // integer-exact), then a market-segment rollup. Scale: the window's
+    // o_custkey exchange is REUSED by the customer join (both sides hash
+    // on the customer key, orders already partitioned from the window);
+    // the segment aggregate's output is 5 rows. avg is exact-long-sum /
+    // count, one gridded division — never a float sum.
+    ("q65_reorder_gap",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("od_us").asc, col("o_orderkey").asc)
+        val gaps = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate")).as("od_us"))
+          .withColumn("prev_us", lag(col("od_us"), 1).over(w))
+          .filter(col("prev_us").isNotNull)
+          .withColumn("gap_days", expr("(od_us - prev_us) div 86400000000"))
+        gaps.join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_days")).as("min_gap_days"),
+            max(col("gap_days")).as("max_gap_days"),
+            (floor(sum(col("gap_days")).cast("double") / count(lit(1))
+              * 1000000 + 0.5) / 1000000).as("avg_gap_days"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+                                epoch_us(o_orderdate::TIMESTAMP) AS od_us
+                         FROM orders),
+              g AS (SELECT o_custkey,
+                      (od_us - lag(od_us) OVER (PARTITION BY o_custkey
+                         ORDER BY od_us ASC, o_orderkey ASC)) // 86400000000
+                        AS gap_days
+                    FROM o),
+              gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL)
+              SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+                     CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+                     CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+                     FLOOR(CAST(sum(gap_days) AS DOUBLE) / count(*)
+                           * 1000000 + 0.5) / 1000000 AS avg_gap_days
+              FROM gg JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1"""))
   )
 }

@@ -596,6 +596,24 @@ object RelationalSql {
         |SELECT o_custkey, count(*) AS n_orders
         |FROM orders CROSS JOIN np
         |GROUP BY o_custkey, np.np
-        |HAVING count(DISTINCT o_orderpriority) = np.np""".stripMargin
+        |HAVING count(DISTINCT o_orderpriority) = np.np""".stripMargin,
+
+    "q65_reorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  unix_micros(o_orderdate) AS od_us
+        |           FROM orders),
+        |g AS (SELECT o_custkey,
+        |        (od_us - lag(od_us) OVER (PARTITION BY o_custkey
+        |           ORDER BY od_us ASC, o_orderkey ASC)) div 86400000000
+        |          AS gap_days
+        |      FROM o),
+        |gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL)
+        |SELECT c_mktsegment, count(*) AS n_gaps,
+        |       min(gap_days) AS min_gap_days,
+        |       max(gap_days) AS max_gap_days,
+        |       floor(CAST(sum(gap_days) AS DOUBLE) / count(*)
+        |             * 1000000 + 0.5) / 1000000 AS avg_gap_days
+        |FROM gg JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -1025,7 +1025,74 @@ object TextAnalysis {
                             - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
                            / (CAST(t AS DOUBLE) * CAST(nd AS DOUBLE))
                            * 1000000 + 0.5) / 1000000 AS vmr
-              FROM ws, n ORDER BY freq DESC, word ASC LIMIT 20"""))
+              FROM ws, n ORDER BY freq DESC, word ASC LIMIT 20""")),
+
+    // ---- t25: vocabulary growth curve (Heaps' law profile) ---------------
+    // HOW FAST the vocabulary grows as the corpus is consumed — Heaps'
+    // law (V ∝ Tᵝ) is the sizing input for tokenizer vocab budgets and
+    // the standard synthetic-text tell (generated corpora saturate early;
+    // organic text keeps minting types). Ten ingest checkpoints over
+    // doc_id order; a word counts as NEW in the checkpoint bucket of its
+    // FIRST document. No global sort anywhere: the bucket is pure integer
+    // arithmetic on (doc_id − lo) against a 1-row min/max broadcast, so
+    // bucketing is map-side; first occurrence is a word-keyed min
+    // aggregate (vocabulary-sized, on its own exchange — the t06
+    // discipline, nothing vocabulary-sized broadcast or collected); the
+    // cumulative sums run on the TEN-row bucket frame. Float = one
+    // gridded division (type-token ratio of two exact longs).
+    ("t25_heaps",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        def bucketOf(c: String) = expr(s"(($c - lo) * 10) div (hi - lo + 1)")
+        val tb = docs
+          .select(col("doc_id"), size(words(col("text"))).cast("long").as("ntok"))
+          .crossJoin(broadcast(bounds))
+          .groupBy(bucketOf("doc_id").as("bucket"))
+          .agg(sum(col("ntok")).as("n_tokens"))
+        val vb = docs
+          .select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(bounds))
+          .groupBy(bucketOf("first_doc").as("bucket"))
+          .agg(count(lit(1)).as("new_words"))
+        val wCum = Window.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tb.join(vb, Seq("bucket"), "left")
+          .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+          .withColumn("cum_vocab", sum(col("new_words")).over(wCum))
+          .select(col("bucket"), col("n_tokens"), col("new_words"),
+            col("cum_tokens"), col("cum_vocab"),
+            micro(col("cum_vocab").cast("double") / col("cum_tokens")).as("ttr"))
+      },
+      Some("""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                         FROM documents),
+              tb AS (SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS bucket,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                              AS n_tokens
+                     FROM documents, b GROUP BY 1),
+              w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              fd AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY 1),
+              vb AS (SELECT ((first_doc - lo) * 10) // (hi - lo + 1) AS bucket,
+                            CAST(count(*) AS BIGINT) AS new_words
+                     FROM fd, b GROUP BY 1),
+              j AS (SELECT tb.bucket, tb.n_tokens,
+                           coalesce(vb.new_words, CAST(0 AS BIGINT)) AS new_words
+                    FROM tb LEFT JOIN vb ON tb.bucket = vb.bucket),
+              c AS (SELECT bucket, n_tokens, new_words,
+                      CAST(sum(n_tokens) OVER (ORDER BY bucket ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tokens,
+                      CAST(sum(new_words) OVER (ORDER BY bucket ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_vocab
+                    FROM j)
+              SELECT bucket, n_tokens, new_words, cum_tokens, cum_vocab,
+                     FLOOR(CAST(cum_vocab AS DOUBLE) / cum_tokens
+                           * 1000000 + 0.5) / 1000000 AS ttr
+              FROM c"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

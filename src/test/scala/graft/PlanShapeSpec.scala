@@ -505,4 +505,27 @@ class PlanShapeSpec extends AnyFunSuite {
         s"epoch-level window over non-aggregated data:\n${w.treeString.take(400)}")
     }
   }
+
+  test("q65 reorder gaps: custkey exchange reused by window and join") {
+    // The orders side is hash-partitioned on o_custkey by the lag window;
+    // the customer equi-join must reuse that partitioning, adding only
+    // the customer-side exchange and the 5-row segment aggregate — an
+    // orders-side re-shuffle means the join key stopped matching the
+    // window key.
+    val p = planOf("q65_reorder_gap")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"window + customer + segment agg only, got $exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t25 heaps: nothing vocabulary-sized is broadcast or collected") {
+    // First occurrence is a word-keyed min on the explode's own exchange;
+    // the only broadcasts are the 1-row min/max bounds and the ten-row
+    // bucket frames. A vocabulary-sized broadcast would OOM the driver
+    // at corpus scale.
+    val p = planOf("t25_heaps")
+    val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts <= 3, s"bounds + ten-row frame broadcasts only, got $bcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -107,14 +107,15 @@ object ScaleSmokeMain {
       // q63/p09 read TPC-H tables the smoke dir doesn't replicate;
       // v14/v15 read embeddings (same); m-family timing is decode-bound
       // (MultimodalSpec owns its semantics).
-      // s14 is absent like q56: its literal touch/purchase type filter
-      // matches nothing in the replica-PREFIXED type domain, so its
-      // smoke timing would measure an empty result's window pass.
+      // s14/s17 are absent like q56: their literal touch/purchase type
+      // filters match nothing in the replica-PREFIXED type domain, so
+      // their smoke timing would measure an empty result's window pass.
       "d17_crawl_diff", "t21_readability", "t22_lexical_diversity",
       "t23_keyness", "t24_burstiness", "p10_epoch_plan", "p11_manifest",
       "q62_gaps_islands",
       "s11_event_gaps", "s15_transitions",
-      "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite")
+      "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite",
+      "t25_heaps", "g07_hits")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
