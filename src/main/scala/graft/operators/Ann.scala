@@ -530,7 +530,54 @@ object Ann {
               SELECT cluster, CAST(count(*) AS BIGINT) AS n,
                      CAST(min(g) AS DOUBLE) / 1000000 AS min_sim,
                      CAST(max(g) AS DOUBLE) / 1000000 AS max_sim
-              FROM assigned GROUP BY cluster"""))
+              FROM assigned GROUP BY cluster""")),
+
+    // ---- v16: pairwise-similarity histogram (corpus geometry probe) ------
+    // WHAT the embedding space looks like — the sampled pairwise-cosine
+    // distribution is the standard corpus-geometry diagnostic: synthetic
+    // or mode-collapsed embeddings pile up near 1.0, healthy diverse
+    // corpora spread wide, and a drifted encoder shows as a shifted mode
+    // (v14 measures drift between snapshots; this profiles ONE snapshot).
+    // The sample is a deterministic fixed-SIZE draw — top-64 by
+    // md5(vec_id) (the p04 shuffle key: uniform, engine-portable) via
+    // TakeOrdered, so the pair count is 64·63/2 = 2016 whatever the
+    // corpus size: the quadratic stays capped by construction, the
+    // 64-row side broadcasts, and no full pairwise join exists at any
+    // scale. Cosines bucket into 20 fixed-width bins over [−1, 1] —
+    // pure arithmetic on the bit-identical cosine both engines compute
+    // (v01-proven), no float aggregation at all.
+    ("v16_sim_histogram",
+      (s, d) => {
+        val sample = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            md5(col("vec_id").cast("string")).as("skey"))
+          .orderBy(col("skey").asc, col("vec_id").asc)
+          .limit(64)
+          .select(col("vec_id"), col("embedding"))
+        val a = sample.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = sample.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(broadcast(b), col("a_id") < col("b_id"))
+          .select(cosine(col("a_emb"), col("b_emb")).as("c"))
+          .select(least(floor((col("c") + 1) * 10).cast("long"), lit(19L)).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("bin"), (lit(-1.0) + col("bin") / 10.0).as("bin_lo"),
+            col("n_pairs"))
+      },
+      Some("""WITH s AS (SELECT vec_id, embedding FROM embeddings
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                         LIMIT 64),
+              p AS (SELECT list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]) AS c
+                    FROM s a JOIN s b ON a.vec_id < b.vec_id),
+              bins AS (SELECT LEAST(CAST(FLOOR((c + 1) * 10) AS BIGINT),
+                                    CAST(19 AS BIGINT)) AS bin
+                       FROM p)
+              SELECT bin,
+                     CAST(-1 AS DOUBLE) + CAST(bin AS DOUBLE) / CAST(10 AS DOUBLE)
+                       AS bin_lo,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM bins GROUP BY bin"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

@@ -951,7 +951,35 @@ object Dedup {
                            ELSE 'modified' END AS status
                     FROM old o FULL OUTER JOIN nw n ON n.doc_id = o.doc_id)
               SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
-              FROM j GROUP BY 1, 2"""))
+              FROM j GROUP BY 1, 2""")),
+
+    // ---- d18: soft dedup (down-weighting instead of dropping) ------------
+    // The MODERN dedup policy: under a fixed token budget, repeated data
+    // still has value at diminishing returns (Muennighoff et al. 2023,
+    // data-constrained scaling) — so instead of d01's hard drop, keep ONE
+    // representative per exact-duplicate group carrying (a) a sampling
+    // weight 1/n that makes the corpus distribution uniform over DISTINCT
+    // content, and (b) an epoch cap (min(n, 4) — the ~4-repeat knee of
+    // the public scaling study) for the repeat-budget planner. Shape at
+    // scale: EXACTLY d01's one md5-keyed aggregate with map-side combine
+    // — the policy change is free; representative = min(doc_id) is
+    // deterministic, the weight one gridded division of exact longs.
+    ("d18_soft_dedup",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"),
+          (floor(lit(1.0) / col("n_copies") * 1000000 + 0.5) / 1000000)
+            .as("keep_weight"),
+          least(col("n_copies"), lit(4L)).as("effective_epochs")),
+      Some("""SELECT min(doc_id) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_copies,
+                     FLOOR(CAST(1 AS DOUBLE) / count(*) * 1000000 + 0.5)
+                       / 1000000 AS keep_weight,
+                     LEAST(CAST(count(*) AS BIGINT), CAST(4 AS BIGINT))
+                       AS effective_epochs
+              FROM documents GROUP BY md5(text)"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -1355,5 +1355,38 @@ object Relational {
                            * 1000000 + 0.5) / 1000000 AS avg_gap_days
               FROM gg JOIN customer ON o_custkey = c_custkey
               GROUP BY 1"""))
+,
+    // ---- q66: argmax aggregation (latest record without a window) --------
+    // The latest-record-per-key pattern (CDC compaction, "current state"
+    // views) done the scale-RIGHT way: max_by/arg_max carries ONE row per
+    // key through a map-side-combined aggregate, where the ubiquitous
+    // row_number()=1 rewrite pays a full per-key sort of every record.
+    // Determinism under order-key ties: the ordering value is the s14
+    // packed string (zero-padded epoch-us ‖ zero-padded orderkey, both
+    // 20 wide — a long never truncates), so both engines agree bytewise
+    // even when two orders share a date. One aggregate, no window, no
+    // join; output is customer-sized.
+    ("q66_argmax",
+      (s, d) => {
+        val pack = concat(
+          lpad(unix_micros(col("o_orderdate")).cast("string"), 20, "0"),
+          lpad(col("o_orderkey").cast("string"), 20, "0"))
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max_by(col("o_orderkey"), pack).as("last_orderkey"),
+            max_by(col("o_totalprice"), pack).as("last_price"),
+            min_by(col("o_orderkey"), pack).as("first_orderkey"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                     lpad(CAST(epoch_us(o_orderdate::TIMESTAMP) AS VARCHAR), 20, '0')
+                     || lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS pack
+              FROM orders)
+              SELECT o_custkey,
+                     arg_max(o_orderkey, pack) AS last_orderkey,
+                     arg_max(o_totalprice, pack) AS last_price,
+                     arg_min(o_orderkey, pack) AS first_orderkey,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM o GROUP BY 1"""))
   )
 }

@@ -614,6 +614,18 @@ object RelationalSql {
         |       floor(CAST(sum(gap_days) AS DOUBLE) / count(*)
         |             * 1000000 + 0.5) / 1000000 AS avg_gap_days
         |FROM gg JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q66_argmax" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |       concat(lpad(CAST(unix_micros(o_orderdate) AS STRING), 20, '0'),
+        |              lpad(CAST(o_orderkey AS STRING), 20, '0')) AS pack
+        |       FROM orders)
+        |SELECT o_custkey,
+        |       max_by(o_orderkey, pack) AS last_orderkey,
+        |       max_by(o_totalprice, pack) AS last_price,
+        |       min_by(o_orderkey, pack) AS first_orderkey,
+        |       count(*) AS n_orders
+        |FROM o GROUP BY o_custkey""".stripMargin
   )
 }
