@@ -183,8 +183,7 @@ object Graph {
     * the whole lag-window extraction per consumer). */
   private def orientedEdges(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val und = undirectedEdges(s, d)
-    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
+    val deg = degreesOf(und)
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val dir = und
@@ -206,6 +205,15 @@ object Graph {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint()
+
+  /** Undirected degrees `deg(x, dg)` of an `und(u, v)` edge frame — the
+    * one definition of the degree rule, shared by [[orientedEdges]]
+    * (g02/g04) and g08's histogram. g08 takes this directly rather than
+    * calling orientedEdges: localCheckpoint is EAGER, so the tuple form
+    * would materialize the `dir` double-join g08 never reads. */
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
 
   /** The oracle twin of [[undirectedEdges]]: `und(u, v)` from `edges0`. */
   private val undirectedCte: String =
@@ -572,6 +580,50 @@ object Graph {
           .limit(20)
       },
       Some(hitsOracle(HitsIters)))
+,
+    // ---- g08: degree distribution + power-law fit ------------------------
+    // IS the graph scale-free — the first question asked of any new
+    // interaction graph, because every downstream choice (g02's
+    // degree-ordering bound, skew salting, hub capping) assumes heavy
+    // tails. Histogram of undirected degrees with the complementary
+    // cumulative (CCDF — the standard power-law view; the plain
+    // histogram's noisy tail hides the slope) and a log-log OLS exponent
+    // (regr_slope, the t14 Zipf machinery on graph data). Shape at
+    // scale: degrees are one node-keyed aggregate; the histogram is
+    // DEGREE-CLASS-sized (≤ max-degree rows), so the CCDF window and
+    // the fit run on a frame that stays tiny whatever the edge count;
+    // the 1-row fit broadcasts back onto the histogram.
+    ("g08_degree_dist",
+      (s, d) => {
+        val deg = degreesOf(undirectedEdges(s, d))
+        val h = deg.groupBy(col("dg")).agg(count(lit(1)).as("n_nodes"))
+          .localCheckpoint()
+        val wTail = Window.orderBy(col("dg").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fit = h.agg(
+          (floor(regr_slope(log(col("n_nodes")), log(col("dg")))
+            * 1000000 + 0.5) / 1000000).as("alpha"))
+        h.withColumn("n_nodes_ge", sum(col("n_nodes")).over(wTail))
+          .crossJoin(broadcast(fit))
+          .select(col("dg"), col("n_nodes"), col("n_nodes_ge"), col("alpha"))
+      },
+      Some(s"""WITH $eventGraphBaseCte,
+              $undirectedCte,
+              dg0 AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS dg
+                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+                GROUP BY 1),
+              h AS MATERIALIZED (
+                SELECT dg, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM dg0 GROUP BY 1),
+              fit AS (SELECT FLOOR(regr_slope(ln(n_nodes), ln(dg))
+                             * 1000000 + 0.5) / 1000000 AS alpha FROM h)
+              SELECT dg, n_nodes,
+                     CAST(sum(n_nodes) OVER (ORDER BY dg DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_nodes_ge,
+                     alpha
+              FROM h, fit"""))
   )
 
   /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */

@@ -1092,7 +1092,118 @@ object TextAnalysis {
               SELECT bucket, n_tokens, new_words, cum_tokens, cum_vocab,
                      FLOOR(CAST(cum_vocab AS DOUBLE) / cum_tokens
                            * 1000000 + 0.5) / 1000000 AS ttr
-              FROM c"""))
+              FROM c""")),
+
+    // ---- t26: source vocabulary overlap matrix ---------------------------
+    // HOW MUCH two crawl sources share language — the cross-source
+    // contamination diagnostic (a mirror site or re-crawled slice shows
+    // as near-1.0 overlap; a synthetic source shows as an outlier
+    // against every organic one). Each source is profiled by its top-100
+    // terms (t14's deterministic (count desc, word asc) ranking), then
+    // the |sources|² pair matrix is Jaccard over those PROFILES — never
+    // over the corpora. Shape at scale: the (source, word) aggregate
+    // collapses the corpus first (map-side combine); the top-100 rank
+    // rides a source-keyed window on the vocabulary-sized frame; the
+    // pair join carries ≤ 100·|sources| profile rows — dimension-scale
+    // whatever the corpus. Jaccard = one gridded division of exact
+    // longs (n / (|A| + |B| − n)).
+    ("t26_source_overlap",
+      (s, d) => {
+        val wRank = Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("word").asc)
+        val prof = Tables.documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 100)
+          .select(col("source"), col("word"))
+          .localCheckpoint()
+        val sizes = prof.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val common = prof.select(col("source").as("source_a"), col("word"))
+          .join(prof.select(col("source").as("source_b"), col("word")), "word")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("sa"))), "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("sb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_common"),
+            micro(col("n_common").cast("double")
+              / (col("sa") + col("sb") - col("n_common"))).as("jaccard"))
+      },
+      Some("""WITH sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                           FROM documents)
+                     GROUP BY 1, 2),
+              prof AS (SELECT source, word FROM
+                         (SELECT source, word,
+                                 row_number() OVER (PARTITION BY source
+                                   ORDER BY c DESC, word ASC) AS rnk
+                          FROM sw)
+                       WHERE rnk <= 100),
+              sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+                        FROM prof GROUP BY 1),
+              com AS (SELECT a.source AS source_a, b.source AS source_b,
+                             CAST(count(*) AS BIGINT) AS n_common
+                      FROM prof a JOIN prof b ON a.word = b.word
+                                             AND a.source < b.source
+                      GROUP BY 1, 2)
+              SELECT c.source_a, c.source_b, c.n_common,
+                     FLOOR(CAST(c.n_common AS DOUBLE)
+                           / (sa.sz + sb.sz - c.n_common)
+                           * 1000000 + 0.5) / 1000000 AS jaccard
+              FROM com c
+              JOIN sizes sa ON c.source_a = sa.source
+              JOIN sizes sb ON c.source_b = sb.source""")),
+
+    // ---- t27: character-entropy junk filter ------------------------------
+    // WHAT the word-level signals can't see: base64 blobs, hex dumps,
+    // minified/compressed payloads and repeated-char padding all sit far
+    // from natural text's ~4 bits/char, but tokenize into "words" that
+    // fool t02/t22. Shannon entropy over code points, computed by ONE
+    // codegen'd kernel pass per row ([[graft-codegen-kernels]]:
+    // CharEntropyExpr sums −p·log₂p in deterministic ascending
+    // code-point order — no char explode, which would shuffle
+    // corpus×chars rows; zero exchanges before the final census).
+    // Output is the per-(source, band) census the gate operator needs:
+    // low < 3 bits (encoded/padded junk), high > 4.7 (noise), else
+    // normal.
+    ("t27_char_entropy",
+      (s, d) => {
+        val th = org.apache.spark.sql.graft.TextHash
+        Tables.documents(s, d)
+          .select(col("source"),
+            micro(th.charEntropyCol(col("text"))).as("ent"))
+          .withColumn("band",
+            when(col("ent") < 3.0, "low")
+              .when(col("ent") > 4.7, "high")
+              .otherwise("normal"))
+          .groupBy(col("source"), col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("ent")).as("min_entropy"),
+            max(col("ent")).as("max_entropy"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, source,
+                                 unnest(string_split(text, '')) AS c
+                          FROM documents),
+              cc AS (SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS n
+                     FROM ch GROUP BY 1, 2, 3),
+              tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t
+                      FROM cc GROUP BY 1),
+              ent AS (SELECT cc.source,
+                        FLOOR(sum(-(CAST(cc.n AS DOUBLE) / tot.t)
+                                  * log2(CAST(cc.n AS DOUBLE) / tot.t))
+                              * 1000000 + 0.5) / 1000000 AS ent
+                      FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+                      GROUP BY cc.doc_id, cc.source),
+              banded AS (SELECT source, ent,
+                           CASE WHEN ent < 3.0 THEN 'low'
+                                WHEN ent > 4.7 THEN 'high'
+                                ELSE 'normal' END AS band
+                         FROM ent)
+              SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
+                     min(ent) AS min_entropy, max(ent) AS max_entropy
+              FROM banded GROUP BY 1, 2"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

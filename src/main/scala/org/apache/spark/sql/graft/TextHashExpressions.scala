@@ -7,7 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** BPE merge model: rank lookup keyed "left right" (space-joined — the
@@ -354,6 +354,36 @@ object TextHash {
     total
   }
 
+  /** Shannon entropy in bits per character over Unicode code points —
+    * the encoded-junk detector (base64 blobs, hex dumps and compressed
+    * payloads sit far from natural text's ~4 bits/char). One pass to
+    * count, then the Σ −p·log₂p sum in ASCENDING code-point order
+    * (TreeMap) so the float result is deterministic per input; the
+    * cross-engine comparison still grids (DuckDB sums in group-hash
+    * order and its log2 is a different libm path — both land inside a
+    * 1e-6 grid cell for entropies in [0, 21)). Empty text → 0.0. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val ln2 = math.log(2.0)
+    var e = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      e -= p * (math.log(p) / ln2)
+    }
+    e
+  }
+
   /** Hash a stop-word list the way [[qualityFeatures]] hashes tokens. */
   def stopWordHashes(stop: Seq[String]): Array[Long] =
     stop.map { w =>
@@ -526,6 +556,17 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Code-point Shannon entropy (bits/char) — see [[TextHash.charEntropy]]. */
+  case class CharEntropyExpr(child: Expression) extends TextHashExpr {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_char_entropy"
+    override protected def nullSafeEval(a: Any): Any =
+      charEntropy(a.asInstanceOf[UTF8String])
+    override protected def call(x: String): String =
+      s"org.apache.spark.sql.graft.TextHash.charEntropy($x)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit SimHash signature. */
   case class SimHash64(child: Expression, n: Int) extends TextHashExpr {
     override def dataType: DataType = LongType
@@ -552,4 +593,5 @@ object TextHash {
     mk(QualityFeaturesExpr(ex(c), stop, normalize))
   def bpeTokenCountCol(c: Column, merges: Seq[String]): Column =
     mk(BpeTokenCountExpr(ex(c), merges))
+  def charEntropyCol(c: Column): Column = mk(CharEntropyExpr(ex(c)))
 }

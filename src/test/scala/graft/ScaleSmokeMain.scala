@@ -115,7 +115,8 @@ object ScaleSmokeMain {
       "q62_gaps_islands",
       "s11_event_gaps", "s15_transitions",
       "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite",
-      "t25_heaps", "g07_hits", "d18_soft_dedup")
+      "t25_heaps", "g07_hits", "d18_soft_dedup", "g08_degree_dist",
+      "t26_source_overlap", "t27_char_entropy")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —

@@ -219,4 +219,28 @@ class TextHashPropertySpec extends AnyFunSuite {
     assert(m1.head == ("a", "b"), s"got $m1")
     assert(m1(1) == ("ab", "c"), s"got $m1")
   }
+
+  test("charEntropy: closed forms, determinism, and junk separation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def e(s: String) = TextHash.charEntropy(UTF8String.fromString(s))
+    // Single repeated char: zero bits.
+    assert(e("aaaaaaaa") == 0.0)
+    assert(e("") == 0.0)
+    // Uniform k-distinct-char string: exactly log2 k (p = 1/k is a
+    // power of two here, so the float math is exact).
+    assert(math.abs(e("abcd") - 2.0) < 1e-12)
+    assert(math.abs(e("abcdefgh") - 3.0) < 1e-12)
+    // Deterministic across calls and under char-order permutation of
+    // the same multiset (the TreeMap ascending sum order).
+    assert(e("hello world") == e("hello world"))
+    assert(e("dcba") == e("abcd"))
+    // The operating band: natural-ish text sits WELL above repeated
+    // padding and below full-random base64-ish strings' ceiling.
+    val natural = e("the quick brown fox jumps over the lazy dog")
+    val padding = e("xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+    assert(natural > 3.0 && padding < 1.0)
+    // Surrogate pairs: counted per code POINT, not per UTF-16 char —
+    // two distinct astral chars, uniform → exactly 1 bit.
+    assert(math.abs(e("😀😁") - 1.0) < 1e-12)
+  }
 }
