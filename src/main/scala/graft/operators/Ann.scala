@@ -577,7 +577,66 @@ object Ann {
                      CAST(-1 AS DOUBLE) + CAST(bin AS DOUBLE) / CAST(10 AS DOUBLE)
                        AS bin_lo,
                      CAST(count(*) AS BIGINT) AS n_pairs
-              FROM bins GROUP BY bin"""))
+              FROM bins GROUP BY bin""")),
+
+    // ---- v17: per-dimension embedding health (collapsed-dim audit) -----
+    // Embedding monitoring's first dashboard: per-DIMENSION stats across
+    // the corpus. A dimension whose range collapses (all vectors agree)
+    // carries no information — the classic symptom of representation
+    // collapse or a truncated export; a dimension with outlier range
+    // breaks quantizers (v08/v13 codebooks assume comparable scales).
+    // Exactness discipline: each float is quantized to the 2^-16 grid
+    // FIRST (float→double is exact, ×65536 is exact — power of two —
+    // and floor is exact, in both engines), so every aggregate below is
+    // INTEGER arithmetic with no merge-order sensitivity; the
+    // mean/variance doubles at the end are computed from exact integer
+    // sums by the same expression on both sides. Shape at scale: ONE
+    // posexplode → dim-keyed aggregate; partial aggregation collapses
+    // each scan task to ≤64 rows before the exchange, so the shuffle is
+    // (tasks × dims) rows whatever the corpus size. sumsq fits BIGINT
+    // to ~2^31 rows at this quantization; the 100 TB swap is the same
+    // sums in DECIMAL(38,0) — the plan shape doesn't change.
+    ("v17_dim_stats",
+      (s, d) => {
+        val q = 65536L
+        def micro(c: org.apache.spark.sql.Column) = floor(c * 1000000 + 0.5) / 1000000
+        Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            floor(col("x").cast("double") * q).cast("long").as("xq"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xq")).as("sum_q"),
+            sum(col("xq") * col("xq")).as("sumsq_q"),
+            min(col("xq")).as("min_q"),
+            max(col("xq")).as("max_q"))
+          .withColumn("mean6", micro(col("sum_q").cast("double") / q / col("n")))
+          .withColumn("var6", micro(
+            col("sumsq_q").cast("double") / (lit(q).cast("double") * q) / col("n")
+              - (col("sum_q").cast("double") / q / col("n"))
+                * (col("sum_q").cast("double") / q / col("n"))))
+          .withColumn("collapsed", (col("max_q") - col("min_q")) < lit(655L))
+      },
+      Some("""WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                                unnest(embedding::DOUBLE[]) AS x
+                         FROM embeddings),
+              xq AS (SELECT CAST(dim AS BIGINT) AS dim,
+                            CAST(FLOOR(x * 65536) AS BIGINT) AS xq
+                     FROM x),
+              agg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(xq) AS BIGINT) AS sum_q,
+                        CAST(sum(xq * xq) AS BIGINT) AS sumsq_q,
+                        min(xq) AS min_q, max(xq) AS max_q
+                      FROM xq GROUP BY 1)
+              SELECT dim, n, sum_q, sumsq_q, min_q, max_q,
+                     FLOOR(CAST(sum_q AS DOUBLE) / 65536 / n
+                           * 1000000 + 0.5) / 1000000 AS mean6,
+                     FLOOR((CAST(sumsq_q AS DOUBLE) / (65536.0 * 65536) / n
+                            - (CAST(sum_q AS DOUBLE) / 65536 / n)
+                              * (CAST(sum_q AS DOUBLE) / 65536 / n))
+                           * 1000000 + 0.5) / 1000000 AS var6,
+                     (max_q - min_q) < 655 AS collapsed
+              FROM agg"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

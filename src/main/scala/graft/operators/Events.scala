@@ -765,6 +765,64 @@ object Events {
                      FLOOR(sum(monetary) * 100 + 0.5) / 100 AS monetary,
                      FLOOR(CAST(sum(recency_days) AS DOUBLE) / count(*)
                            * 1000000 + 0.5) / 1000000 AS avg_recency_days
-              FROM sc GROUP BY 1"""))
+              FROM sc GROUP BY 1""")),
+
+    // ---- s18: peak concurrency (interval overlap counting) -------------
+    // "How many sessions were active at once, and when did load peak?" —
+    // the capacity-planning question behind every autoscaling dashboard.
+    // Each event opens a 5-minute activity interval; the peak is found
+    // with the sweep-line rewrite: explode each interval to a +1 (open)
+    // and −1 (close) delta, running-sum in time order per event_type,
+    // take the max. All integers — exact cross-engine. Tie discipline:
+    // closes sort BEFORE opens at the same instant (delta ASC), so a
+    // back-to-back interval isn't counted as overlapping — and the peak
+    // instant is the EARLIEST time the max is reached (min_by over the
+    // packed (concurrency, −t) would need two passes; arg-min on t among
+    // max rows via one filterless max_by on a packed ordering instead).
+    // Shape at scale: ONE window exchange keyed on event_type (the same
+    // partitioning s01/s07 use), then a per-type aggregate; the sweep is
+    // O(n log n) in each type's partition, never global.
+    ("s18_peak_concurrency",
+      (s, d) => {
+        val spanUs = 300000000L // 5 min
+        val e = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("t0"))
+        val deltas = e.select(col("event_type"), col("t0").as("t"), lit(1L).as("delta"))
+          .union(e.select(col("event_type"), (col("t0") + spanUs).as("t"),
+            lit(-1L).as("delta")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t").asc, col("delta").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // peak_t: the earliest t achieving the max, in the SAME aggregate
+        // as the max itself — min_by on the packed (MaxValue−conc ‖ t)
+        // ordering string (both components fixed-width, so bytewise =
+        // numeric): minimal pack ⇔ maximal conc, then earliest t. Rows
+        // tied on (t, delta) get window-order-dependent individual conc
+        // values, but the (conc, t) MULTISET is order-invariant, so both
+        // the max and the arg-min are deterministic.
+        deltas
+          .withColumn("conc", sum(col("delta")).over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("conc")).as("peak_concurrency"),
+            min_by(col("t"), concat(
+              lpad((lit(Long.MaxValue) - col("conc")).cast("string"), 20, "0"),
+              lpad(col("t").cast("string"), 20, "0"))).as("peak_t_us"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS t0
+                         FROM events),
+              deltas AS (SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta FROM e
+                         UNION ALL
+                         SELECT event_type, t0 + 300000000, CAST(-1 AS BIGINT) FROM e),
+              swept AS (SELECT event_type, t,
+                          CAST(sum(delta) OVER (PARTITION BY event_type
+                            ORDER BY t ASC, delta ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS conc
+                        FROM deltas)
+              SELECT event_type,
+                     max(conc) AS peak_concurrency,
+                     arg_min(t, lpad(CAST(9223372036854775807 - conc AS VARCHAR), 20, '0')
+                                || lpad(CAST(t AS VARCHAR), 20, '0')) AS peak_t_us
+              FROM swept GROUP BY 1"""))
   )
 }

@@ -623,7 +623,90 @@ object Graph {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS n_nodes_ge,
                      alpha
-              FROM h, fit"""))
+              FROM h, fit""")),
+
+    // ---- g09: neighbor-set Jaccard similarity (structural equivalence) -
+    // "Users who interact with the same people" — link prediction's
+    // classic feature and the graph twin of d04's document Jaccard. The
+    // all-pairs form is O(n²); the scalable form is the SAME inverted-
+    // index shape as the n-gram dedup ladder: enumerate co-neighbor
+    // pairs through each shared neighbor w (Σ_w deg(w)² candidate work),
+    // after restricting to the HUB-CAPPED subgraph (degree ≤ 256 — the
+    // df-cap rule; a hub's neighbor list pairs quadratically and
+    // contributes near-zero Jaccard, exactly like a stopword gram).
+    // The cap is part of the operator's declared semantics, so the
+    // oracle applies the identical rule — the result is EXACT on the
+    // capped subgraph, not approximate. On THIS synthetic graph (dense,
+    // max degree 185 at sf0.1) the cap is above every degree, so the
+    // output is the exact full answer; on the power-law graphs the
+    // operator targets, the cap is the knob that bounds Σ deg² — the
+    // same contract as d04's GramDfCap. τ = 0.5 keeps the strongly-
+    // equivalent tail (~3% of pairs at sf0.01). Counters are integers; the only
+    // division is the final gridded Jaccard. Two exchanges (by w, then
+    // by pair); both AQE-splittable — no single hot key because the cap
+    // bounds every neighbor list.
+    ("g09_jaccard",
+      (s, d) => {
+        val capDeg = 256L; val minJac = 0.5
+        val und = undirectedEdges(s, d)
+        val deg = degreesOf(und)
+        val keep = deg.filter(col("dg") <= capDeg)
+          .select(col("x"), col("dg")).localCheckpoint()
+        // adjacency of the capped subgraph: BOTH endpoints must survive
+        val adj = und
+          .join(keep.select(col("x").as("u")), "u")
+          .join(keep.select(col("x").as("v")), "v")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        // capped-subgraph degrees (≠ deg: a kept node may lose capped
+        // neighbors), one node-keyed aggregate
+        val cdeg = adj.select(col("u").as("x"))
+          .union(adj.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("cd"))
+        // co-neighbor pairs via shared neighbor w: (w,a) ⋈ (w,b), a<b
+        val inc = adj.select(col("u").as("w"), col("v").as("n"))
+          .union(adj.select(col("v").as("w"), col("u").as("n")))
+        val pairs = inc.as("l").join(inc.as("r"),
+            col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+          .groupBy(col("l.n").as("a_id"), col("r.n").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(cdeg.select(col("x").as("a_id"), col("cd").as("deg_a")), "a_id")
+          .join(cdeg.select(col("x").as("b_id"), col("cd").as("deg_b")), "b_id")
+          .withColumn("jac", grid9(col("inter").cast("double")
+            / (col("deg_a") + col("deg_b") - col("inter"))))
+          .filter(col("jac") >= minJac)
+          .select(col("a_id"), col("b_id"), col("inter"),
+            col("deg_a"), col("deg_b"), col("jac"))
+      },
+      Some(s"""WITH $eventGraphBaseCte,
+              $undirectedCte,
+              dg0 AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS dg
+                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+                GROUP BY 1),
+              keep AS MATERIALIZED (SELECT x FROM dg0 WHERE dg <= 256),
+              adj AS MATERIALIZED (
+                SELECT u, v FROM und
+                WHERE u IN (SELECT x FROM keep) AND v IN (SELECT x FROM keep)),
+              cdeg AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS cd
+                FROM (SELECT u AS x FROM adj UNION ALL SELECT v AS x FROM adj)
+                GROUP BY 1),
+              inc AS MATERIALIZED (
+                SELECT u AS w, v AS n FROM adj
+                UNION ALL SELECT v AS w, u AS n FROM adj),
+              pairs AS MATERIALIZED (
+                SELECT l.n AS a_id, r.n AS b_id, CAST(count(*) AS BIGINT) AS inter
+                FROM inc l JOIN inc r ON l.w = r.w AND l.n < r.n
+                GROUP BY 1, 2)
+              SELECT a_id, b_id, inter, da.cd AS deg_a, db.cd AS deg_b,
+                     FLOOR(CAST(inter AS DOUBLE) / (da.cd + db.cd - inter)
+                           * 1000000000 + 0.5) / 1000000000 AS jac
+              FROM pairs
+              JOIN cdeg da ON da.x = a_id JOIN cdeg db ON db.x = b_id
+              WHERE FLOOR(CAST(inter AS DOUBLE) / (da.cd + db.cd - inter)
+                          * 1000000000 + 0.5) / 1000000000 >= 0.5"""))
   )
 
   /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */

@@ -673,7 +673,55 @@ object Pipeline {
                      CAST(min(tok_start) AS BIGINT) AS tok_start,
                      md5(string_agg(CAST(doc_id AS VARCHAR), ','
                          ORDER BY tok_start ASC, doc_id ASC)) AS content_md5
-              FROM sh GROUP BY shard_id"""))
+              FROM sh GROUP BY shard_id""")),
+
+    // ---- p12: packing-efficiency report (pad-vs-concat decision) -------
+    // p02 packs by concatenation (zero padding, but documents straddle
+    // sequence boundaries); the alternative every trainer weighs is
+    // DOC-ALIGNED packing — each document starts a fresh sequence, the
+    // tail is padded — which wastes (⌈n/cap⌉·cap − n) tokens per doc but
+    // never splits a document. This report quantifies that trade per
+    // source: padded-sequence count, padding tokens, utilization, and
+    // the concat-sequence count p02 would produce from the same tokens —
+    // the numbers the pad-vs-concat decision is actually made on. Token
+    // counts are the REAL t17 BPE model (same as p02/p04), so the
+    // report describes the trainer's tokens, not a proxy. All counters
+    // are integers (exact); the single division is gridded. Shape at
+    // scale: one codegen'd token-count pass, ONE source-keyed aggregate
+    // — no window, no join, output is source-sized.
+    ("p12_pack_efficiency",
+      (s, d) => {
+        val cap = 512L
+        val t = Tables.documents(s, d).select(col("source"),
+          greatest(org.apache.spark.sql.graft.TextHash
+            .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)), lit(1L))
+            .as("nt"))
+          .withColumn("seqs", ceil(col("nt").cast("double") / cap).cast("long"))
+        t.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            sum(col("seqs")).as("n_seqs_padded"),
+            (sum(col("seqs")) * cap - sum(col("nt"))).as("padding_tokens"),
+            (floor(sum(col("nt")).cast("double")
+              / (sum(col("seqs")) * cap) * 1000000 + 0.5) / 1000000)
+              .as("utilization"),
+            ceil(sum(col("nt")).cast("double") / cap).cast("long")
+              .as("n_seqs_concat"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              t AS (SELECT d.source,
+                      greatest(b.n_tokens, 1) AS nt,
+                      CAST(ceil(greatest(b.n_tokens, 1) / 512.0) AS BIGINT) AS seqs
+                    FROM bpetok b JOIN documents d ON d.doc_id = b.doc_id)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens,
+                     CAST(sum(seqs) AS BIGINT) AS n_seqs_padded,
+                     CAST(sum(seqs) * 512 - sum(nt) AS BIGINT) AS padding_tokens,
+                     FLOOR(CAST(sum(nt) AS DOUBLE) / (sum(seqs) * 512)
+                           * 1000000 + 0.5) / 1000000 AS utilization,
+                     CAST(ceil(CAST(sum(nt) AS DOUBLE) / 512.0) AS BIGINT)
+                       AS n_seqs_concat
+              FROM t GROUP BY 1"""))
   )
 
   /** p04's deterministic shuffle + token-budget sharding core —

@@ -1387,6 +1387,45 @@ object Relational {
                      arg_max(o_totalprice, pack) AS last_price,
                      arg_min(o_orderkey, pack) AS first_orderkey,
                      CAST(count(*) AS BIGINT) AS n_orders
-              FROM o GROUP BY 1"""))
+              FROM o GROUP BY 1""")),
+
+    // ---- q67: frame-exclusion window (EXCLUDE CURRENT ROW analog) ------
+    // SQL:2011 window frames support EXCLUDE CURRENT ROW; Spark's
+    // WindowSpec doesn't. The declarative rewrite — leave-one-out over a
+    // whole partition is (sum − current)/(count − 1) — keeps the
+    // computation a single window pass (one exchange on the partition
+    // key, no self-join), which is also the SCALE-right shape: the naive
+    // "join each row to its n−1 siblings" form is Σ n_c² work. Sums run
+    // in DECIMAL(18,2) (o_totalprice carries 2 fractional digits, so the
+    // cast is value-exact) making the sum merge-order-insensitive; only
+    // the final division is gridded. Single-order customers get NULL
+    // (the frame is empty), pinning the same edge DuckDB's EXCLUDE
+    // produces — which the oracle exercises natively, so this is a
+    // machine-checked feature-parity proof, not just a lookalike.
+    ("q67_window_exclude",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        val price = col("o_totalprice").cast("decimal(18,2)")
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 300)
+          .withColumn("sum_all", sum(price).over(w))
+          .withColumn("cnt_all", count(lit(1)).over(w))
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(col("cnt_all") > 1,
+              micro((col("sum_all") - price).cast("double")
+                / (col("cnt_all") - 1)))
+              .as("loo_avg_price"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     FLOOR(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                               PARTITION BY o_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                               EXCLUDE CURRENT ROW) AS DOUBLE)
+                           / (count(*) OVER (
+                               PARTITION BY o_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                               EXCLUDE CURRENT ROW))
+                           * 1000000 + 0.5) / 1000000 AS loo_avg_price
+              FROM orders WHERE o_custkey < 300"""))
   )
 }

@@ -626,6 +626,19 @@ object RelationalSql {
         |       max_by(o_totalprice, pack) AS last_price,
         |       min_by(o_orderkey, pack) AS first_orderkey,
         |       count(*) AS n_orders
-        |FROM o GROUP BY o_custkey""".stripMargin
+        |FROM o GROUP BY o_custkey""".stripMargin,
+
+    "q67_window_exclude" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN cnt_all > 1 THEN
+        |         floor(CAST(sum_all - price AS DOUBLE) / (cnt_all - 1)
+        |               * 1000000 + 0.5) / 1000000
+        |       END AS loo_avg_price
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |          OVER (PARTITION BY o_custkey) AS sum_all,
+        |        count(*) OVER (PARTITION BY o_custkey) AS cnt_all
+        |      FROM orders WHERE o_custkey < 300)""".stripMargin
   )
 }

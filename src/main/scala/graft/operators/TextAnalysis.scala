@@ -1203,7 +1203,50 @@ object TextAnalysis {
                          FROM ent)
               SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
                      min(ent) AS min_entropy, max(ent) AS max_entropy
-              FROM banded GROUP BY 1, 2"""))
+              FROM banded GROUP BY 1, 2""")),
+
+    // ---- t28: sentence segmentation stats (structural quality) ---------
+    // The Gopher/C4 rule family keys on sentence structure ("docs with
+    // fewer than 3 sentences", "mean words per sentence outside
+    // [3, 90]") — length stats (t09) can't see it. Sentences are counted
+    // as runs of terminator punctuation ([.!?]+ — the run form so "?!"
+    // and "..." count once), a deliberately engine-portable definition:
+    // regexp_count on the codegen'd Spark side, regexp_extract_all
+    // length in the oracle, same greedy-run semantics in both regex
+    // engines. Words-per-sentence guards the zero-terminator case with
+    // greatest(runs, 1) rather than dropping the doc — headline-only
+    // docs are exactly what the downstream filter wants to see. Shape
+    // at scale: per-doc work is one codegen'd map pass (regex + split
+    // count), then ONE source-keyed aggregate — the t09 shape; nothing
+    // corpus-sized shuffles but the ~10-row source frame.
+    ("t28_sentences",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"),
+            regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sent"),
+            size(words(col("text"))).cast("long").as("n_words"))
+          .withColumn("wps",
+            col("n_words").cast("double") / greatest(col("n_sent"), lit(1L)))
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_sent")).as("total_sentences"),
+            micro(avg(col("n_sent"))).as("avg_sentences"),
+            micro(avg(col("wps"))).as("avg_words_per_sentence"),
+            count(when(col("n_sent") < 3, 1)).as("short_docs"))
+      },
+      Some("""WITH t AS (SELECT source,
+                     CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              FROM documents),
+              p AS (SELECT source, n_sent,
+                      CAST(n_words AS DOUBLE) / greatest(n_sent, 1) AS wps
+                    FROM t)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+                     FLOOR(avg(n_sent) * 1000000 + 0.5) / 1000000 AS avg_sentences,
+                     FLOOR(avg(wps) * 1000000 + 0.5) / 1000000 AS avg_words_per_sentence,
+                     CAST(count(*) FILTER (WHERE n_sent < 3) AS BIGINT) AS short_docs
+              FROM p GROUP BY 1"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20
