@@ -636,7 +636,79 @@ object Ann {
                               * (CAST(sum_q AS DOUBLE) / 65536 / n))
                            * 1000000 + 0.5) / 1000000 AS var6,
                      (max_q - min_q) < 655 AS collapsed
-              FROM agg"""))
+              FROM agg""")),
+
+    // ---- v18: SQ8 quantizer distortion audit ----------------------------
+    // Before shipping a quantized index (v13's SQ8, or PQ), the question
+    // is "how much cosine am I giving up?" — answered per DIMENSION by
+    // the reconstruction error of the quantizer against the real floats.
+    // Reuses v13's EXACT quantization rule (same clamp, same rounding,
+    // same degenerate-dim pin), reconstructs x̂ = mn + q·(mx−mn)/255,
+    // and reports per-dim step size, worst absolute error, and MSE. The
+    // error doubles are deterministic (identical op order both engines);
+    // the MSE SUM is made merge-order-insensitive the v17 way — each
+    // row's err² is floored onto the 1e-12 integer grid first, so the
+    // aggregate is exact BIGINT math (fits to ~1e8 rows × step²;
+    // DECIMAL(38,0) is the swap past that). max(|err|) needs no grid:
+    // max is order-free. Shape at scale: one posexplode pass for stats
+    // (64-key map-side-combined), one for errors — both shuffles carry
+    // (tasks × dims) partials only.
+    ("v18_sq8_distortion",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        val stats = e.select(posexplode(col("embedding")))
+          .groupBy(col("pos"))
+          .agg(min(col("col").cast("double")).as("mn"),
+            max(col("col").cast("double")).as("mx"))
+        val err = e.select(posexplode(col("embedding")))
+          .join(stats, "pos")
+          .withColumn("x", col("col").cast("double"))
+          .withColumn("q",
+            when(col("mx") === col("mn"), lit(0.0))
+              .otherwise(least(lit(255.0), greatest(lit(0.0),
+                floor((col("x") - col("mn")) * 255 / (col("mx") - col("mn"))
+                  + 0.5)))))
+          .withColumn("xhat",
+            when(col("mx") === col("mn"), col("mn"))
+              .otherwise(col("mn") + col("q") * (col("mx") - col("mn")) / 255))
+          .withColumn("e", col("x") - col("xhat"))
+        err.groupBy((col("pos") + 1).cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            (floor((max(col("mx")) - max(col("mn"))) / 255 * 1000000000L + 0.5)
+              / 1000000000L).as("step9"),
+            (floor(max(abs(col("e"))) * 1000000000L + 0.5) / 1000000000L)
+              .as("max_abs_err9"),
+            (floor(sum(floor(col("e") * col("e") * 1e12).cast("long"))
+              .cast("double") / 1e12 / count(lit(1)) * 1000000000L + 0.5)
+              / 1000000000L).as("mse9"))
+      },
+      Some("""WITH base AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                WHERE vec_id <> 0),
+              x AS MATERIALIZED (
+                SELECT generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+                FROM base),
+              stats AS MATERIALIZED (
+                SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i),
+              err AS MATERIALIZED (
+                SELECT x.i, x.x, s.mn, s.mx,
+                       CASE WHEN s.mx = s.mn THEN CAST(0 AS DOUBLE)
+                            ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                              FLOOR((x.x - s.mn) * 255 / (s.mx - s.mn) + 0.5))) END AS q
+                FROM x JOIN stats s ON s.i = x.i),
+              e2 AS (SELECT i, mn, mx,
+                       x - (CASE WHEN mx = mn THEN mn
+                                 ELSE mn + q * (mx - mn) / 255 END) AS e
+                     FROM err)
+              SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+                     FLOOR((max(mx) - max(mn)) / 255 * 1000000000 + 0.5)
+                       / 1000000000 AS step9,
+                     FLOOR(max(abs(e)) * 1000000000 + 0.5) / 1000000000
+                       AS max_abs_err9,
+                     FLOOR(CAST(sum(CAST(FLOOR(e * e * 1e12) AS BIGINT)) AS DOUBLE)
+                           / 1e12 / count(*) * 1000000000 + 0.5) / 1000000000
+                       AS mse9
+              FROM e2 GROUP BY 1"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

@@ -706,7 +706,99 @@ object Graph {
               FROM pairs
               JOIN cdeg da ON da.x = a_id JOIN cdeg db ON db.x = b_id
               WHERE FLOOR(CAST(inter AS DOUBLE) / (da.cd + db.cd - inter)
-                          * 1000000000 + 0.5) / 1000000000 >= 0.5"""))
+                          * 1000000000 + 0.5) / 1000000000 >= 0.5""")),
+
+    // ---- g10: community conductance (partition-quality audit) ----------
+    // Are g03's temporal-proximity communities REAL communities of the
+    // full interaction graph, or artifacts of the 5-minute window? The
+    // standard answer is conductance: φ(C) = cut(C) / min(vol(C),
+    // 2m − vol(C)) — low φ means the community keeps its edges inside.
+    // Communities come from a TIGHT (10 s) proximity graph — g03's
+    // exact labeling machinery (shared minLabelPropagation) at a window
+    // that actually fragments this corpus into communities (the 300 s
+    // window merges it into one component, which would make the report
+    // a single row); cut/vol are measured on the FULL undirected
+    // interaction graph, where the cut is genuinely nonzero (on the
+    // proximity graph itself every component has φ = 0 by construction
+    // — a vacuous report). All counters are integers on the symmetrized edge
+    // stream: vol = labeled-endpoint degree sum, cut = edges whose
+    // other endpoint is outside the community (different label or
+    // unlabeled); the single division is gridded, with the φ = 0/0
+    // whole-graph edge pinned to 0 in both engines. Shape at scale: the
+    // CC loop is g03's (O(diameter) rounds, scalar-only fixpoint); the
+    // audit itself is two label joins on the edge stream's own key +
+    // ONE community aggregate + a 1-row total broadcast.
+    ("g10_conductance",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val prox = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .withColumn("src", lag(col("user_id"), 1).over(w))
+          .withColumn("src_ts", lag(col("ts_us"), 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id")
+            && col("ts_us") - col("src_ts") <= 10L * 1000000L)
+          .select(col("src").as("a_id"), col("user_id").as("b_id"))
+          .distinct()
+        val labels = minLabelPropagation(prox).localCheckpoint()
+        val und = undirectedEdges(s, d)
+        val sym = und.select(col("u").as("x"), col("v").as("y"))
+          .union(und.select(col("v").as("x"), col("u").as("y")))
+        val m2 = und.agg((count(lit(1)) * 2).as("m2"))
+        sym
+          .join(labels.select(col("doc_id").as("x"), col("label").as("lab_x")), "x")
+          .join(labels.select(col("doc_id").as("y"), col("label").as("lab_y")),
+            Seq("y"), "left")
+          .groupBy(col("lab_x").as("community"))
+          .agg(count(lit(1)).as("vol"),
+            count(when(col("lab_y").isNull || col("lab_y") =!= col("lab_x"), 1))
+              .as("cut"))
+          .crossJoin(broadcast(m2))
+          .select(col("community"), col("vol"), col("cut"),
+            when(least(col("vol"), col("m2") - col("vol")) === 0, lit(0.0))
+              .otherwise(grid9(col("cut").cast("double")
+                / least(col("vol"), col("m2") - col("vol"))))
+              .as("conductance"))
+      },
+      Some(s"""WITH RECURSIVE $eventGraphBaseCte,
+              $undirectedCte,
+              lag2 AS MATERIALIZED (
+                SELECT user_id, ts_us,
+                       lag(user_id) OVER (PARTITION BY event_type
+                                          ORDER BY ts_us ASC, event_id ASC) AS src,
+                       lag(ts_us) OVER (PARTITION BY event_type
+                                        ORDER BY ts_us ASC, event_id ASC) AS src_ts
+                FROM ev),
+              prox AS MATERIALIZED (
+                SELECT DISTINCT src AS a, user_id AS b FROM lag2
+                WHERE src IS NOT NULL AND src <> user_id
+                  AND ts_us - src_ts <= 10000000),
+              pedges AS MATERIALIZED (
+                SELECT a, b FROM prox UNION SELECT b, a FROM prox),
+              reach(a, b) AS (SELECT a, b FROM pedges
+                              UNION SELECT r.a, e.b FROM reach r JOIN pedges e ON r.b = e.a),
+              comp AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS label
+                                    FROM reach GROUP BY a),
+              sym AS MATERIALIZED (
+                SELECT u AS x, v AS y FROM und
+                UNION ALL SELECT v AS x, u AS y FROM und),
+              m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM und),
+              agg AS (SELECT cx.label AS community,
+                        CAST(count(*) AS BIGINT) AS vol,
+                        CAST(count(*) FILTER (WHERE cy.label IS NULL
+                                              OR cy.label <> cx.label) AS BIGINT) AS cut
+                      FROM sym
+                      JOIN comp cx ON cx.id = sym.x
+                      LEFT JOIN comp cy ON cy.id = sym.y
+                      GROUP BY 1)
+              SELECT community, vol, cut,
+                     CASE WHEN least(vol, m2.m2 - vol) = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE FLOOR(CAST(cut AS DOUBLE)
+                                     / least(vol, m2.m2 - vol)
+                                     * 1000000000 + 0.5) / 1000000000 END
+                       AS conductance
+              FROM agg, m2"""))
   )
 
   /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */

@@ -1426,6 +1426,34 @@ object Relational {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                                EXCLUDE CURRENT ROW))
                            * 1000000 + 0.5) / 1000000 AS loo_avg_price
-              FROM orders WHERE o_custkey < 300"""))
+              FROM orders WHERE o_custkey < 300""")),
+
+    // ---- q68: QUALIFY analog (filter on a window result) ---------------
+    // The other window-clause gap besides q67's EXCLUDE: QUALIFY —
+    // filtering rows BY a window function without a subquery. Spark has
+    // no QUALIFY keyword; the declarative rewrite is the window + a
+    // filter on its result, which Catalyst plans identically to a
+    // native QUALIFY (one custkey exchange, the filter above the window
+    // — top-3-per-group semantics with NO self-join and no extra
+    // shuffle; q37's GroupedTopK is the heap-based rung when k ≪ group
+    // size matters). Ordering ties broken by o_orderkey, so row_number
+    // is deterministic cross-engine. The DuckDB oracle uses the NATIVE
+    // QUALIFY clause — machine-checked feature parity, q67's
+    // discipline.
+    ("q68_qualify",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("rn").cast("long").as("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+              FROM orders
+              QUALIFY rn <= 3"""))
   )
 }

@@ -639,6 +639,14 @@ object RelationalSql {
         |        sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |          OVER (PARTITION BY o_custkey) AS sum_all,
         |        count(*) OVER (PARTITION BY o_custkey) AS cnt_all
-        |      FROM orders WHERE o_custkey < 300)""".stripMargin
+        |      FROM orders WHERE o_custkey < 300)""".stripMargin,
+
+    "q68_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin
   )
 }

@@ -1242,11 +1242,101 @@ object TextAnalysis {
                       CAST(n_words AS DOUBLE) / greatest(n_sent, 1) AS wps
                     FROM t)
               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(n_sent) AS BIGINT) AS total_sentences,
                      FLOOR(avg(n_sent) * 1000000 + 0.5) / 1000000 AS avg_sentences,
                      FLOOR(avg(wps) * 1000000 + 0.5) / 1000000 AS avg_words_per_sentence,
-                     CAST(count(*) FILTER (WHERE n_sent < 3) AS BIGINT) AS short_docs
-              FROM p GROUP BY 1"""))
+                     CAST(count(*) FILTER (WHERE n_sent < 3) AS BIGINT) AS short_docs,
+                     CAST(sum(n_sent) AS BIGINT) AS total_sentences
+              FROM p GROUP BY 1""")),
+
+    // ---- t29: collocation extraction by Dunning log-likelihood (G²) ----
+    // t11's PMI over-ranks rare pairs (two hapaxes co-occurring once get
+    // maximal PMI); the corpus-linguistics standard is Dunning's (1993)
+    // log-likelihood ratio, which weighs evidence by frequency: G² =
+    // 2·Σ O·ln(O/E) over the bigram's 2×2 contingency table. Counts are
+    // the SAME integer streams as t11 (bigram counts + unigram counts +
+    // 1-row total); each cell's term is written as
+    // O·((ln O + ln n) − ln r − ln c) — no O·n integer product, so
+    // nothing overflows at any corpus size, and the op order is
+    // IDENTICAL in the oracle so the doubles agree. Zero cells
+    // contribute zero (the 0·ln 0 limit), pinned by CASE/when on both
+    // sides. Top-50 ranked on the raw double with the bigram tiebreak
+    // (the t11 discipline). Shape at scale = t11's: bigram/unigram
+    // aggregates on their own exchanges, vocabulary-sized frames joined
+    // by key (never broadcast, never collected), TakeOrdered top-k.
+    ("t29_collocations",
+      (s, d) => {
+        val ws = Tables.documents(s, d).select(words(col("text")).as("ws"))
+        val uni = ws.select(explode(col("ws")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).as("n"))
+        val bi = ws.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(ws) - 2), " +
+              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        def term(o: Column, r: Column, c: Column, n: Column): Column =
+          when(o > 0, o.cast("double")
+            * ((log(o.cast("double")) + log(n.cast("double")))
+              - log(r.cast("double")) - log(c.cast("double"))))
+            .otherwise(lit(0.0))
+        val scored = bi
+          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+          .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+          .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("o11", col("c_ab"))
+          .withColumn("o12", col("c1") - col("c_ab"))
+          .withColumn("o21", col("c2") - col("c_ab"))
+          .withColumn("o22", col("n") - col("c1") - col("c2") + col("c_ab"))
+          .withColumn("g2_r", lit(2.0) * (
+            term(col("o11"), col("c1"), col("c2"), col("n"))
+              + term(col("o12"), col("c1"), col("n") - col("c2"), col("n"))
+              + term(col("o21"), col("n") - col("c1"), col("c2"), col("n"))
+              + term(col("o22"), col("n") - col("c1"), col("n") - col("c2"), col("n"))))
+        scored.orderBy(col("g2_r").desc, col("bigram").asc).limit(50)
+          .select(col("bigram"), col("c_ab"), col("c1"), col("c2"),
+            (floor(col("g2_r") * 1e6 + 0.5) / 1e6).as("g2"))
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+              uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+              bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+                     FROM (SELECT ws[i] || ' ' || ws[i+1] AS bg
+                           FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                                 FROM w WHERE len(ws) >= 2))
+                     GROUP BY bg HAVING count(*) >= 5),
+              cells AS (SELECT bg, c_ab, ua.c AS c1, ub.c AS c2, tot.n AS n,
+                          c_ab AS o11, ua.c - c_ab AS o12, ub.c - c_ab AS o21,
+                          tot.n - ua.c - ub.c + c_ab AS o22
+                        FROM bi
+                        JOIN uni ua ON ua.word = string_split(bg, ' ')[1]
+                        JOIN uni ub ON ub.word = string_split(bg, ' ')[2]
+                        CROSS JOIN tot),
+              s AS (SELECT bg, c_ab, c1, c2,
+                      2.0 * (
+                        (CASE WHEN o11 > 0 THEN CAST(o11 AS DOUBLE)
+                          * ((ln(CAST(o11 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
+                             - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                          ELSE 0 END)
+                        + (CASE WHEN o12 > 0 THEN CAST(o12 AS DOUBLE)
+                          * ((ln(CAST(o12 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
+                             - ln(CAST(c1 AS DOUBLE)) - ln(CAST(n - c2 AS DOUBLE)))
+                          ELSE 0 END)
+                        + (CASE WHEN o21 > 0 THEN CAST(o21 AS DOUBLE)
+                          * ((ln(CAST(o21 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
+                             - ln(CAST(n - c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                          ELSE 0 END)
+                        + (CASE WHEN o22 > 0 THEN CAST(o22 AS DOUBLE)
+                          * ((ln(CAST(o22 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
+                             - ln(CAST(n - c1 AS DOUBLE)) - ln(CAST(n - c2 AS DOUBLE)))
+                          ELSE 0 END)) AS g2_r
+                    FROM cells)
+              SELECT bg AS bigram, c_ab, c1, c2,
+                     FLOOR(g2_r * 1e6 + 0.5) / 1e6 AS g2
+              FROM s ORDER BY g2_r DESC, bg ASC LIMIT 50"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

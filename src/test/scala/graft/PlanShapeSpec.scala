@@ -528,4 +528,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bcasts <= 3, s"bounds + ten-row frame broadcasts only, got $bcasts")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q67 frame exclusion stays a single window pass — no self-join") {
+    // The naive EXCLUDE CURRENT ROW rewrite joins each row to its n−1
+    // partition siblings (Σ n_c² rows); the leave-one-out arithmetic
+    // form must be one window on the partition key's own exchange.
+    val p = planOf("q67_window_exclude")
+    assert(!p.contains("Join"), "leave-one-out must not self-join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"one custkey window exchange only, got $exchanges")
+  }
+
+  test("s18 sweep-line: one type-keyed exchange serves window AND peak agg") {
+    // The running sum hash-partitions by event_type; the per-type peak
+    // aggregate must reuse that partitioning, not add its own exchange.
+    val p = planOf("s18_peak_concurrency")
+    assert(!p.contains("Join"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"one event_type exchange only, got $exchanges")
+  }
+
+  test("t28/p12 per-doc kernels collapse through ONE source aggregate") {
+    for (n <- Seq("t28_sentences", "p12_pack_efficiency")) {
+      val p = planOf(n)
+      assert(!p.contains("Join"), s"$n must be join-free")
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"$n: one source-keyed exchange only, got $exchanges")
+    }
+  }
+
+  test("v17 dim stats partial-aggregate before the 64-key exchange") {
+    // The exchange must carry per-task partials (≤dims rows per task),
+    // never the exploded (rows × dims) stream.
+    val p = planOf("v17_dim_stats")
+    assert(p.contains("partial_sum"), "map-side combine must be present")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"one dim-keyed exchange only, got $exchanges")
+    assert(!p.contains("Join"))
+  }
+
+  test("g09 jaccard: inverted-index equi-joins only, no cartesian") {
+    // Co-neighbor enumeration must stay the shared-neighbor equi-join
+    // (Σ deg² bounded by the hub cap) — an all-pairs rewrite would show
+    // as a cartesian/nested-loop between node frames.
+    val p = planOf("g09_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -116,7 +116,10 @@ object ScaleSmokeMain {
       "s11_event_gaps", "s15_transitions",
       "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite",
       "t25_heaps", "g07_hits", "d18_soft_dedup", "g08_degree_dist",
-      "t26_source_overlap", "t27_char_entropy")
+      "t26_source_overlap", "t27_char_entropy",
+      // q67/v17 read TPC-H/embeddings tables (absent like q63/v14).
+      "t28_sentences", "p12_pack_efficiency", "s18_peak_concurrency",
+      "g09_jaccard")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
