@@ -600,7 +600,10 @@ object Ann {
       (s, d) => {
         val q = 65536L
         def micro(c: org.apache.spark.sql.Column) = floor(c * 1000000 + 0.5) / 1000000
+        // vec_id 0 is the reserved query vector (the v02/v13/v18 domain
+        // rule) — the audit must describe the CORPUS the quantizers see.
         Tables.embeddings(s, d)
+          .filter(col("vec_id") =!= 0)
           .select(posexplode(col("embedding")).as(Seq("pos", "x")))
           .select((col("pos") + 1).cast("long").as("dim"),
             floor(col("x").cast("double") * q).cast("long").as("xq"))
@@ -619,7 +622,7 @@ object Ann {
       },
       Some("""WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
                                 unnest(embedding::DOUBLE[]) AS x
-                         FROM embeddings),
+                         FROM embeddings WHERE vec_id <> 0),
               xq AS (SELECT CAST(dim AS BIGINT) AS dim,
                             CAST(FLOOR(x * 65536) AS BIGINT) AS xq
                      FROM x),

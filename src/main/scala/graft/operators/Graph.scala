@@ -57,6 +57,41 @@ object Graph {
   private[operators] def grid9(c: Column): Column =
     floor(c * 1000000000L + 0.5) / 1000000000L
 
+  /** Temporal-proximity edges: consecutive distinct actors in each
+    * event_type stream acting within `gapUs` of each other — ONE
+    * definition of the proximity rule shared by g03 (communities) and
+    * g10 (their conductance audit), so the tie/order/gap discipline
+    * can't drift between the labeling and the audit of those labels.
+    * [[proximityCte]] is its oracle twin. */
+  private def proximityEdges(s: SparkSession, d: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("src", lag(col("user_id"), 1).over(w))
+      .withColumn("src_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("user_id")
+        && col("ts_us") - col("src_ts") <= gapUs)
+      .select(col("src").as("a_id"), col("user_id").as("b_id"))
+      .distinct()
+  }
+
+  /** [[proximityEdges]] as DuckDB CTEs ending in `prox(a, b)` — expects
+    * `ev` (from [[eventGraphBaseCte]]) to be in scope. */
+  private def proximityCte(gapUs: Long): String =
+    s"""lag2 AS MATERIALIZED (
+       |  SELECT user_id, ts_us,
+       |         lag(user_id) OVER (PARTITION BY event_type
+       |                            ORDER BY ts_us ASC, event_id ASC) AS src,
+       |         lag(ts_us) OVER (PARTITION BY event_type
+       |                          ORDER BY ts_us ASC, event_id ASC) AS src_ts
+       |  FROM ev),
+       |prox AS MATERIALIZED (
+       |  SELECT DISTINCT src AS a, user_id AS b FROM lag2
+       |  WHERE src IS NOT NULL AND src <> user_id
+       |    AND ts_us - src_ts <= $gapUs)""".stripMargin
+
   /** Directed interaction edges: consecutive distinct actors in each
     * event_type stream, ordered by (ts, event_id) — deterministic. */
   private[graft] def interactionEdges(s: SparkSession, d: String): DataFrame = {
@@ -322,36 +357,15 @@ object Graph {
     // its size (the label IS the component's min user id).
     ("g03_components",
       (s, d) => {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_us").asc, col("event_id").asc)
-        val prox = Tables.events(s, d)
-          .select(col("event_type"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"), col("event_id"))
-          .withColumn("src", lag(col("user_id"), 1).over(w))
-          .withColumn("src_ts", lag(col("ts_us"), 1).over(w))
-          .filter(col("src").isNotNull && col("src") =!= col("user_id")
-            && col("ts_us") - col("src_ts") <= 300L * 1000000L)
-          .select(col("src").as("a_id"), col("user_id").as("b_id"))
-          .distinct()
-        minLabelPropagation(prox)
+        minLabelPropagation(proximityEdges(s, d, 300L * 1000000L))
           .groupBy(col("label").as("component"))
           .agg(count(lit(1)).as("n_users"))
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
               ev AS MATERIALIZED (
                 SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
                 FROM events),
-              lagged AS MATERIALIZED (
-                SELECT user_id, ts_us,
-                       lag(user_id) OVER (PARTITION BY event_type
-                                          ORDER BY ts_us ASC, event_id ASC) AS src,
-                       lag(ts_us) OVER (PARTITION BY event_type
-                                        ORDER BY ts_us ASC, event_id ASC) AS src_ts
-                FROM ev),
-              prox AS MATERIALIZED (
-                SELECT DISTINCT src AS a, user_id AS b FROM lagged
-                WHERE src IS NOT NULL AND src <> user_id
-                  AND ts_us - src_ts <= 300000000),
+              ${proximityCte(300000000L)},
               edges AS MATERIALIZED (
                 SELECT a, b FROM prox UNION SELECT b, a FROM prox),
               reach(a, b) AS (SELECT a, b FROM edges
@@ -730,18 +744,9 @@ object Graph {
     // ONE community aggregate + a 1-row total broadcast.
     ("g10_conductance",
       (s, d) => {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_us").asc, col("event_id").asc)
-        val prox = Tables.events(s, d)
-          .select(col("event_type"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"), col("event_id"))
-          .withColumn("src", lag(col("user_id"), 1).over(w))
-          .withColumn("src_ts", lag(col("ts_us"), 1).over(w))
-          .filter(col("src").isNotNull && col("src") =!= col("user_id")
-            && col("ts_us") - col("src_ts") <= 10L * 1000000L)
-          .select(col("src").as("a_id"), col("user_id").as("b_id"))
-          .distinct()
-        val labels = minLabelPropagation(prox).localCheckpoint()
+        val labels =
+          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L))
+            .localCheckpoint()
         val und = undirectedEdges(s, d)
         val sym = und.select(col("u").as("x"), col("v").as("y"))
           .union(und.select(col("v").as("x"), col("u").as("y")))
@@ -763,17 +768,7 @@ object Graph {
       },
       Some(s"""WITH RECURSIVE $eventGraphBaseCte,
               $undirectedCte,
-              lag2 AS MATERIALIZED (
-                SELECT user_id, ts_us,
-                       lag(user_id) OVER (PARTITION BY event_type
-                                          ORDER BY ts_us ASC, event_id ASC) AS src,
-                       lag(ts_us) OVER (PARTITION BY event_type
-                                        ORDER BY ts_us ASC, event_id ASC) AS src_ts
-                FROM ev),
-              prox AS MATERIALIZED (
-                SELECT DISTINCT src AS a, user_id AS b FROM lag2
-                WHERE src IS NOT NULL AND src <> user_id
-                  AND ts_us - src_ts <= 10000000),
+              ${proximityCte(10000000L)},
               pedges AS MATERIALIZED (
                 SELECT a, b FROM prox UNION SELECT b, a FROM prox),
               reach(a, b) AS (SELECT a, b FROM pedges

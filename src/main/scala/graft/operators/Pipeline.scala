@@ -682,7 +682,8 @@ object Pipeline {
     // tail is padded — which wastes (⌈n/cap⌉·cap − n) tokens per doc but
     // never splits a document. This report quantifies that trade per
     // source: padded-sequence count, padding tokens, utilization, and
-    // the concat-sequence count p02 would produce from the same tokens —
+    // the sequence count p02's concat strategy (applied source-locally)
+    // would produce from the same raw tokens —
     // the numbers the pad-vs-concat decision is actually made on. Token
     // counts are the REAL t17 BPE model (same as p02/p04), so the
     // report describes the trainer's tokens, not a proxy. All counters
@@ -692,34 +693,41 @@ object Pipeline {
     ("p12_pack_efficiency",
       (s, d) => {
         val cap = 512L
+        // The padded strategy clamps each doc to ≥1 sequence (a
+        // doc-aligned packer emits a sequence even for a token-less
+        // doc); the n_tokens/concat columns use the RAW counts p02
+        // consumes, so "n_seqs_concat" is p02's concat strategy applied
+        // source-locally to the same tokens — comparable per source
+        // (the registered p02's GLOBAL seq_id space differs by at most
+        // one boundary sequence per source).
         val t = Tables.documents(s, d).select(col("source"),
-          greatest(org.apache.spark.sql.graft.TextHash
-            .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)), lit(1L))
-            .as("nt"))
-          .withColumn("seqs", ceil(col("nt").cast("double") / cap).cast("long"))
+          org.apache.spark.sql.graft.TextHash
+            .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("raw"))
+          .withColumn("seqs",
+            ceil(greatest(col("raw"), lit(1L)).cast("double") / cap).cast("long"))
         t.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("nt")).as("n_tokens"),
+            sum(col("raw")).as("n_tokens"),
             sum(col("seqs")).as("n_seqs_padded"),
-            (sum(col("seqs")) * cap - sum(col("nt"))).as("padding_tokens"),
-            (floor(sum(col("nt")).cast("double")
+            (sum(col("seqs")) * cap - sum(col("raw"))).as("padding_tokens"),
+            (floor(sum(col("raw")).cast("double")
               / (sum(col("seqs")) * cap) * 1000000 + 0.5) / 1000000)
               .as("utilization"),
-            ceil(sum(col("nt")).cast("double") / cap).cast("long")
+            ceil(sum(col("raw")).cast("double") / cap).cast("long")
               .as("n_seqs_concat"))
       },
       Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
               t AS (SELECT d.source,
-                      greatest(b.n_tokens, 1) AS nt,
+                      b.n_tokens AS raw,
                       CAST(ceil(greatest(b.n_tokens, 1) / 512.0) AS BIGINT) AS seqs
                     FROM bpetok b JOIN documents d ON d.doc_id = b.doc_id)
               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(nt) AS BIGINT) AS n_tokens,
+                     CAST(sum(raw) AS BIGINT) AS n_tokens,
                      CAST(sum(seqs) AS BIGINT) AS n_seqs_padded,
-                     CAST(sum(seqs) * 512 - sum(nt) AS BIGINT) AS padding_tokens,
-                     FLOOR(CAST(sum(nt) AS DOUBLE) / (sum(seqs) * 512)
+                     CAST(sum(seqs) * 512 - sum(raw) AS BIGINT) AS padding_tokens,
+                     FLOOR(CAST(sum(raw) AS DOUBLE) / (sum(seqs) * 512)
                            * 1000000 + 0.5) / 1000000 AS utilization,
-                     CAST(ceil(CAST(sum(nt) AS DOUBLE) / 512.0) AS BIGINT)
+                     CAST(ceil(CAST(sum(raw) AS DOUBLE) / 512.0) AS BIGINT)
                        AS n_seqs_concat
               FROM t GROUP BY 1"""))
   )

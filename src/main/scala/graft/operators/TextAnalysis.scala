@@ -1221,17 +1221,23 @@ object TextAnalysis {
     // corpus-sized shuffles but the ~10-row source frame.
     ("t28_sentences",
       (s, d) => {
+        // Per-doc words-per-sentence is floored onto the 1e-6 integer
+        // grid BEFORE aggregation (the v17 discipline): the per-row
+        // division is a deterministic double, but a SUM of raw doubles
+        // is merge-order-dependent — integer sums are not.
         val docs = Tables.documents(s, d)
           .select(col("source"),
             regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sent"),
             size(words(col("text"))).cast("long").as("n_words"))
-          .withColumn("wps",
-            col("n_words").cast("double") / greatest(col("n_sent"), lit(1L)))
+          .withColumn("wps_q",
+            floor(col("n_words").cast("double") / greatest(col("n_sent"), lit(1L))
+              * 1000000).cast("long"))
         docs.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_sent")).as("total_sentences"),
             micro(avg(col("n_sent"))).as("avg_sentences"),
-            micro(avg(col("wps"))).as("avg_words_per_sentence"),
+            micro(sum(col("wps_q")).cast("double") / 1000000 / count(lit(1)))
+              .as("avg_words_per_sentence"),
             count(when(col("n_sent") < 3, 1)).as("short_docs"))
       },
       Some("""WITH t AS (SELECT source,
@@ -1239,11 +1245,13 @@ object TextAnalysis {
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
               FROM documents),
               p AS (SELECT source, n_sent,
-                      CAST(n_words AS DOUBLE) / greatest(n_sent, 1) AS wps
+                      CAST(FLOOR(CAST(n_words AS DOUBLE) / greatest(n_sent, 1)
+                                 * 1000000) AS BIGINT) AS wps_q
                     FROM t)
               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                      FLOOR(avg(n_sent) * 1000000 + 0.5) / 1000000 AS avg_sentences,
-                     FLOOR(avg(wps) * 1000000 + 0.5) / 1000000 AS avg_words_per_sentence,
+                     FLOOR(CAST(sum(wps_q) AS DOUBLE) / 1000000 / count(*)
+                           * 1000000 + 0.5) / 1000000 AS avg_words_per_sentence,
                      CAST(count(*) FILTER (WHERE n_sent < 3) AS BIGINT) AS short_docs,
                      CAST(sum(n_sent) AS BIGINT) AS total_sentences
               FROM p GROUP BY 1""")),
@@ -1275,8 +1283,13 @@ object TextAnalysis {
               "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 5)
+        // Guard EVERY ln argument, not just O: a degenerate margin
+        // (n = c1 or n = c2 — the whole corpus is one word) makes
+        // r or c zero with O > 0; Spark's log() would NULL the row
+        // while DuckDB's ln() ABORTS the query — pin both engines to
+        // the same 0 contribution instead.
         def term(o: Column, r: Column, c: Column, n: Column): Column =
-          when(o > 0, o.cast("double")
+          when(o > 0 && r > 0 && c > 0, o.cast("double")
             * ((log(o.cast("double")) + log(n.cast("double")))
               - log(r.cast("double")) - log(c.cast("double"))))
             .otherwise(lit(0.0))
@@ -1295,9 +1308,17 @@ object TextAnalysis {
               + term(col("o12"), col("c1"), col("n") - col("c2"), col("n"))
               + term(col("o21"), col("n") - col("c1"), col("c2"), col("n"))
               + term(col("o22"), col("n") - col("c1"), col("n") - col("c2"), col("n"))))
-        scored.orderBy(col("g2_r").desc, col("bigram").asc).limit(50)
+        // Rank on the COARSE-gridded score (1e-4), not the raw double:
+        // ln is libm-dependent (Java vs DuckDB can differ in the last
+        // ulp), so raw-double ordering could pick different rank-50
+        // rows per engine — the t11 risk its rational form avoids. The
+        // grid absorbs ~1e-9 absolute ln noise with 1e-4 of headroom;
+        // the bigram tiebreak then makes the cutoff deterministic.
+        scored
+          .withColumn("g2q", floor(col("g2_r") * 10000 + 0.5).cast("long"))
+          .orderBy(col("g2q").desc, col("bigram").asc).limit(50)
           .select(col("bigram"), col("c_ab"), col("c1"), col("c2"),
-            (floor(col("g2_r") * 1e6 + 0.5) / 1e6).as("g2"))
+            (col("g2q").cast("double") / 10000).as("g2"))
       },
       Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
               uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
@@ -1317,26 +1338,33 @@ object TextAnalysis {
                         CROSS JOIN tot),
               s AS (SELECT bg, c_ab, c1, c2,
                       2.0 * (
-                        (CASE WHEN o11 > 0 THEN CAST(o11 AS DOUBLE)
+                        (CASE WHEN o11 > 0 AND c1 > 0 AND c2 > 0
+                          THEN CAST(o11 AS DOUBLE)
                           * ((ln(CAST(o11 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
                              - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
                           ELSE 0 END)
-                        + (CASE WHEN o12 > 0 THEN CAST(o12 AS DOUBLE)
+                        + (CASE WHEN o12 > 0 AND c1 > 0 AND n - c2 > 0
+                          THEN CAST(o12 AS DOUBLE)
                           * ((ln(CAST(o12 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
                              - ln(CAST(c1 AS DOUBLE)) - ln(CAST(n - c2 AS DOUBLE)))
                           ELSE 0 END)
-                        + (CASE WHEN o21 > 0 THEN CAST(o21 AS DOUBLE)
+                        + (CASE WHEN o21 > 0 AND n - c1 > 0 AND c2 > 0
+                          THEN CAST(o21 AS DOUBLE)
                           * ((ln(CAST(o21 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
                              - ln(CAST(n - c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
                           ELSE 0 END)
-                        + (CASE WHEN o22 > 0 THEN CAST(o22 AS DOUBLE)
+                        + (CASE WHEN o22 > 0 AND n - c1 > 0 AND n - c2 > 0
+                          THEN CAST(o22 AS DOUBLE)
                           * ((ln(CAST(o22 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
                              - ln(CAST(n - c1 AS DOUBLE)) - ln(CAST(n - c2 AS DOUBLE)))
                           ELSE 0 END)) AS g2_r
-                    FROM cells)
+                    FROM cells),
+              sq AS (SELECT bg, c_ab, c1, c2,
+                       CAST(FLOOR(g2_r * 10000 + 0.5) AS BIGINT) AS g2q
+                     FROM s)
               SELECT bg AS bigram, c_ab, c1, c2,
-                     FLOOR(g2_r * 1e6 + 0.5) / 1e6 AS g2
-              FROM s ORDER BY g2_r DESC, bg ASC LIMIT 50"""))
+                     CAST(g2q AS DOUBLE) / 10000 AS g2
+              FROM sq ORDER BY g2q DESC, bg ASC LIMIT 50"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20
