@@ -34,6 +34,22 @@ case class CusumState(nextHr: Long, s: Long, pending: Map[Long, Long])
 case class CusumOut(
     hr_no: Long, event_type: String, x: Long, cusum_scaled: Long, flag: Boolean)
 
+/** One ±1 sweep-line delta (interval open/close) at an instant. */
+case class ConcDelta(t_us: Long, delta: Long)
+
+/** Per-type concurrency state: next hour to seal, the standing
+  * concurrency carried across the last sealed hour boundary, and the
+  * unsealed hours' delta lists (bounded by the watermark horizon ×
+  * per-hour event rate — deltas live only until their hour seals). */
+case class ConcurrencyState(
+    nextHr: Long, carry: Long, pending: Map[Long, Seq[ConcDelta]])
+
+/** One sealed hour of per-type concurrency: the peak during the hour
+  * (including the standing level at entry) and the level at exit. */
+case class ConcurrencyOut(
+    hour_start_us: Long, event_type: String,
+    peak_concurrency: Long, ending_concurrency: Long)
+
 /** Per-open-hour top-k state: event-type counts for that hour. */
 case class TopKState(counts: Map[String, Long])
 
@@ -289,6 +305,65 @@ object EventPipeline {
     out.iterator
   }
 
+  /** s18's streaming twin: per-hour peak concurrency, sealed strictly
+    * in hour order (the CUSUM twin's horizon discipline — concurrency
+    * CARRIES across hour boundaries, so hours must seal in sequence,
+    * exactly like the CUSUM recurrence cascades). Each event opens a
+    * `spanUs` activity interval: a (+1 at t, −1 at t+span) delta pair,
+    * each delta folded into ITS OWN hour's pending list. Hour h seals
+    * once some event ≥ 3 hours later has been seen: the 2 h watermark
+    * then rejects every row whose deltas could still land in h (a −1
+    * from t+span stays within t's hour or the next — span < 1 h). On
+    * seal, the hour's deltas sort by (t, delta) — the batch s18
+    * close-before-open tie rule — and sweep from the carried level;
+    * peak includes the standing level at entry. State per type =
+    * (scalar, scalar, pending deltas within the horizon). */
+  def concurrencyStream(events: Dataset[HourEvent], spanUs: Long,
+      spineStartHr: Long): Dataset[ConcurrencyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateConcurrency(spanUs, spineStartHr))
+  }
+
+  private[streaming] def updateConcurrency(spanUs: Long, spineStartHr: Long)(
+      eventType: String,
+      batch: Iterator[HourEvent],
+      state: GroupState[ConcurrencyState]): Iterator[ConcurrencyOut] = {
+    val hourUs = 3600L * 1000000L
+    val st = state.getOption.getOrElse(
+      ConcurrencyState(spineStartHr, 0L, Map.empty))
+    var pending = st.pending
+    def fold(h: Long, d: ConcDelta): Unit =
+      if (h >= st.nextHr)
+        pending = pending.updated(h, pending.getOrElse(h, Vector.empty) :+ d)
+    batch.foreach { e =>
+      val t = micros(e.ts)
+      fold(t / hourUs, ConcDelta(t, 1L))
+      fold((t + spanUs) / hourUs, ConcDelta(t + spanUs, -1L))
+    }
+    val maxSeen = (pending.keySet + (st.nextHr - 1)).max
+    val finalizeThrough = maxSeen - 3
+    val out = scala.collection.mutable.ArrayBuffer[ConcurrencyOut]()
+    var carry = st.carry
+    var h = st.nextHr
+    while (h <= finalizeThrough) {
+      val ds = pending.getOrElse(h, Vector.empty)
+        .sortBy(d => (d.t_us, d.delta))
+      var run = carry
+      var peak = carry
+      ds.foreach { d => run += d.delta; peak = math.max(peak, run) }
+      out += ConcurrencyOut(h * hourUs, eventType, peak, run)
+      carry = run
+      pending -= h
+      h += 1
+    }
+    state.update(ConcurrencyState(h, carry, pending))
+    out.iterator
+  }
+
   /** s07's streaming twin: per-hour top-k trending event types. Keyed
     * by HOUR (not type — the ranking needs all of an hour's types in
     * one place), counts fold into per-type state, and the hour emits
@@ -386,7 +461,7 @@ object EventPipeline {
     FunnelOut(userId, stage)
   }
 
-  private def micros(t: Timestamp): Long =
+  private[graft] def micros(t: Timestamp): Long =
     t.getTime / 1000 * 1000000 + t.getNanos / 1000
 
   private[streaming] def updateSessions(

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{CusumOut, EventPipeline, FunnelOut, HourEvent, SessionOut, StreamEvent, TopKOut, TypedEvent, ValueEvent}
+import graft.streaming.{ConcurrencyOut, CusumOut, EventPipeline, FunnelOut, HourEvent, SessionOut, StreamEvent, TopKOut, TypedEvent, ValueEvent}
 
 case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
 
@@ -411,5 +411,56 @@ class StreamingSpec extends AnyFunSuite {
       val all = spark.table("funnel").as[FunnelOut].collect().toSet
       assert(all == Set(FunnelOut(1L, 2), FunnelOut(1L, 3), FunnelOut(2L, 1)), s"all=$all")
     } finally q.stop()
+  }
+
+  test("streaming concurrency matches a brute-force sweep on every sealed hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // The stream seals hours strictly in order and carries the standing
+    // concurrency across boundaries; the oracle is an independent
+    // single-threaded sweep over the same (t, delta) multiset with the
+    // identical close-before-open tie rule. Exact integers throughout,
+    // so every sealed hour must match EXACTLY.
+    val hourUs = 3600L * 1000000L
+    val span = 300L * 1000000L
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type")).as[HourEvent].collect().toSeq
+    val types = events.map(_.event_type).distinct.sorted.take(2)
+    types.foreach { tpe =>
+      val ts = events.filter(_.event_type == tpe)
+        .map(e => EventPipeline.micros(e.ts)).sorted
+      val spineStart = ts.head / hourUs
+      // Brute-force per-hour sweep (peak includes the entry level).
+      val deltas = ts.flatMap(t => Seq((t, 1L), (t + span, -1L)))
+        .sortBy(identity)
+      val maxHour = deltas.map(_._1 / hourUs).max
+      var run = 0L
+      val expected = (spineStart to maxHour).map { h =>
+        var peak = run
+        deltas.filter(_._1 / hourUs == h).foreach { case (_, d) =>
+          run += d; peak = math.max(peak, run)
+        }
+        h -> (peak, run)
+      }.toMap
+      val in = MemoryStream[HourEvent]
+      val q = EventPipeline.concurrencyStream(in.toDS(), span, spineStart)
+        .writeStream.format("memory").queryName(s"conc_$tpe")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(events.filter(_.event_type == tpe))
+        q.processAllAvailable()
+        val streamed = spark.table(s"conc_$tpe").as[ConcurrencyOut].collect()
+        assert(streamed.nonEmpty, s"$tpe emitted nothing")
+        // Trailing hours within the finalization horizon stay pending.
+        assert(streamed.length >= expected.size - 4,
+          s"$tpe coverage ${streamed.length}/${expected.size}")
+        streamed.foreach { o =>
+          val (p, e) = expected(o.hour_start_us / hourUs)
+          assert(o.peak_concurrency == p && o.ending_concurrency == e,
+            s"$tpe hr=${o.hour_start_us / hourUs}: " +
+              s"stream=(${o.peak_concurrency},${o.ending_concurrency}) batch=($p,$e)")
+        }
+      } finally q.stop()
+    }
   }
 }
