@@ -729,7 +729,85 @@ object Pipeline {
                            * 1000000 + 0.5) / 1000000 AS utilization,
                      CAST(ceil(CAST(sum(raw) AS DOUBLE) / 512.0) AS BIGINT)
                        AS n_seqs_concat
-              FROM t GROUP BY 1"""))
+              FROM t GROUP BY 1""")),
+
+    // ---- p13: deterministic span corruption (denoising-objective prep) -
+    // The data-prep step behind T5/BERT-style denoising training:
+    // replace ~15% of each document's tokens, in short contiguous
+    // spans, with a sentinel, and emit the removed tokens as the
+    // target. The standard recipe draws spans from an RNG; at pipeline
+    // scale that's an audit hole (reruns corrupt different spans), so
+    // here the draw is the p03/p05 md5-uniform discipline: tokens
+    // partition into 3-token blocks, and block b of doc d corrupts iff
+    // u32(md5(d ‖ ':' ‖ b)) < ⌊0.15·2³²⌋ — reruns, the oracle, and any
+    // auditor reproduce the exact span set. Block-local decisions (no
+    // sequential span state) keep the whole operator ONE map-side pass
+    // of array HOFs over the token list — no shuffle at all except
+    // parquet write; output is corpus-sized by construction.
+    ("p13_span_corruption",
+      (s, d) => {
+        val thr = math.floor(0.15 * 4294967296.0)
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .withColumn("nb",
+            ceil(size(col("ws")) / lit(3.0)).cast("int"))
+          .withColumn("flags", expr(
+            s"""transform(sequence(0, nb - 1), b ->
+               |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+               |    CAST(b AS STRING))), 1, 8), 16, 10) AS DOUBLE) < ${thr.toLong}.0D)""".stripMargin))
+        base.select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            col("nb").cast("long").as("n_blocks"),
+            expr("CAST(size(filter(flags, x -> x)) AS BIGINT)")
+              .as("n_corrupted_blocks"),
+            expr("""CAST(size(filter(transform(sequence(1, size(ws)), i ->
+                 CASE WHEN element_at(flags, CAST(floor((i - 1) / 3) AS INT) + 1)
+                      THEN element_at(ws, i) END), x -> x IS NOT NULL)) AS BIGINT)""")
+              .as("n_corrupted_tokens"),
+            expr("""array_join(filter(transform(sequence(1, size(ws)), i ->
+                 CASE WHEN element_at(flags, CAST(floor((i - 1) / 3) AS INT) + 1)
+                      THEN CASE WHEN (i - 1) % 3 = 0 THEN '<X>' END
+                      ELSE element_at(ws, i) END), x -> x IS NOT NULL), ' ')""")
+              .as("corrupted_text"),
+            expr("""array_join(filter(transform(sequence(1, size(ws)), i ->
+                 CASE WHEN element_at(flags, CAST(floor((i - 1) / 3) AS INT) + 1)
+                      THEN element_at(ws, i) END), x -> x IS NOT NULL), ' ')""")
+              .as("targets"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM documents),
+              b AS (SELECT doc_id, ws,
+                      CAST(ceil(len(ws) / 3.0) AS BIGINT) AS nb
+                    FROM w),
+              f AS (SELECT doc_id, ws, nb,
+                      list_transform(range(0, nb), b ->
+                        list_sum(list_transform(range(1, 9),
+                          i -> (strpos('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                         || CAST(b AS VARCHAR)), i, 1)) - 1)
+                               * 16.0 ** (8 - i))) < 644245094.0) AS flags
+                    FROM b)
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_tokens,
+                     nb AS n_blocks,
+                     CAST(len(list_filter(flags, x -> x)) AS BIGINT)
+                       AS n_corrupted_blocks,
+                     CAST(len(list_filter(list_transform(range(1, len(ws) + 1), i ->
+                       CASE WHEN flags[CAST(floor((i - 1) / 3) AS BIGINT) + 1]
+                            THEN ws[i] END), x -> x IS NOT NULL)) AS BIGINT)
+                       AS n_corrupted_tokens,
+                     array_to_string(list_filter(
+                       list_transform(range(1, len(ws) + 1), i ->
+                         CASE WHEN flags[CAST(floor((i - 1) / 3) AS BIGINT) + 1]
+                              THEN (CASE WHEN (i - 1) % 3 = 0 THEN '<X>' END)
+                              ELSE ws[i] END), x -> x IS NOT NULL), ' ')
+                       AS corrupted_text,
+                     coalesce(array_to_string(list_filter(
+                       list_transform(range(1, len(ws) + 1), i ->
+                         CASE WHEN flags[CAST(floor((i - 1) / 3) AS BIGINT) + 1]
+                              THEN ws[i] END), x -> x IS NOT NULL), ' '), '')
+                       AS targets
+              FROM f"""))
   )
 
   /** p04's deterministic shuffle + token-budget sharding core —

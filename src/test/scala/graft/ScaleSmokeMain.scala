@@ -117,9 +117,11 @@ object ScaleSmokeMain {
       "s16_seasonality", "g04_clustering", "g05_kcore", "g06_bipartite",
       "t25_heaps", "g07_hits", "d18_soft_dedup", "g08_degree_dist",
       "t26_source_overlap", "t27_char_entropy",
-      // q67/v17 read TPC-H/embeddings tables (absent like q63/v14).
+      // q67/q68/v17/v18/v19 read TPC-H/embeddings tables (absent like
+      // q63/v14).
       "t28_sentences", "p12_pack_efficiency", "s18_peak_concurrency",
-      "g09_jaccard")
+      "g09_jaccard", "t29_collocations", "s19_locf", "p13_span_corruption",
+      "g10_conductance")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
