@@ -859,6 +859,96 @@ object Events {
                        PARTITION BY event_type
                        ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-              FROM events"""))
+              FROM events""")),
+
+    // ---- s20: Kaplan-Meier time-to-conversion survival curve ------------
+    // "How long until a new user first purchases?" answered the way a
+    // product analyst (or any time-to-event study) needs it: the
+    // Kaplan-Meier estimator, which handles CENSORING correctly — a user
+    // who hasn't purchased yet is evidence of survival up to their
+    // observation end, not a missing row. Durations are whole hours from
+    // first event to first purchase; never-purchasers are censored at the
+    // corpus horizon. At each event time t: n_risk = users still
+    // unconverted and observed (N minus everyone who left earlier),
+    // S(t) = Π (1 − d/n). Shape at scale: the corpus collapses through
+    // ONE per-user aggregate (the s08/s09 spine; the horizon max rides
+    // the same aggregate, no second scan), then everything is windows
+    // over the HOUR-sized step frame. The product is exp∘Σln with the
+    // d = n full-depletion row pinned to exactly 0 via a cumulative flag
+    // (ln is merge-order-safe here: identical IEEE input on both
+    // engines, 1-ulp libm spread absorbed by the 1e-6 grid).
+    ("s20_survival",
+      (s, d) => {
+        val pu = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_us")).as("t0"),
+            min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"),
+            max(col("ts_us")).as("tl"))
+          .localCheckpoint()
+        val nb = pu.agg(max(col("tl")).as("tmax"),
+          count(lit(1)).cast("long").as("n_users"))
+        val byT = pu.crossJoin(broadcast(nb))
+          .select(
+            floor((coalesce(col("tp"), col("tmax")) - col("t0")) / lit(3600000000L))
+              .cast("long").as("t_h"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"),
+            col("n_users"))
+          .groupBy(col("t_h"), col("n_users"))
+          .agg(count(lit(1)).as("c"), sum(col("ev")).as("d_events"))
+        val wPrev = Window.orderBy(col("t_h").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("t_h").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT
+          .withColumn("n_risk",
+            col("n_users") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+          .filter(col("d_events") >= 1)
+          .withColumn("lfac",
+            when(col("d_events") < col("n_risk"),
+              log(lit(1.0) - col("d_events").cast("double") / col("n_risk"))))
+          .withColumn("dead",
+            max(when(col("d_events") === col("n_risk"), 1).otherwise(0)).over(wCum))
+          .select(col("t_h"), col("n_risk"), col("d_events"),
+            when(col("dead") === 1, lit(0.0))
+              .otherwise(micro(exp(sum(col("lfac")).over(wCum)))).as("survival"))
+      },
+      Some("""WITH pu AS (
+                SELECT user_id,
+                       min(epoch_us(ts::TIMESTAMP)) AS t0,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts::TIMESTAMP) END) AS tp,
+                       max(epoch_us(ts::TIMESTAMP)) AS tl
+                FROM events GROUP BY 1),
+              nb AS (SELECT max(tl) AS tmax,
+                            CAST(count(*) AS BIGINT) AS n_users FROM pu),
+              durs AS (SELECT
+                  CAST(FLOOR((coalesce(tp, tmax) - t0) / 3600000000.0) AS BIGINT) AS t_h,
+                  CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                  n_users
+                FROM pu, nb),
+              byt AS (SELECT t_h, n_users,
+                        CAST(count(*) AS BIGINT) AS c,
+                        CAST(sum(ev) AS BIGINT) AS d_events
+                      FROM durs GROUP BY 1, 2),
+              r AS (SELECT t_h, d_events,
+                      n_users - CAST(coalesce(sum(c) OVER (ORDER BY t_h ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+                    FROM byt),
+              st AS (SELECT t_h, n_risk, d_events,
+                       CASE WHEN d_events < n_risk
+                            THEN ln(1.0 - CAST(d_events AS DOUBLE) / n_risk) END AS lfac
+                     FROM r WHERE d_events >= 1),
+              fin AS (SELECT t_h, n_risk, d_events,
+                        max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER wc AS dead,
+                        sum(lfac) OVER wc AS ls
+                      FROM st
+                      WINDOW wc AS (ORDER BY t_h ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT t_h, n_risk, d_events,
+                     CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+                          ELSE FLOOR(exp(ls) * 1000000 + 0.5) / 1000000 END AS survival
+              FROM fin"""))
   )
 }

@@ -793,7 +793,51 @@ object Graph {
                                      / least(vol, m2.m2 - vol)
                                      * 1000000000 + 0.5) / 1000000000 END
                        AS conductance
-              FROM agg, m2"""))
+              FROM agg, m2""")),
+
+    // ---- g11: degree assortativity (Newman 2002) -----------------------
+    // DO hubs connect to hubs? One scalar answers it: the Pearson
+    // correlation of endpoint degrees over the edge list (positive =
+    // assortative/social-network-like, negative = hub-and-spoke). The
+    // sign decides which scale remedies matter downstream — a
+    // disassortative graph concentrates wedge work on hub×leaf joins
+    // (g02's degree-orientation wins), an assortative one forms dense
+    // cores (g05's peel finds them). Undirected, so every edge
+    // contributes BOTH (deg u, deg v) and (deg v, deg u) — the standard
+    // symmetrized form, which also makes corr's two marginals identical.
+    // Shape at scale: degrees are one node-keyed aggregate; the two
+    // degree stitch-backs are node-sized hash joins on the edge
+    // stream's own keys; corr is a single mergeable co-moment aggregate
+    // (no window, no collect). Pearson r is invariant to the n vs n−1
+    // variance convention (the factors cancel), so Spark's corr and
+    // DuckDB's corr agree up to merge order — one 1e-6 grid on the
+    // final scalar, the g08 fit discipline.
+    ("g11_assortativity",
+      (s, d) => {
+        val und = undirectedEdges(s, d)
+        val deg = degreesOf(und)
+        val sym = und.select(col("u").as("x"), col("v").as("y"))
+          .union(und.select(col("v").as("x"), col("u").as("y")))
+        sym
+          .join(deg, "x")
+          .join(deg.select(col("x").as("y"), col("dg").as("dg_y")), "y")
+          .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+            (floor(corr(col("dg").cast("double"), col("dg_y").cast("double"))
+              * 1000000 + 0.5) / 1000000).as("assortativity"))
+      },
+      Some(s"""WITH $eventGraphBaseCte,
+              $undirectedCte,
+              dg0 AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS dg
+                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+                GROUP BY 1),
+              sym AS (SELECT u AS x, v AS y FROM und
+                      UNION ALL SELECT v AS x, u AS y FROM und)
+              SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+                     FLOOR(corr(CAST(dx.dg AS DOUBLE), CAST(dy.dg AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000 AS assortativity
+              FROM sym JOIN dg0 dx ON dx.x = sym.x
+              JOIN dg0 dy ON dy.x = sym.y"""))
   )
 
   /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */

@@ -807,7 +807,135 @@ object Pipeline {
                          CASE WHEN flags[CAST(floor((i - 1) / 3) AS BIGINT) + 1]
                               THEN ws[i] END), x -> x IS NOT NULL), ' '), '')
                        AS targets
-              FROM f"""))
+              FROM f""")),
+
+    // ---- p14: temperature-scaled mixture plan (multilingual recipe) ----
+    // The OTHER mixture policy a pretraining run needs besides p03's
+    // hard budgets: temperature sampling (mT5/XLM-R recipe) — source i
+    // gets weight p_i^α / Σ p_j^α, flattening the natural distribution
+    // so small sources aren't drowned (α = 1 keeps natural shares,
+    // α → 0 approaches uniform). α is pinned to 1/2 so the power is
+    // sqrt — CORRECTLY ROUNDED in IEEE 754 on both engines (pow is
+    // not), which is what keeps this oracle-exact without gridding the
+    // intermediate. Report per source: real-BPE token mass, natural
+    // share, temperature weight, the planned token allocation of a
+    // half-corpus budget, and the implied epoch count over the source
+    // (>1 = that source repeats — the over-sampling audit number).
+    // Shape at scale: ONE source-keyed aggregate (map-side combined,
+    // sources ≪ rows), then all arithmetic on the source-sized frame;
+    // the 1-row total is a broadcast. The corpus never shuffles.
+    ("p14_temperature_mix",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"),
+            org.apache.spark.sql.graft.TextHash
+              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
+          .localCheckpoint()
+        val tot = bySrc.agg(sum(col("tok")).as("tot"),
+          sum(sqrt(col("tok").cast("double"))).as("wsum"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
+            (floor(col("tok").cast("double") / col("tot") * 1000000 + 0.5) / 1000000)
+              .as("nat_share"),
+            (floor(sqrt(col("tok").cast("double")) / col("wsum") * 1000000 + 0.5)
+              / 1000000).as("weight"),
+            floor(sqrt(col("tok").cast("double")) / col("wsum")
+              * floor(col("tot") / 2) + 0.5).cast("long").as("planned_tokens"),
+            (floor(floor(sqrt(col("tok").cast("double")) / col("wsum")
+              * floor(col("tot") / 2) + 0.5) / col("tok") * 1000000 + 0.5) / 1000000)
+              .as("epochs"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              bysrc AS (SELECT d.source,
+                          CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(b.n_tokens) AS BIGINT) AS tok
+                        FROM documents d JOIN bpetok b USING (doc_id)
+                        GROUP BY 1),
+              tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tot,
+                             sum(sqrt(CAST(tok AS DOUBLE))) AS wsum
+                      FROM bysrc)
+              SELECT source, n_docs, tok AS n_tokens,
+                     FLOOR(CAST(tok AS DOUBLE) / tot * 1000000 + 0.5) / 1000000
+                       AS nat_share,
+                     FLOOR(sqrt(CAST(tok AS DOUBLE)) / wsum * 1000000 + 0.5)
+                       / 1000000 AS weight,
+                     CAST(FLOOR(sqrt(CAST(tok AS DOUBLE)) / wsum
+                       * FLOOR(tot / 2) + 0.5) AS BIGINT) AS planned_tokens,
+                     FLOOR(FLOOR(sqrt(CAST(tok AS DOUBLE)) / wsum
+                       * FLOOR(tot / 2) + 0.5) / tok * 1000000 + 0.5) / 1000000
+                       AS epochs
+              FROM bysrc, tot""")),
+
+    // ---- p15: dataset balance audit (Gini + source concentration) ------
+    // The two inequality numbers a data card reports before anyone
+    // trains: the Gini coefficient of per-document token mass (is the
+    // corpus a few mega-docs plus dust — packing, sharding and dedup
+    // cost all skew with it) and the Herfindahl index of source shares
+    // (is the mixture effectively one source). Both are EXACT here:
+    // Gini's Σ rank·x and the shares' numerators stay integers until
+    // one final gridded division (rank ties broken by doc_id, same
+    // rule both engines). The global rank is NOT a single-task sort:
+    // docs bucket by a token-mass band (the p02/p04 split-prefix-sum
+    // discipline — band-local ranks run on the band's own partition,
+    // and the only global window orders the BAND TOTALS, a ≤64-row
+    // frame whatever the corpus size).
+    ("p15_balance_audit",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            org.apache.spark.sql.graft.TextHash
+              .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("tok"))
+          .withColumn("band", floor(col("tok") / 32).cast("long"))
+          .localCheckpoint()
+        val wLocal = Window.partitionBy(col("band"))
+          .orderBy(col("tok").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wBand = Window.orderBy(col("band").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wBand), lit(0L)))
+          .select(col("band"), col("boff"))
+        val gini = t
+          .withColumn("lrank", coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
+          .join(broadcast(offsets), "band")
+          .select((col("lrank") + col("boff") + 1L).as("rank"), col("tok"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"),
+            sum(col("rank") * col("tok")).as("rx"))
+          .select(col("n_docs"), col("total_tokens"),
+            (floor((lit(2L) * col("rx") - (col("n_docs") + 1L) * col("total_tokens"))
+              .cast("double") / (col("n_docs") * col("total_tokens"))
+              * 1000000 + 0.5) / 1000000).as("gini"))
+        val hhi = t.groupBy(col("source")).agg(sum(col("tok")).as("stok"))
+          .agg(sum(col("stok")).as("tt"),
+            sum(col("stok") * col("stok")).as("ss"))
+          .select((floor(col("ss").cast("double") / (col("tt") * col("tt"))
+            * 1000000 + 0.5) / 1000000).as("hhi_sources"))
+        gini.crossJoin(hhi)
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.oracleTokenCte},
+              t AS (SELECT b.doc_id, d.source, b.n_tokens AS tok
+                    FROM bpetok b JOIN documents d USING (doc_id)),
+              r AS (SELECT tok,
+                      CAST(row_number() OVER (ORDER BY tok ASC, doc_id ASC)
+                        AS BIGINT) AS rank
+                    FROM t),
+              g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(tok) AS BIGINT) AS total_tokens,
+                      CAST(sum(rank * tok) AS BIGINT) AS rx
+                    FROM r),
+              hh AS (SELECT CAST(sum(stok) AS BIGINT) AS tt,
+                       CAST(sum(stok * stok) AS BIGINT) AS ss
+                     FROM (SELECT CAST(sum(tok) AS BIGINT) AS stok
+                           FROM t GROUP BY source))
+              SELECT n_docs, total_tokens,
+                     FLOOR(CAST(2 * rx - (n_docs + 1) * total_tokens AS DOUBLE)
+                           / (n_docs * total_tokens) * 1000000 + 0.5) / 1000000
+                       AS gini,
+                     FLOOR(CAST(ss AS DOUBLE) / (tt * tt) * 1000000 + 0.5)
+                       / 1000000 AS hhi_sources
+              FROM g, hh"""))
   )
 
   /** p04's deterministic shuffle + token-budget sharding core —
