@@ -221,6 +221,46 @@ object Ann {
       },
       None),
 
+    // ---- v20: multi-probe LSH KNN (recall without re-hashing) ----------
+    // The production answer to "v03's recall is short and the index is
+    // already written": probe MORE BUCKETS of the SAME standing layout
+    // (Lv et al. 2007) instead of re-hashing with more tables. Each
+    // band contributes the query's bucket plus its bandBits Hamming-1
+    // neighbors — the buckets a true neighbor most likely landed in
+    // when one hyperplane bit flipped. Probe rows grow 5× (still one
+    // broadcast); the corpus side — scan, signature, band table,
+    // bucketed layout — is BYTE-IDENTICAL to v03's, so at 100 TB this
+    // is purely more partition-pruned lookups against AnnIndex.writeLsh,
+    // zero new index cost. Candidate dedup is the firstMatchingBand
+    // discipline relaxed to popcount ≤ 1 (firstBandWithin1): map-side,
+    // no candidate-sized distinct. Recall ≥ v03's by construction
+    // (probed buckets ⊃ v03's); both pinned in AnnSpec.
+    // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
+    ("v20_knn_multiprobe",
+      (s, d) => {
+        val bandBits = 4; val nBands = 16
+        val e = Tables.embeddings(s, d)
+          .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
+          .select(col("vec_id"), col("embedding"), col("sig"),
+            explode(Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
+          .select(col("vec_id"), col("embedding"), col("sig"),
+            col("bs.band").as("band"), col("bs.bv").as("bv"))
+        val probes = queryVec(s, d)
+          .withColumn("psig", hyperplaneSig(col("qv"), bandBits * nBands))
+          .select(col("qv"), col("psig"),
+            explode(Lsh.multiProbeStructs(col("psig"), bandBits, nBands)).as("bs"))
+          .select(col("qv"), col("psig"),
+            col("bs.band").as("band"), col("bs.bv").as("bv"))
+        e.join(broadcast(probes), Seq("band", "bv"))
+          .filter(col("vec_id") =!= 0)
+          .filter(col("band") === Lsh.firstBandWithin1(
+            col("sig").bitwiseXOR(col("psig")), bandBits, nBands))
+          .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      None),
+
     // IVF (inverted-file) ANN: k-means-lite centroids → map-side argmax
     // assignment (no shuffle of the vectors) → probe only the query's
     // nProbe nearest cells with exact cosine. Centroid "training" is 2

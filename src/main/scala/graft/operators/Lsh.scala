@@ -40,6 +40,36 @@ object Lsh {
         .otherwise(acc))
   }
 
+  /** Multi-probe band table for a QUERY signature (Lv et al. 2007,
+    * applied to the banded-hyperplane scheme): for every band, the
+    * query's own band value plus its `bandBits` Hamming-1 neighbors —
+    * the buckets a near-neighbor most likely fell into when exactly one
+    * band bit disagreed. (1+bandBits)·nBands probe rows per query (80
+    * at 4×16) — still broadcast-sized; the STANDING table is untouched,
+    * which is the whole point: recall rises without re-hashing or
+    * widening the corpus-side layout. */
+  def multiProbeStructs(sig: Column, bandBits: Int, nBands: Int): Column = {
+    val mask = (1L << bandBits) - 1
+    array((0 until nBands).flatMap { b =>
+      val bv = shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
+      struct(lit(b).as("band"), bv.as("bv")) +:
+        (0 until bandBits).map(j =>
+          struct(lit(b).as("band"), bv.bitwiseXOR(lit(1L << j)).as("bv")))
+    }: _*)
+  }
+
+  /** Index of the lowest band whose `bandBits`-wide group in `xorSig`
+    * has popcount ≤ 1 — [[firstMatchingBand]] relaxed to the multi-probe
+    * match rule, so each (vector, query) candidate survives the probe
+    * join exactly once (a vector's band value equals at most one of the
+    * 5 probed values in a band). */
+  def firstBandWithin1(xorSig: Column, bandBits: Int, nBands: Int): Column = {
+    val mask = (1L << bandBits) - 1
+    (nBands - 1 to 0 by -1).foldLeft(lit(-1): Column)((acc, b) =>
+      when(bit_count(shiftright(xorSig, b * bandBits).bitwiseAND(lit(mask))) <= 1, lit(b))
+        .otherwise(acc))
+  }
+
   /** Same idea for LSH schemes whose band signatures are HASHES (one long
     * per band, e.g. xxhash64 of a minhash-signature slice) rather than bit
     * groups of a single long: the lowest index at which the two band-sig

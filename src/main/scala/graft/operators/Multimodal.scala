@@ -323,12 +323,21 @@ object Multimodal {
   /** Deterministic 16-bit mono PCM sine through the JDK's own WAV
     * writer — the m04 payload generator and the spec's test fixture. */
   private[graft] def sineWav(
-      freq: Double, amp: Double, sr: Float, nFrames: Int): Array[Byte] = {
+      freq: Double, amp: Double, sr: Float, nFrames: Int): Array[Byte] =
+    gatedSineWav(freq, amp, sr, nFrames, nFrames, _ => true)
+
+  /** [[sineWav]] with a per-block on/off gate (block = `blockLen`
+    * frames; gated-off blocks are digital zero) — the m06 fixture:
+    * bursts separated by true silence, phase continuous across gaps. */
+  private[graft] def gatedSineWav(freq: Double, amp: Double, sr: Float,
+      nFrames: Int, blockLen: Int, gate: Int => Boolean): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
     val data = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) {
-      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      val v = if (gate(i / blockLen))
+        (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      else 0
       data(2 * i) = (v & 0xFF).toByte
       data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
       i += 1
@@ -339,6 +348,29 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Frame-energy silence segmentation over a decoded sample stream —
+    * the VAD-shaped kernel behind m06: RMS per `frameLen`-sample frame
+    * (full frames only), a frame is silent below `thr`, a segment is a
+    * maximal silent run. One O(n) pass, O(1) extra memory (the
+    * decodeWav discipline). Returns (n_frames, n_silent, n_segments). */
+  private[graft] def silenceStats(
+      samples: Array[Double], frameLen: Int, thr: Double): (Long, Long, Long) = {
+    val n = samples.length / frameLen
+    var silent = 0L; var segs = 0L; var prevSilent = false
+    var f = 0
+    while (f < n) {
+      var sumSq = 0.0
+      var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) { sumSq += samples(i) * samples(i); i += 1 }
+      val isS = math.sqrt(sumSq / frameLen) < thr
+      if (isS) { silent += 1; if (!prevSilent) segs += 1 }
+      prevSilent = isS
+      f += 1
+    }
+    (n.toLong, silent, segs)
   }
 
   /** The decode dispatcher the pipeline runs: real ImageIO decode for
@@ -697,6 +729,45 @@ object Multimodal {
             max(col("n_patches")).as("n_patches"),
             floor(avg(col("contrast_micros")) + 0.5).as("avg_contrast_micros"),
             floor(avg(col("mean_micros")) + 0.5).as("avg_mean_micros"))
+      },
+      None),
+
+    // ---- m06: silence segmentation (VAD plumbing) -----------------------
+    // The audio-curation step before any speech model sees a clip: how
+    // much of each payload is actually signal, and in how many bursts —
+    // silence fraction gates junk clips, segment boundaries drive
+    // chunking. Payloads are deterministic gated sines (burst pattern
+    // keyed off doc_id — real silence, phase-continuous bursts) pushed
+    // through the SAME javax.sound.sampled round trip real audio takes,
+    // then ONE O(n) frame-RMS pass (silenceStats) — no FFT, no second
+    // scan. Same distribution contract as m04: one mapPartitions map,
+    // no shuffle before the 4-class rollup. Rows-only (codec internals
+    // engine-specific); exact frame/segment counts for known gate
+    // patterns pinned in MultimodalSpec.
+    ("m06_silence_segments",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("pattern_class"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, cls) =>
+            // Block b of 256 frames is silent iff (id + b) ≡ 0 mod
+            // (cls + 2): per-class silence densities 1/2 .. 1/5.
+            val wav = gatedSineWav(900.0, 0.8, 8000f, 4096, 256,
+              b => (id + b) % (cls + 2) != 0)
+            val (nf, ns, seg) = wavSamples(wav, 4096) match {
+              case Some((smp, _, _)) => silenceStats(smp, 256, 0.01)
+              case None => (-1L, -1L, -1L)
+            }
+            (id, cls, nf, ns, seg)
+          })
+          .toDF("doc_id", "pattern_class", "n_frames", "n_silent", "n_segments")
+          .groupBy(col("pattern_class"))
+          .agg(count(lit(1)).as("n_payloads"),
+            sum(col("n_silent")).as("silent_frames"),
+            sum(col("n_segments")).as("silence_segments"),
+            floor(avg(col("n_silent").cast("double") / col("n_frames"))
+              * 1000000 + 0.5).as("avg_silence_micros"))
       },
       None)
   )

@@ -1454,6 +1454,39 @@ object Relational {
                      CAST(row_number() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
               FROM orders
-              QUALIFY rn <= 3"""))
+              QUALIFY rn <= 3""")),
+
+    // ---- q69: regular-expression surface -------------------------------
+    // The regex toolkit beyond q45's single extract/replace: predicate
+    // (RLIKE), match counting, first-match extraction, all-matches
+    // extraction (joined to a scalar — the q51 exact-comparison rule),
+    // group-referencing replacement, and regex split. Every pattern is
+    // RE2-safe (no backreferences in the PATTERN — DuckDB's engine
+    // doesn't have them; replacement group refs are fine: $1 Spark-side,
+    // \1 DuckDB-side). All map-side codegen'd string work on a pushed
+    // column subset — the q45 shape.
+    ("q69_regex",
+      (s, d) => Tables.part(s, d).filter(col("p_partkey") < 1200)
+        .select(col("p_partkey"), col("p_name"),
+          col("p_name").rlike("a[a-z]*o").as("has_ao"),
+          regexp_count(col("p_name"), lit("[aeiou]+")).cast("long").as("n_vowel_runs"),
+          regexp_substr(col("p_name"), lit("[aeiou]{2}")).as("first_vowel_pair"),
+          array_join(regexp_extract_all(col("p_name"), lit("[a-z]*o[a-z]*"), lit(0)), ",")
+            .as("o_words"),
+          regexp_replace(col("p_name"), "o([a-z])", "0$1").as("masked"),
+          size(split(col("p_name"), "[aeiou]+")).cast("long").as("n_split")),
+      Some("""SELECT p_partkey, p_name,
+                     regexp_matches(p_name, 'a[a-z]*o') AS has_ao,
+                     CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+                       AS n_vowel_runs,
+                     nullif(regexp_extract(p_name, '[aeiou]{2}'), '')
+                       AS first_vowel_pair,
+                     coalesce(array_to_string(
+                         regexp_extract_all(p_name, '[a-z]*o[a-z]*'), ','), '')
+                       AS o_words,
+                     regexp_replace(p_name, 'o([a-z])', '0\1', 'g') AS masked,
+                     CAST(len(string_split_regex(p_name, '[aeiou]+')) AS BIGINT)
+                       AS n_split
+              FROM part WHERE p_partkey < 1200"""))
   )
 }

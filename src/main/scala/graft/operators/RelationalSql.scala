@@ -647,6 +647,17 @@ object RelationalSql {
         |        CAST(row_number() OVER (PARTITION BY o_custkey
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
         |      FROM orders)
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    "q69_regex" ->
+      """SELECT p_partkey, p_name,
+        |       p_name RLIKE 'a[a-z]*o' AS has_ao,
+        |       CAST(regexp_count(p_name, '[aeiou]+') AS BIGINT) AS n_vowel_runs,
+        |       regexp_substr(p_name, '[aeiou]{2}') AS first_vowel_pair,
+        |       array_join(regexp_extract_all(p_name, '[a-z]*o[a-z]*', 0), ',')
+        |         AS o_words,
+        |       regexp_replace(p_name, 'o([a-z])', '0$1') AS masked,
+        |       CAST(size(split(p_name, '[aeiou]+')) AS BIGINT) AS n_split
+        |FROM part WHERE p_partkey < 1200""".stripMargin
   )
 }

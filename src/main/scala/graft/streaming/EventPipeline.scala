@@ -69,6 +69,20 @@ case class SessionOut(
 /** Open-session state carried between micro-batches. */
 case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
 
+/** Typed input row for the streaming forward-fill (None = no reading —
+  * the row needs filling from the last carried observation). */
+case class LocfEvent(
+    ts: java.sql.Timestamp, event_id: Long, event_type: String, reading: Option[Double])
+
+/** Per-type LOCF state: the sealed frontier (µs), the last observed
+  * reading AT that frontier, and the still-unsealed rows. */
+case class LocfState(
+    frontier_us: Long, last: Option[Double], pending: Seq[(Long, Long, Option[Double])])
+
+/** One sealed, forward-filled row. */
+case class LocfOut(
+    event_id: Long, event_type: String, reading: Option[Double], filled: Option[Double])
+
 /** Structured Streaming twins of the batch event operators
   * (graft.operators.Events s01/s02): the same event-time semantics
   * expressed as an unbounded incremental computation.
@@ -459,6 +473,48 @@ object EventPipeline {
     val stage =
       if (s.p_us != U) 3 else if (s.c_us != U) 2 else if (s.v_us != U) 1 else 0
     FunnelOut(userId, stage)
+  }
+
+  /** s19's streaming twin: last-observation-carried-forward. Forward
+    * fill is ORDER-dependent (filled(row) = last reading at or before
+    * it), so rows seal strictly in event-time order — the CUSUM twin's
+    * horizon discipline: a row seals once some row ≥ 3 hours later has
+    * been seen for its type, at which point the 2 h watermark can no
+    * longer admit anything before it. On seal, rows sort by
+    * (ts, event_id) — the batch s19 tie rule — fill from the carried
+    * observation, emit, and advance the frontier. State per type =
+    * (scalar frontier, ONE carried reading, pending rows within the
+    * 3 h horizon) — watermark-bounded, never stream-sized. */
+  def locfStream(events: Dataset[LocfEvent]): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateLocf)
+  }
+
+  private[streaming] def updateLocf(
+      eventType: String,
+      batch: Iterator[LocfEvent],
+      state: GroupState[LocfState]): Iterator[LocfOut] = {
+    val hourUs = 3600L * 1000000L
+    val st = state.getOption.getOrElse(LocfState(Long.MinValue, None, Nil))
+    // Rows at or before the frontier are already sealed; the watermark
+    // keeps genuinely late rows out long before that point.
+    val incoming = batch.map(e => (micros(e.ts), e.event_id, e.reading))
+      .filter(_._1 > st.frontier_us).toSeq
+    val pending = st.pending ++ incoming
+    val maxSeen = (pending.map(_._1) :+ st.frontier_us).max
+    val sealThrough = maxSeen - 3 * hourUs
+    val (ripe, rest) = pending.partition(_._1 <= sealThrough)
+    var last = st.last
+    val out = ripe.sortBy(r => (r._1, r._2)).map { case (_, id, rd) =>
+      if (rd.isDefined) last = rd
+      LocfOut(id, eventType, rd, last)
+    }
+    state.update(LocfState(math.max(sealThrough, st.frontier_us), last, rest))
+    out.iterator
   }
 
   private[graft] def micros(t: Timestamp): Long =

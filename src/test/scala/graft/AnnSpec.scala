@@ -26,6 +26,21 @@ class AnnSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("v20 multi-probe LSH: candidate superset of v03, recall >= v03, no dup rows") {
+    val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet
+    val v03 = run("v03_knn_lsh").collect().map(_.getLong(0)).toSet
+    val rows20 = run("v20_knn_multiprobe").collect()
+    // firstBandWithin1 must emit each candidate exactly once.
+    assert(rows20.map(_.getLong(0)).distinct.length == rows20.length)
+    val v20 = rows20.map(_.getLong(0)).toSet
+    val r03 = exact.intersect(v03).size.toDouble / exact.size
+    val r20 = exact.intersect(v20).size.toDouble / exact.size
+    // Probed buckets strictly contain v03's, so candidate recall can only
+    // grow; at top-20 that means recall(v20) >= recall(v03).
+    assert(r20 >= r03, s"multi-probe recall $r20 < single-probe $r03")
+    assert(r20 >= 0.5, s"recall=$r20")
+  }
+
   test("v05 IVF ANN reaches recall@20 >= 0.6 against exact search") {
     val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet
     val approx = run("v05_knn_ivf").collect().map(_.getLong(0)).toSet

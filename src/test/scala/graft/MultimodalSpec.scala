@@ -272,6 +272,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_patches") == 16L))
   }
 
+  test("m06 silence stats are exact for known gate patterns through the real codec") {
+    // 4096 frames, 256-frame blocks = 16 blocks; silent iff b % 3 == 0
+    // → blocks 0,3,6,9,12,15 silent (6 frames), 6 separate segments
+    // (each silent block is flanked by active ones or an edge).
+    val wav = Multimodal.gatedSineWav(900.0, 0.8, 8000f, 4096, 256, b => b % 3 != 0)
+    val Some((smp, _, _)) = Multimodal.wavSamples(wav, 4096)
+    assert(Multimodal.silenceStats(smp, 256, 0.01) == ((16L, 6L, 6L)))
+    // Adjacent silent blocks merge into ONE segment: silent iff b in
+    // [4, 8) → 4 silent frames, 1 segment.
+    val wav2 = Multimodal.gatedSineWav(900.0, 0.8, 8000f, 4096, 256,
+      b => b < 4 || b >= 8)
+    val Some((smp2, _, _)) = Multimodal.wavSamples(wav2, 4096)
+    assert(Multimodal.silenceStats(smp2, 256, 0.01) == ((16L, 4L, 1L)))
+    // All-active: zero silent frames, zero segments.
+    val wav3 = Multimodal.sineWav(900.0, 0.8, 8000f, 4096)
+    val Some((smp3, _, _)) = Multimodal.wavSamples(wav3, 4096)
+    assert(Multimodal.silenceStats(smp3, 256, 0.01) == ((16L, 0L, 0L)))
+    // Registered rollup: every class present, silence fraction ordered
+    // by the planted density (class c gates ~1/(c+2) of blocks off).
+    val rows = Multimodal.defs.find(_._1 == "m06_silence_segments").get
+      ._2(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Int]("pattern_class") -> r.getAs[Long]("avg_silence_micros"))
+      .toMap
+    assert(rows.keySet == Set(0, 1, 2, 3))
+    assert(rows(0) > rows(1) && rows(1) > rows(2) && rows(2) > rows(3),
+      s"silence fractions not ordered by density: $rows")
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{ConcurrencyOut, CusumOut, EventPipeline, FunnelOut, HourEvent, SessionOut, StreamEvent, TopKOut, TypedEvent, ValueEvent}
+import graft.streaming.{ConcurrencyOut, CusumOut, EventPipeline, FunnelOut, HourEvent, LocfEvent, LocfOut, SessionOut, StreamEvent, TopKOut, TypedEvent, ValueEvent}
 
 case class WindowTestEvent(ts: Timestamp, event_type: String, value: Double)
 
@@ -352,6 +352,45 @@ class StreamingSpec extends AnyFunSuite {
         }
       } finally q.stop()
     }
+  }
+
+  test("streaming LOCF forward-fill matches batch s19 on every sealed row") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batchRows = SparkEntry.queries("s19_locf")(spark, TestSpark.sf).collect()
+      .map { r =>
+        r.getAs[Long]("event_id") ->
+          (Option(r.getAs[java.lang.Double]("reading")).map(_.doubleValue),
+            Option(r.getAs[java.lang.Double]("filled")).map(_.doubleValue))
+      }.toMap
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => LocfEvent(r.getTimestamp(0), r.getLong(1), r.getString(2),
+        if (r.getLong(1) % 7 == 0) Some(r.getDouble(3)) else None))
+      .sortBy(e => EventPipeline.micros(e.ts))
+    val in = MemoryStream[LocfEvent]
+    val q = EventPipeline.locfStream(in.toDS())
+      .writeStream.format("memory").queryName("locf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Three chronological chunks, shuffled WITHIN each chunk — the
+      // seal-sort must restore event-time order across micro-batches.
+      val chunks = events.grouped((events.length + 2) / 3).toSeq
+      val rnd = new scala.util.Random(7)
+      chunks.foreach { c => in.addData(rnd.shuffle(c.toSeq)); q.processAllAvailable() }
+      val streamed = spark.table("locf").as[LocfOut].collect()
+      assert(streamed.nonEmpty)
+      // Each type's trailing 3 h stays pending — everything else seals.
+      assert(streamed.length >= events.length - 200,
+        s"coverage ${streamed.length}/${events.length}")
+      assert(streamed.map(_.event_id).distinct.length == streamed.length)
+      streamed.foreach { o =>
+        val (br, bf) = batchRows(o.event_id)
+        assert(o.reading == br && o.filled == bf,
+          s"event ${o.event_id}: stream=(${o.reading},${o.filled}) batch=($br,$bf)")
+      }
+    } finally q.stop()
   }
 
   test("streaming windowed top-k matches batch s07 on every sealed hour") {
