@@ -1487,6 +1487,93 @@ object Relational {
                      regexp_replace(p_name, 'o([a-z])', '0\1', 'g') AS masked,
                      CAST(len(string_split_regex(p_name, '[aeiou]+')) AS BIGINT)
                        AS n_split
-              FROM part WHERE p_partkey < 1200"""))
+              FROM part WHERE p_partkey < 1200""")),
+
+    // ---- q70: array generation + higher-order functions -----------------
+    // The generative half of the array surface q51 (which consumes
+    // text-derived arrays) doesn't touch: sequence() materializes a
+    // per-row integer range, then the lambda toolkit folds over it —
+    // aggregate (fold), transform (map), filter, forall, negative
+    // element_at. All codegen'd map-side work; integer outputs, so the
+    // comparison is exact with no grid.
+    ("q70_sequence_hof",
+      (s, d) => Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_size").cast("long").as("n"))
+        .withColumn("arr", sequence(lit(1L), col("n")))
+        .select(col("p_partkey"), col("n"),
+          aggregate(transform(col("arr"), x => x * x), lit(0L), (a, x) => a + x)
+            .as("sum_sq"),
+          size(filter(col("arr"), x => x % 7 === 0)).cast("long").as("n_div7"),
+          (element_at(col("arr"), 1) + element_at(col("arr"), -1))
+            .as("first_plus_last"),
+          forall(col("arr"), x => x > 0).as("all_pos")),
+      Some("""WITH t AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS n,
+                     range(1, CAST(p_size AS BIGINT) + 1) AS arr
+                   FROM part WHERE p_partkey < 300)
+              SELECT p_partkey, n,
+                     CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT)
+                       AS sum_sq,
+                     CAST(len(list_filter(arr, x -> x % 7 = 0)) AS BIGINT)
+                       AS n_div7,
+                     CAST(arr[1] + arr[-1] AS BIGINT) AS first_plus_last,
+                     len(list_filter(arr, x -> x <= 0)) = 0 AS all_pos
+              FROM t""")),
+
+    // ---- q71: bitwise surface (scalar ops + bit aggregates) -------------
+    // Bit manipulation end to end: masks (&), shifts, popcount on the
+    // scalar side; AND/OR/XOR reduction aggregates on the grouped side
+    // (the flag-intersection / permission-union / parity idioms). All
+    // integer — exact, grid-free; the aggregates are mergeable
+    // (map-side combined) like any sum.
+    ("q71_bitwise",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("lo8"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          bit_and(col("lo8")).as("band"),
+          bit_or(col("lo8")).as("bor"),
+          bit_xor(col("lo8")).as("bxor"),
+          sum(bit_count(col("lo8")).cast("long")).as("total_bits"),
+          max(shiftleft(col("lo8"), 2)).as("max_shl2")),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                     CAST(bit_and(o_orderkey & 255) AS BIGINT) AS band,
+                     CAST(bit_or(o_orderkey & 255) AS BIGINT) AS bor,
+                     CAST(bit_xor(o_orderkey & 255) AS BIGINT) AS bxor,
+                     CAST(sum(bit_count(o_orderkey & 255)) AS BIGINT) AS total_bits,
+                     CAST(max((o_orderkey & 255) << 2) AS BIGINT) AS max_shl2
+              FROM orders GROUP BY 1""")),
+
+    // ---- q72: inline VALUES lookup (literal dimension join) -------------
+    // The config-table-in-the-query idiom: a literal VALUES relation
+    // (priority → rank, discount policy) joined against the fact table —
+    // the lookup every engine must broadcast rather than shuffle (5 rows
+    // vs the orders corpus; the explicit broadcast() pins it). The
+    // discounted sum is floored at cents — integer exact for the
+    // comparison while the per-row math stays codegen'd doubles.
+    ("q72_inline_lookup",
+      (s, d) => {
+        import s.implicits._
+        val ranks = Seq(
+          ("1-URGENT", 1L, 0.0), ("2-HIGH", 2L, 0.05), ("3-MEDIUM", 3L, 0.1),
+          ("4-NOT SPECIFIED", 4L, 0.2), ("5-LOW", 5L, 0.25))
+          .toDF("o_orderpriority", "prio_rank", "discount")
+        Tables.orders(s, d).join(broadcast(ranks), "o_orderpriority")
+          .groupBy(col("prio_rank"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            floor(sum(col("o_totalprice") * (lit(1.0) - col("discount"))) * 100 + 0.5)
+              .cast("long").as("disc_cents"))
+      },
+      Some("""SELECT prio_rank, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(FLOOR(sum(o_totalprice * (1.0 - discount)) * 100 + 0.5)
+                       AS BIGINT) AS disc_cents
+              FROM orders
+              JOIN (VALUES ('1-URGENT', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+                           ('2-HIGH', 2, 0.05), ('3-MEDIUM', 3, 0.1),
+                           ('4-NOT SPECIFIED', 4, 0.2), ('5-LOW', 5, 0.25))
+                AS r(o_orderpriority, prio_rank, discount)
+                USING (o_orderpriority)
+              GROUP BY 1, 2"""))
   )
 }

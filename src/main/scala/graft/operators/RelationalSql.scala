@@ -658,6 +658,38 @@ object RelationalSql {
         |         AS o_words,
         |       regexp_replace(p_name, 'o([a-z])', '0$1') AS masked,
         |       CAST(size(split(p_name, '[aeiou]+')) AS BIGINT) AS n_split
-        |FROM part WHERE p_partkey < 1200""".stripMargin
+        |FROM part WHERE p_partkey < 1200""".stripMargin,
+
+    "q70_sequence_hof" ->
+      """SELECT p_partkey, n,
+        |       aggregate(transform(arr, x -> x * x), CAST(0 AS BIGINT),
+        |                 (a, x) -> a + x) AS sum_sq,
+        |       CAST(size(filter(arr, x -> x % 7 = 0)) AS BIGINT) AS n_div7,
+        |       element_at(arr, 1) + element_at(arr, -1) AS first_plus_last,
+        |       forall(arr, x -> x > 0) AS all_pos
+        |FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS n,
+        |        sequence(CAST(1 AS BIGINT), CAST(p_size AS BIGINT)) AS arr
+        |      FROM part WHERE p_partkey < 300)""".stripMargin,
+
+    "q71_bitwise" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       bit_and(o_orderkey & 255) AS band,
+        |       bit_or(o_orderkey & 255) AS bor,
+        |       bit_xor(o_orderkey & 255) AS bxor,
+        |       CAST(sum(bit_count(o_orderkey & 255)) AS BIGINT) AS total_bits,
+        |       max(shiftleft(o_orderkey & 255, 2)) AS max_shl2
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q72_inline_lookup" ->
+      """SELECT prio_rank, o_orderpriority, count(*) AS n_orders,
+        |       CAST(FLOOR(sum(o_totalprice * (1.0 - discount)) * 100 + 0.5)
+        |         AS BIGINT) AS disc_cents
+        |FROM orders
+        |JOIN (VALUES ('1-URGENT', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |             ('2-HIGH', 2L, 0.05D), ('3-MEDIUM', 3L, 0.1D),
+        |             ('4-NOT SPECIFIED', 4L, 0.2D), ('5-LOW', 5L, 0.25D))
+        |  AS r(o_orderpriority, prio_rank, discount)
+        |  USING (o_orderpriority)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -575,4 +575,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("p15 balance audit splits its global rank like p02/p04") {
+    // Gini's corpus-scale rank must be band-partitioned; any
+    // unpartitioned window may only see the aggregated band totals
+    // (≤64 rows), never the raw doc stream.
+    val df = SparkEntry.queries("p15_balance_audit")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    val (global, parted) = wins.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty, "doc-level rank must be band-partitioned (parallel)")
+    global.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"global window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+  }
+
+  test("s20 survival scans the corpus exactly once") {
+    // The per-user aggregate is checkpointed and carries the horizon
+    // max; bounds and every KM window derive from it — zero event
+    // scans in the final plan, windows over the hour-sized step frame.
+    val p = planOf("s20_survival")
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(eventScans == 0, s"s20 re-scans the corpus ($eventScans scans)")
+    assert(p.contains("ExistingRDD"),
+      "consumers must read the checkpointed per-user aggregate")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      "the 1-row bounds must broadcast")
+  }
+
+  test("v20 multi-probe keeps the corpus side broadcast-joined, no sort-merge") {
+    // The probe table (80 rows) must broadcast onto the banded corpus
+    // stream; a sort-merge join here would shuffle the whole band table
+    // per query. Candidate dedup must stay map-side (no aggregate
+    // between the join and the top-k).
+    val p = planOf("v20_knn_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+  }
 }
