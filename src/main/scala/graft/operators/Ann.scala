@@ -863,7 +863,50 @@ object Ann {
                      CAST(count(*) FILTER (WHERE er <= k AND sr <= k) AS DOUBLE)
                        / k AS recall
               FROM ks LEFT JOIN j ON true
-              GROUP BY k"""))
+              GROUP BY k""")),
+
+    // ---- v21: IVF nProbe tuning curve (the operational knob, measured) -
+    // Every IVF deployment asks one question first: how many cells must
+    // a probe read to hit the recall target? This operator answers it
+    // the way v19 answers quantization loss — an eval harness over the
+    // production operators themselves: ONE cell-assignment pass
+    // (localCheckpoint'd — the sweep re-filters it, never re-assigns),
+    // then per sweep point a partition-pruned scan → exact top-20 →
+    // recall against brute force. Driver sees 20 ids and two scalars
+    // per point (the spark.ml eval pattern, same as AnnIndexSpec's
+    // measurements); the 5-row result frame is the tuning table a
+    // capacity planner reads (frac_scanned ≈ nProbe/k is the I/O cost
+    // at 100 TB under the partitioned-by-cell layout). Rows-only
+    // (centroid model is engine-specific); monotonicity and the
+    // full-probe recall=1 endpoint pinned in AnnSpec.
+    ("v21_nprobe_curve",
+      (s, d) => {
+        import s.implicits._
+        val k = 16
+        val e = Tables.embeddings(s, d)
+        val cents = AnnIndex.trainCentroids(e, k)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head.getSeq[Float](0).toArray
+        val assigned = e.filter(col("vec_id") =!= 0)
+          .withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
+          .localCheckpoint()
+        val total = assigned.count()
+        def top20(df: DataFrame): Set[Long] = df
+          .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id").asc).limit(20)
+          .collect().map(_.getLong(0)).toSet
+        val exact = top20(assigned)
+        Seq(1, 2, 4, 8, 16).map { nProbe =>
+          val cells = AnnIndex.probeCells(qv, cents, nProbe)
+          val scanned = assigned.filter(col("cell").isin(cells: _*))
+          val got = top20(scanned)
+          (nProbe.toLong, cells.size.toLong,
+            math.floor(scanned.count().toDouble / total * 1000000 + 0.5) / 1000000,
+            math.floor(exact.intersect(got).size.toDouble / exact.size
+              * 1000000 + 0.5) / 1000000)
+        }.toDF("n_probe", "n_cells", "frac_scanned", "recall_at_20")
+      },
+      None)
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

@@ -979,7 +979,51 @@ object Dedup {
                        / 1000000 AS keep_weight,
                      LEAST(CAST(count(*) AS BIGINT), CAST(4 AS BIGINT))
                        AS effective_epochs
-              FROM documents GROUP BY md5(text)"""))
+              FROM documents GROUP BY md5(text)""")),
+
+    // ---- d20: dedup-savings audit (what the keeper pass actually buys) -
+    // The number a pipeline owner reports after d06/d09 run: how many
+    // near-dup groups exist, at what sizes, and how much corpus mass the
+    // keeper rule drops. Group-size histogram over the d06 components
+    // (same ccLabels core — the labeling can't drift from the operator
+    // it audits) with per-size drop counts and character savings (the
+    // non-keeper mass). Shape at scale: the CC loop is d06's; the audit
+    // adds one doc-keyed join to stitch n_chars onto the (tiny) labeled
+    // set, one component aggregate, one size-keyed aggregate — all
+    // frames bounded by the duplicate population, not the corpus.
+    ("d20_dedup_savings",
+      (s, d) => {
+        val labels = ccLabels(s, d)
+        labels
+          .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("group_size"),
+            sum(when(col("doc_id") =!= col("label"), col("n_chars"))
+              .otherwise(lit(0L))).as("chars_dropped"))
+          .groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("group_size") - 1).as("n_dropped"),
+            sum(col("chars_dropped")).as("chars_saved"))
+      },
+      Some(s"""WITH RECURSIVE $oracleShingleJaccard,
+               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
+                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
+               reach(a, b) AS (SELECT a, b FROM edges
+                               UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+               comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
+                        FROM reach GROUP BY a),
+               wg AS (SELECT c.keeper_id,
+                        CAST(count(*) AS BIGINT) AS group_size,
+                        CAST(sum(CASE WHEN c.doc_id <> c.keeper_id
+                                      THEN d.n_chars ELSE 0 END) AS BIGINT)
+                          AS chars_dropped
+                      FROM comp c JOIN documents d USING (doc_id)
+                      GROUP BY 1)
+               SELECT group_size,
+                      CAST(count(*) AS BIGINT) AS n_groups,
+                      CAST(sum(group_size - 1) AS BIGINT) AS n_dropped,
+                      CAST(sum(chars_dropped) AS BIGINT) AS chars_saved
+               FROM wg GROUP BY 1"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

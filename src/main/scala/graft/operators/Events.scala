@@ -949,6 +949,47 @@ object Events {
               SELECT t_h, n_risk, d_events,
                      CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
                           ELSE FLOOR(exp(ls) * 1000000 + 0.5) / 1000000 END AS survival
-              FROM fin"""))
+              FROM fin""")),
+
+    // ---- s21: frequent journey paths (3-step path mining) ---------------
+    // s15 answers "what follows what" (the Markov matrix); this answers
+    // the product question one level up: which exact 3-step JOURNEYS are
+    // most common, and how many distinct users walk them. Paths come
+    // from two lags over each user's ordered stream — ONE user-keyed
+    // exchange serves both lags (same window), then the path aggregate
+    // rides the path-keyed exchange with countDistinct's standard
+    // two-phase expansion. Top-15 is TakeOrdered, never a global sort.
+    ("s21_top_paths",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .withColumn("e1", lag(col("event_type"), 1).over(w))
+          .withColumn("e2", lag(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull)
+          .select(col("user_id"),
+            concat_ws(">", col("e2"), col("e1"), col("event_type")).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_walks"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_walks").desc, col("path").asc)
+          .limit(15)
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+                       lag(event_type, 1) OVER w AS e1,
+                       lag(event_type, 2) OVER w AS e2
+                     FROM (SELECT user_id, event_type,
+                             epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+                           FROM events)
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us ASC, event_id ASC)),
+              p AS (SELECT user_id, e2 || '>' || e1 || '>' || event_type AS path
+                    FROM o WHERE e2 IS NOT NULL)
+              SELECT path, CAST(count(*) AS BIGINT) AS n_walks,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM p GROUP BY 1
+              ORDER BY n_walks DESC, path ASC LIMIT 15"""))
   )
 }

@@ -1364,7 +1364,43 @@ object TextAnalysis {
                      FROM s)
               SELECT bg AS bigram, c_ab, c1, c2,
                      CAST(g2q AS DOUBLE) / 10000 AS g2
-              FROM sq ORDER BY g2q DESC, bg ASC LIMIT 50"""))
+              FROM sq ORDER BY g2q DESC, bg ASC LIMIT 50""")),
+
+    // ---- t30: keyword-in-context concordance (KWIC) ---------------------
+    // The corpus-inspection tool behind every "show me how this term is
+    // used" request — and the evidence view for t13's search hits: each
+    // occurrence of the query term with ±2 words of context. The scale
+    // discipline is WHERE the explode happens: match positions are
+    // computed map-side with array HOFs (filter over sequence — one
+    // codegen'd pass), and only the MATCHES explode — the corpus
+    // inflates by term frequency (Σtf ≈ df·avg_tf), never by token
+    // count. Context slicing is more map-side array work; the operator
+    // has zero exchanges end to end (output rides the scan partitions).
+    ("t30_kwic",
+      (s, d) => {
+        val ws = words(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), ws.as("ws"))
+          .select(col("doc_id"), col("ws"),
+            explode(filter(sequence(lit(1), size(col("ws"))),
+              i => element_at(col("ws"), i) === lit("spark"))).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            array_join(slice(col("ws"),
+              greatest(lit(1), col("pos") - 2),
+              least(size(col("ws")), col("pos") + 2)
+                - greatest(lit(1), col("pos") - 2) + 1), " ").as("context"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM documents),
+              m AS (SELECT doc_id, ws,
+                      unnest(list_filter(range(1, len(ws) + 1),
+                        i -> ws[i] = 'spark')) AS pos
+                    FROM w)
+              SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                     array_to_string(
+                       ws[greatest(1, pos - 2):least(len(ws), pos + 2)], ' ')
+                       AS context
+              FROM m"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

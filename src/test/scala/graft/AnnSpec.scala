@@ -41,6 +41,21 @@ class AnnSpec extends AnyFunSuite {
     assert(r20 >= 0.5, s"recall=$r20")
   }
 
+  test("v21 nProbe curve: recall and scan fraction monotone, full probe exact") {
+    val rows = run("v21_nprobe_curve").collect()
+      .sortBy(_.getAs[Long]("n_probe"))
+    assert(rows.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = rows.map(_.getAs[Double]("recall_at_20"))
+    val fracs = rows.map(_.getAs[Double]("frac_scanned"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b >= a },
+      s"scan fraction not monotone: ${fracs.toSeq}")
+    // Probing every cell IS brute force: recall 1, full corpus read.
+    assert(recalls.last == 1.0 && fracs.last == 1.0,
+      s"full probe should be exact: recall=${recalls.last} frac=${fracs.last}")
+  }
+
   test("v05 IVF ANN reaches recall@20 >= 0.6 against exact search") {
     val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet
     val approx = run("v05_knn_ivf").collect().map(_.getLong(0)).toSet
