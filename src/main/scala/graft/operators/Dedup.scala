@@ -59,6 +59,20 @@ object Dedup {
     * TextHash.gramHashes fallback), and each pair carries `has_cold` = 1
     * iff it shares at least one gram under the df cap — the candidate-
     * generation precondition d04/d06 apply (d02's LSH path does not). */
+  /** The d06 component labeling as DuckDB CTEs ending in
+    * `comp(doc_id, keeper_id)` — ONE definition shared by d06 (the
+    * groups), d09 (quality keeper), d20 (savings audit) and p16 (the
+    * leakage-free split), so the near-dup component rule can't drift
+    * between the operator, its audits, and the split built on it. */
+  private[operators] lazy val oracleCcComponents: String =
+    s"""$oracleShingleJaccard,
+       |edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
+       |          UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
+       |         FROM reach GROUP BY a)""".stripMargin
+
   private val oracleShingleJaccard: String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
@@ -160,7 +174,7 @@ object Dedup {
     * with the 0.9 bound (required intersection ≈ 47% of |A|+|B|) rather
     * than d04's 0.2 bound. Returns (doc_id, label) for every doc with
     * at least one near-dup edge. */
-  private def ccLabels(s: SparkSession, d: String): DataFrame =
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
     Graph.minLabelPropagation(
       ngramPairs(s, d, 9, 10).select(col("a_id"), col("b_id")))
 
@@ -413,13 +427,7 @@ object Dedup {
         .groupBy(col("label").as("keeper_id"))
         .agg((count(lit(1))).as("group_size"),
              array_join(array_sort(collect_list(col("doc_id"))), ",").as("members")),
-      Some(s"""WITH RECURSIVE $oracleShingleJaccard,
-               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
-                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
-               reach(a, b) AS (SELECT a, b FROM edges
-                               UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-               comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
-                        FROM reach GROUP BY a)
+      Some(s"""WITH RECURSIVE $oracleCcComponents
                SELECT keeper_id, count(*) AS group_size,
                       array_to_string(list_sort(list(doc_id)), ',') AS members
                FROM comp GROUP BY keeper_id""")),
@@ -446,13 +454,7 @@ object Dedup {
             (floor(max(col("quality")) * 1000000 + 0.5) / 1000000).as("best_quality"))
           .select(col("keeper_id"), col("group_size"), col("best_quality"))
       },
-      Some(s"""WITH RECURSIVE $oracleShingleJaccard,
-               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
-                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
-               reach(a, b) AS (SELECT a, b FROM edges
-                               UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-               comp AS (SELECT a AS doc_id, least(a, min(b)) AS label
-                        FROM reach GROUP BY a),
+      Some(s"""WITH RECURSIVE $oracleCcComponents,
                nrm AS (SELECT doc_id,
                          trim(regexp_replace(
                            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -468,11 +470,11 @@ object Dedup {
                              / len(string_split(norm_text, ' '))) * 0.2 AS quality
                  FROM nrm),
                ranked AS (
-                 SELECT c.label, c.doc_id, s.quality,
-                        row_number() OVER (PARTITION BY c.label
+                 SELECT c.keeper_id AS label, c.doc_id, s.quality,
+                        row_number() OVER (PARTITION BY c.keeper_id
                           ORDER BY s.quality DESC, c.doc_id ASC) AS rn,
-                        count(*) OVER (PARTITION BY c.label) AS group_size,
-                        max(s.quality) OVER (PARTITION BY c.label) AS bq
+                        count(*) OVER (PARTITION BY c.keeper_id) AS group_size,
+                        max(s.quality) OVER (PARTITION BY c.keeper_id) AS bq
                  FROM comp c JOIN scored s ON s.doc_id = c.doc_id)
                SELECT doc_id AS keeper_id, group_size,
                       FLOOR(bq * 1000000 + 0.5) / 1000000 AS best_quality
@@ -1005,13 +1007,7 @@ object Dedup {
             sum(col("group_size") - 1).as("n_dropped"),
             sum(col("chars_dropped")).as("chars_saved"))
       },
-      Some(s"""WITH RECURSIVE $oracleShingleJaccard,
-               edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
-                         UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
-               reach(a, b) AS (SELECT a, b FROM edges
-                               UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-               comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
-                        FROM reach GROUP BY a),
+      Some(s"""WITH RECURSIVE $oracleCcComponents,
                wg AS (SELECT c.keeper_id,
                         CAST(count(*) AS BIGINT) AS group_size,
                         CAST(sum(CASE WHEN c.doc_id <> c.keeper_id

@@ -837,7 +837,80 @@ object Graph {
                      FLOOR(corr(CAST(dx.dg AS DOUBLE), CAST(dy.dg AS DOUBLE))
                            * 1000000 + 0.5) / 1000000 AS assortativity
               FROM sym JOIN dg0 dx ON dx.x = sym.x
-              JOIN dg0 dy ON dy.x = sym.y"""))
+              JOIN dg0 dy ON dy.x = sym.y""")),
+
+    // ---- g12: community modularity (the OTHER partition-quality audit) -
+    // g10 measures conductance (how leaky is each community's boundary);
+    // modularity measures the complement a partition optimizer targets:
+    // Q_c = e_c/m − (d_c/2m)² — internal edge mass vs what a random
+    // graph with the same degrees would put there (Newman & Girvan
+    // 2004). Same fixture as g10: communities from the TIGHT (10 s)
+    // proximity labeling, audited on the FULL interaction graph. All
+    // counters integer (e_in via a both-endpoints label join on the
+    // undirected edge list, d_tot via the degree stitch) until the one
+    // gridded term; m is a 1-row broadcast. Shape at scale: the CC loop
+    // is g03's; the audit is two label joins + one community aggregate.
+    ("g12_modularity",
+      (s, d) => {
+        val labels =
+          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L))
+            .localCheckpoint()
+        val und = undirectedEdges(s, d)
+        val lab = labels.select(col("doc_id"), col("label"))
+        val ein = und
+          .join(lab.select(col("doc_id").as("u"), col("label").as("lab_u")), "u")
+          .join(lab.select(col("doc_id").as("v"), col("label").as("lab_v")), "v")
+          .filter(col("lab_u") === col("lab_v"))
+          .groupBy(col("lab_u").as("community"))
+          .agg(count(lit(1)).as("e_in"))
+        val dtot = degreesOf(und)
+          .join(lab.select(col("doc_id").as("x"), col("label")), "x")
+          .groupBy(col("label").as("community"))
+          .agg(sum(col("dg")).as("d_tot"), count(lit(1)).as("n_members"))
+        val m = und.agg(count(lit(1)).as("m"))
+        dtot.join(ein, Seq("community"), "left")
+          .select(col("community"), col("n_members"), col("d_tot"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"))
+          .crossJoin(broadcast(m))
+          .select(col("community"), col("n_members"), col("e_in"), col("d_tot"),
+            grid9(col("e_in").cast("double") / col("m")
+              - (col("d_tot").cast("double") / (lit(2L) * col("m")))
+                * (col("d_tot").cast("double") / (lit(2L) * col("m"))))
+              .as("modularity_term"))
+      },
+      Some(s"""WITH RECURSIVE $eventGraphBaseCte,
+              $undirectedCte,
+              ${proximityCte(10000000L)},
+              pedges AS MATERIALIZED (
+                SELECT a, b FROM prox UNION SELECT b, a FROM prox),
+              reach(a, b) AS (SELECT a, b FROM pedges
+                              UNION SELECT r.a, e.b FROM reach r JOIN pedges e ON r.b = e.a),
+              comp AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS label
+                                    FROM reach GROUP BY a),
+              dg0 AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS BIGINT) AS dg
+                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+                GROUP BY 1),
+              m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+              ein AS (SELECT cu.label AS community,
+                        CAST(count(*) AS BIGINT) AS e_in
+                      FROM und
+                      JOIN comp cu ON cu.id = und.u
+                      JOIN comp cv ON cv.id = und.v
+                      WHERE cu.label = cv.label
+                      GROUP BY 1),
+              dt AS (SELECT c.label AS community,
+                       CAST(sum(d.dg) AS BIGINT) AS d_tot,
+                       CAST(count(*) AS BIGINT) AS n_members
+                     FROM dg0 d JOIN comp c ON c.id = d.x
+                     GROUP BY 1)
+              SELECT dt.community, dt.n_members,
+                     coalesce(ein.e_in, 0) AS e_in, dt.d_tot,
+                     FLOOR((CAST(coalesce(ein.e_in, 0) AS DOUBLE) / m.m
+                            - (CAST(dt.d_tot AS DOUBLE) / (2 * m.m))
+                              * (CAST(dt.d_tot AS DOUBLE) / (2 * m.m)))
+                           * 1000000000 + 0.5) / 1000000000 AS modularity_term
+              FROM dt LEFT JOIN ein ON ein.community = dt.community, m"""))
   )
 
   /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */

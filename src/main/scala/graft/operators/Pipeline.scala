@@ -935,7 +935,51 @@ object Pipeline {
                        AS gini,
                      FLOOR(CAST(ss AS DOUBLE) / (tt * tt) * 1000000 + 0.5)
                        / 1000000 AS hhi_sources
-              FROM g, hh"""))
+              FROM g, hh""")),
+
+    // ---- p16: leakage-free split (group-aware assignment) ---------------
+    // p05's md5 split has a quiet hole every eval team eventually finds:
+    // near-duplicate documents can straddle train/test, and the model is
+    // "evaluated" on paraphrases of its training data. The fix is to
+    // hash the DEDUP GROUP, not the document: members of a d06 near-dup
+    // component share their keeper's id as the split key (standalone
+    // docs hash their own), so a whole duplicate cluster lands in one
+    // split — p05's determinism and growth-invariance, plus the
+    // no-leakage guarantee. Shape at scale: the CC loop is d06's
+    // (bounded by the duplicate population); the corpus sees one LEFT
+    // join against that small label set and map-side md5 — no extra
+    // corpus shuffle.
+    ("p16_leakfree_split",
+      (s, d) => {
+        val scale = 4294967296.0
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(Dedup.ccLabels(s, d), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("label"), col("doc_id")).as("split_group"))
+          .withColumn("u",
+            conv(substring(md5(col("split_group").cast("string")), 1, 8), 16, 10)
+              .cast("double"))
+          .select(col("doc_id"), col("source"), col("split_group"),
+            when(col("u") < scale * 0.8, "train")
+              .when(col("u") < scale * 0.9, "val")
+              .otherwise("test").as("split"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.oracleCcComponents},
+              k AS (SELECT d.doc_id, d.source,
+                      coalesce(comp.keeper_id, d.doc_id) AS split_group
+                    FROM documents d
+                    LEFT JOIN comp ON comp.doc_id = d.doc_id),
+              u AS (SELECT doc_id, source, split_group,
+                      list_sum(list_transform(range(1, 9),
+                        i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(split_group AS VARCHAR)), i, 1)) - 1)
+                             * 16.0 ** (8 - i))) AS u
+                    FROM k)
+              SELECT doc_id, source, split_group,
+                     CASE WHEN u < 4294967296.0 * 0.8 THEN 'train'
+                          WHEN u < 4294967296.0 * 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM u"""))
   )
 
   /** p04's deterministic shuffle + token-budget sharding core —
