@@ -59,20 +59,6 @@ object Dedup {
     * TextHash.gramHashes fallback), and each pair carries `has_cold` = 1
     * iff it shares at least one gram under the df cap — the candidate-
     * generation precondition d04/d06 apply (d02's LSH path does not). */
-  /** The d06 component labeling as DuckDB CTEs ending in
-    * `comp(doc_id, keeper_id)` — ONE definition shared by d06 (the
-    * groups), d09 (quality keeper), d20 (savings audit) and p16 (the
-    * leakage-free split), so the near-dup component rule can't drift
-    * between the operator, its audits, and the split built on it. */
-  private[operators] lazy val oracleCcComponents: String =
-    s"""$oracleShingleJaccard,
-       |edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
-       |          UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
-       |reach(a, b) AS (SELECT a, b FROM edges
-       |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
-       |         FROM reach GROUP BY a)""".stripMargin
-
   private val oracleShingleJaccard: String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
@@ -88,6 +74,20 @@ object Dedup {
       |jacs AS (SELECT ia, ib, c * 1.0 / (sa.n + sb.n - c) AS jac, has_cold
       |         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
       |""".stripMargin
+
+  /** The d06 component labeling as DuckDB CTEs ending in
+    * `comp(doc_id, keeper_id)` — ONE definition shared by d06 (the
+    * groups), d09 (quality keeper), d20 (savings audit) and p16 (the
+    * leakage-free split), so the near-dup component rule can't drift
+    * between the operator, its audits, and the split built on it. */
+  private[operators] val oracleCcComponents: String =
+    s"""$oracleShingleJaccard,
+       |edges AS (SELECT ia AS a, ib AS b FROM jacs WHERE jac >= 0.9 AND has_cold = 1
+       |          UNION SELECT ib, ia FROM jacs WHERE jac >= 0.9 AND has_cold = 1),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS keeper_id
+       |         FROM reach GROUP BY a)""".stripMargin
 
   /** Exact n-gram Jaccard pairs with score ≥ `jacNum/jacDen`, via a
     * df-capped inverted-index self-join on 8-byte gram hashes.

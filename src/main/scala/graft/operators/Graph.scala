@@ -256,6 +256,15 @@ object Graph {
       |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
       |  FROM edges0)""".stripMargin
 
+  /** The oracle twin of [[degreesOf]]: `dg0(x, dg)` from `und` — ONE
+    * definition of the undirected degree rule shared by the g08/g09/
+    * g11/g12 oracles (the oracleCcComponents anti-drift discipline). */
+  private val degreeCte: String =
+    """dg0 AS MATERIALIZED (
+      |                SELECT x, CAST(count(*) AS BIGINT) AS dg
+      |                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+      |                GROUP BY 1)""".stripMargin
+
   /** The und/deg/dir CTEs of [[orientedEdges]] for the DuckDB oracles —
     * spliced after [[eventGraphBaseCte]] by g02 and g04. */
   private val orientedEdgesCte: String =
@@ -623,10 +632,7 @@ object Graph {
       },
       Some(s"""WITH $eventGraphBaseCte,
               $undirectedCte,
-              dg0 AS MATERIALIZED (
-                SELECT x, CAST(count(*) AS BIGINT) AS dg
-                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
-                GROUP BY 1),
+              $degreeCte,
               h AS MATERIALIZED (
                 SELECT dg, CAST(count(*) AS BIGINT) AS n_nodes
                 FROM dg0 GROUP BY 1),
@@ -695,10 +701,7 @@ object Graph {
       },
       Some(s"""WITH $eventGraphBaseCte,
               $undirectedCte,
-              dg0 AS MATERIALIZED (
-                SELECT x, CAST(count(*) AS BIGINT) AS dg
-                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
-                GROUP BY 1),
+              $degreeCte,
               keep AS MATERIALIZED (SELECT x FROM dg0 WHERE dg <= 256),
               adj AS MATERIALIZED (
                 SELECT u, v FROM und
@@ -822,15 +825,18 @@ object Graph {
           .join(deg, "x")
           .join(deg.select(col("x").as("y"), col("dg").as("dg_y")), "y")
           .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
-            (floor(corr(col("dg").cast("double"), col("dg_y").cast("double"))
-              * 1000000 + 0.5) / 1000000).as("assortativity"))
+            // Degree-regular graph ⇒ zero variance: Spark corr yields
+            // NaN where DuckDB yields NULL — pin both to NULL.
+            {
+              val c = corr(col("dg").cast("double"), col("dg_y").cast("double"))
+              when(isnan(c), lit(null).cast("double"))
+                .otherwise(floor(c * 1000000 + 0.5) / 1000000)
+                .as("assortativity")
+            })
       },
       Some(s"""WITH $eventGraphBaseCte,
               $undirectedCte,
-              dg0 AS MATERIALIZED (
-                SELECT x, CAST(count(*) AS BIGINT) AS dg
-                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
-                GROUP BY 1),
+              $degreeCte,
               sym AS (SELECT u AS x, v AS y FROM und
                       UNION ALL SELECT v AS x, u AS y FROM und)
               SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
@@ -887,10 +893,7 @@ object Graph {
                               UNION SELECT r.a, e.b FROM reach r JOIN pedges e ON r.b = e.a),
               comp AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS label
                                     FROM reach GROUP BY a),
-              dg0 AS MATERIALIZED (
-                SELECT x, CAST(count(*) AS BIGINT) AS dg
-                FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
-                GROUP BY 1),
+              $degreeCte,
               m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
               ein AS (SELECT cu.label AS community,
                         CAST(count(*) AS BIGINT) AS e_in

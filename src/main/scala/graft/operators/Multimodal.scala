@@ -755,9 +755,13 @@ object Multimodal {
             // (cls + 2): per-class silence densities 1/2 .. 1/5.
             val wav = gatedSineWav(900.0, 0.8, 8000f, 4096, 256,
               b => (id + b) % (cls + 2) != 0)
+            // The payload is self-generated: a decode failure here is a
+            // codec regression, not bad data — fail loud rather than let
+            // a sentinel corrupt the exact counts this operator exists
+            // to report.
             val (nf, ns, seg) = wavSamples(wav, 4096) match {
               case Some((smp, _, _)) => silenceStats(smp, 256, 0.01)
-              case None => (-1L, -1L, -1L)
+              case None => sys.error(s"m06: WAV decode failed for doc $id")
             }
             (id, cls, nf, ns, seg)
           })

@@ -897,20 +897,29 @@ object Pipeline {
         val offsets = t.groupBy(col("band")).agg(count(lit(1)).as("bn"))
           .withColumn("boff", coalesce(sum(col("bn")).over(wBand), lit(0L)))
           .select(col("band"), col("boff"))
+        // Σ rank·tok and Σ stok² exceed Long around 1e9 docs — the wide
+        // sums run in DECIMAL(38) (HUGEINT on the oracle side), so the
+        // integers stay exact to ~1e38 and the only rounding remains
+        // the final gridded division.
         val gini = t
           .withColumn("lrank", coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
           .join(broadcast(offsets), "band")
           .select((col("lrank") + col("boff") + 1L).as("rank"), col("tok"))
           .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"),
-            sum(col("rank") * col("tok")).as("rx"))
+            sum(col("rank").cast("decimal(19,0)") * col("tok").cast("decimal(19,0)"))
+              .as("rx"))
           .select(col("n_docs"), col("total_tokens"),
-            (floor((lit(2L) * col("rx") - (col("n_docs") + 1L) * col("total_tokens"))
-              .cast("double") / (col("n_docs") * col("total_tokens"))
+            (floor((lit(2L).cast("decimal(19,0)") * col("rx")
+              - (col("n_docs").cast("decimal(19,0)") + 1)
+                * col("total_tokens").cast("decimal(19,0)")).cast("double")
+              / (col("n_docs").cast("double") * col("total_tokens"))
               * 1000000 + 0.5) / 1000000).as("gini"))
         val hhi = t.groupBy(col("source")).agg(sum(col("tok")).as("stok"))
           .agg(sum(col("stok")).as("tt"),
-            sum(col("stok") * col("stok")).as("ss"))
-          .select((floor(col("ss").cast("double") / (col("tt") * col("tt"))
+            sum(col("stok").cast("decimal(19,0)") * col("stok").cast("decimal(19,0)"))
+              .as("ss"))
+          .select((floor(col("ss").cast("double")
+            / (col("tt").cast("double") * col("tt"))
             * 1000000 + 0.5) / 1000000).as("hhi_sources"))
         gini.crossJoin(hhi)
       },
@@ -923,17 +932,19 @@ object Pipeline {
                     FROM t),
               g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                       CAST(sum(tok) AS BIGINT) AS total_tokens,
-                      CAST(sum(rank * tok) AS BIGINT) AS rx
+                      sum(CAST(rank AS HUGEINT) * tok) AS rx
                     FROM r),
               hh AS (SELECT CAST(sum(stok) AS BIGINT) AS tt,
-                       CAST(sum(stok * stok) AS BIGINT) AS ss
+                       sum(CAST(stok AS HUGEINT) * stok) AS ss
                      FROM (SELECT CAST(sum(tok) AS BIGINT) AS stok
                            FROM t GROUP BY source))
               SELECT n_docs, total_tokens,
-                     FLOOR(CAST(2 * rx - (n_docs + 1) * total_tokens AS DOUBLE)
-                           / (n_docs * total_tokens) * 1000000 + 0.5) / 1000000
-                       AS gini,
-                     FLOOR(CAST(ss AS DOUBLE) / (tt * tt) * 1000000 + 0.5)
+                     FLOOR(CAST(2 * rx - (CAST(n_docs AS HUGEINT) + 1)
+                                * total_tokens AS DOUBLE)
+                           / (CAST(n_docs AS DOUBLE) * total_tokens)
+                           * 1000000 + 0.5) / 1000000 AS gini,
+                     FLOOR(CAST(ss AS DOUBLE)
+                           / (CAST(tt AS DOUBLE) * tt) * 1000000 + 0.5)
                        / 1000000 AS hhi_sources
               FROM g, hh""")),
 
