@@ -906,6 +906,44 @@ object Ann {
               * 1000000 + 0.5) / 1000000)
         }.toDF("n_probe", "n_cells", "frac_scanned", "recall_at_20")
       },
+      None),
+
+    // ---- v22: batch ANN join through the IVF index ----------------------
+    // v07 is the exact batch KNN join (every query × every vector —
+    // right when the query side is small); this is its index-accelerated
+    // form for query BATCHES at corpus scale: both sides map to IVF
+    // cells (corpus rows to their cell, each query to its nProbe nearest
+    // — an expression-level top-nProbe over the broadcast centroid
+    // model, NO driver round trip per query), and the candidate join is
+    // an EQUI-join on cell — each query meets only nProbe/k of the
+    // corpus, co-located by the join key. Per-query top-5 is the
+    // GroupedTopK aggregate (no per-group sort). A corpus row lives in
+    // exactly one cell, so no candidate dedup is needed. At 100 TB the
+    // corpus side is the AnnIndex.writeIvf partitioned layout and the
+    // join prunes to probed directories. Rows-only (cell model is
+    // engine-specific); per-query recall vs exact v07 pinned in AnnSpec.
+    ("v22_knn_join_ivf",
+      (s, d) => {
+        val k = 16; val nProbe = 4
+        val e = Tables.embeddings(s, d)
+        val cents = AnnIndex.trainCentroids(e, k)
+        val corpus = e.filter(col("vec_id") >= 10)
+          .withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
+        // Per-row top-nProbe cells: score against every centroid (array
+        // of structs), sort, slice — all codegen'd expression work.
+        val scoredCells = array(cents.indices.map(i =>
+          struct(dot(col("qv"), lit(cents(i))).as("s"), lit(i).as("c"))): _*)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+          .withColumn("probe", slice(reverse(array_sort(scoredCells)), 1, nProbe))
+          .select(col("q_id"), col("qv"),
+            explode(transform(col("probe"), x => x.getField("c"))).as("cell"))
+        val cand = corpus.join(broadcast(q), "cell")
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("embedding"), col("qv")).as("cos_sim"))
+        org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
+          cand, Seq("q_id"), Seq("cos_sim" -> true, "vec_id" -> false), 5)
+      },
       None)
   )
 

@@ -1019,7 +1019,45 @@ object Dedup {
                       CAST(count(*) AS BIGINT) AS n_groups,
                       CAST(sum(group_size - 1) AS BIGINT) AS n_dropped,
                       CAST(sum(chars_dropped) AS BIGINT) AS chars_saved
-               FROM wg GROUP BY 1"""))
+               FROM wg GROUP BY 1""")),
+
+    // ---- d21: LSH dedup eval (candidate precision/recall, measured) ----
+    // v21 answers "how many IVF cells buy the recall target"; this is
+    // the dedup twin: how good are d02's MinHash-band CANDIDATES
+    // against the exact >= 0.9 Jaccard truth (d06's edge rule, the same
+    // 3-word shingle space)? Recall tells you what the banding misses
+    // before verification can save it; precision tells you how much
+    // exact-verify work each true pair costs. Both sides are the
+    // production code paths (Lsh.minhashBandTable + the first-matching-
+    // band rule; ngramPairs), checkpointed once and compared with one
+    // LEFT SEMI join + three 1-row counts — driver sees five scalars.
+    // Rows-only (minhash is engine-specific); the planted-dup recall
+    // floor is pinned in DedupSpec.
+    ("d21_lsh_dedup_eval",
+      (s, d) => {
+        val buckets = Lsh.minhashBandTable(Tables.documents(s, d), 3, 8, 4)
+        val cands = buckets.as("a").join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+              && col("a.doc_id") < col("b.doc_id"))
+          .filter(col("a.band") ===
+            Lsh.firstMatchingBandArrays(col("a.bsig"), col("b.bsig")))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .localCheckpoint()
+        val exact = ngramPairs(s, d, 9, 10)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val hits = exact.join(cands, Seq("a_id", "b_id"), "left_semi")
+        exact.agg(count(lit(1)).as("n_true_pairs"))
+          .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_true_pairs"), col("n_candidates"), col("n_hits"),
+            when(col("n_candidates") === 0, lit(null).cast("double"))
+              .otherwise(floor(col("n_hits").cast("double") / col("n_candidates")
+                * 1000000 + 0.5) / 1000000).as("precision"),
+            when(col("n_true_pairs") === 0, lit(null).cast("double"))
+              .otherwise(floor(col("n_hits").cast("double") / col("n_true_pairs")
+                * 1000000 + 0.5) / 1000000).as("recall"))
+      },
+      None)
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -98,37 +98,10 @@ object TextAnalysis {
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- t01: language ID by marker-word scoring ----------------------
-    ("t01_langid",
-      (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("w"))
-        val scored = markers.foldLeft(base) { case (df, (lang, set)) =>
-          df.withColumn(s"${lang}_score", countIn(col("w"), set))
-        }
-        val Seq(en, de, es, fr) = Seq("en", "de", "es", "fr").map(l => col(s"${l}_score"))
-        scored.select(
-          col("doc_id"), en.as("en_score"), de.as("de_score"),
-          es.as("es_score"), fr.as("fr_score"),
-          when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
-            .when(en >= de && en >= es && en >= fr, "en")
-            .when(de >= es && de >= fr, "de")
-            .when(es >= fr, "es")
-            .otherwise("fr").as("pred_lang"))
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-               sc AS (SELECT doc_id,
-                        ${sqlCountIn(markers(0)._2)} AS en_score,
-                        ${sqlCountIn(markers(1)._2)} AS de_score,
-                        ${sqlCountIn(markers(2)._2)} AS es_score,
-                        ${sqlCountIn(markers(3)._2)} AS fr_score
-                      FROM toks)
-               SELECT doc_id, en_score, de_score, es_score, fr_score,
-                      CASE WHEN en_score = 0 AND de_score = 0 AND es_score = 0 AND fr_score = 0 THEN 'und'
-                           WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
-                           WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
-                           WHEN es_score >= fr_score THEN 'es'
-                           ELSE 'fr' END AS pred_lang
-               FROM sc""")),
+    ("t01_langid", (s, d) => langScored(s, d),
+      Some(s"""WITH $oracleLangPredCte
+               SELECT doc_id, en_score, de_score, es_score, fr_score, pred_lang
+               FROM pred""")),
 
     // ---- t02: quality scoring (length / diversity / stopword ratios) --
     // Features come from the single-pass kernel in RAW mode (tokenize
@@ -1400,7 +1373,38 @@ object TextAnalysis {
                      array_to_string(
                        ws[greatest(1, pos - 2):least(len(ws), pos + 2)], ' ')
                        AS context
-              FROM m"""))
+              FROM m""")),
+
+    // ---- t31: language-ID confusion matrix (the t01 quality audit) ------
+    // Before anyone trusts t01's labels to gate a multilingual mixture
+    // (p14), they ask for the confusion matrix against the declared
+    // `lang` column: per (declared, predicted) cell, the count and its
+    // share of the declared language. Rides the SAME langScored frame
+    // t01 registers (one definition — the audit can't drift from the
+    // operator it audits); the matrix is one lang-keyed join + one
+    // aggregate, and the per-lang share is a count window over the
+    // ≤ |langs|² matrix frame, not the corpus.
+    ("t31_lang_confusion",
+      (s, d) => {
+        val m = langScored(s, d).select(col("doc_id"), col("pred_lang"))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val wLang = Window.partitionBy(col("lang"))
+        m.withColumn("n_lang", sum(col("n")).over(wLang))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            (floor(col("n").cast("double") / col("n_lang") * 1000000 + 0.5)
+              / 1000000).as("frac_of_lang"))
+      },
+      Some(s"""WITH $oracleLangPredCte,
+               m AS (SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+                     FROM pred p JOIN documents d USING (doc_id)
+                     GROUP BY 1, 2)
+               SELECT lang, pred_lang, n,
+                      FLOOR(CAST(n AS DOUBLE)
+                            / sum(n) OVER (PARTITION BY lang)
+                            * 1000000 + 0.5) / 1000000 AS frac_of_lang
+               FROM m"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20
@@ -1409,6 +1413,46 @@ object TextAnalysis {
     * See the t13 entry for the corpus-never-shuffles argument (per-doc
     * tf/dl are one kernel pass; the only broadcast is the 1-row stats
     * frame; top-k is TakeOrdered). */
+  /** t01's marker-count language scoring as a reusable frame —
+    * (doc_id, *_score, pred_lang) for every document. ONE definition
+    * shared by t01 (the labels) and t31 (their confusion-matrix audit).
+    * [[oracleLangPredCte]] is its oracle twin. */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val scored = markers.foldLeft(base) { case (df, (lang, set)) =>
+      df.withColumn(s"${lang}_score", countIn(col("w"), set))
+    }
+    val Seq(en, de, es, fr) = Seq("en", "de", "es", "fr").map(l => col(s"${l}_score"))
+    scored.select(
+      col("doc_id"), en.as("en_score"), de.as("de_score"),
+      es.as("es_score"), fr.as("fr_score"),
+      when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** DuckDB CTE chain ending in
+    * `pred(doc_id, en_score, de_score, es_score, fr_score, pred_lang)` —
+    * the oracle twin of [[langScored]], shared by t01 and t31. */
+  private lazy val oracleLangPredCte: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |         ${sqlCountIn(markers(0)._2)} AS en_score,
+       |         ${sqlCountIn(markers(1)._2)} AS de_score,
+       |         ${sqlCountIn(markers(2)._2)} AS es_score,
+       |         ${sqlCountIn(markers(3)._2)} AS fr_score
+       |       FROM toks),
+       |pred AS (SELECT doc_id, en_score, de_score, es_score, fr_score,
+       |           CASE WHEN en_score = 0 AND de_score = 0 AND es_score = 0 AND fr_score = 0 THEN 'und'
+       |                WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+       |                WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+       |                WHEN es_score >= fr_score THEN 'es'
+       |                ELSE 'fr' END AS pred_lang
+       |         FROM sc)""".stripMargin
+
   private[operators] def bm25Top20(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
     val toks = words(col("text"))

@@ -56,6 +56,22 @@ class AnnSpec extends AnyFunSuite {
       s"full probe should be exact: recall=${recalls.last} frac=${fracs.last}")
   }
 
+  test("v22 IVF batch join: per-query top-5 recall >= 0.6 vs exact v07") {
+    def byQuery(name: String) = run(name).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = byQuery("v07_knn_join")
+    val approx = byQuery("v22_knn_join_ivf")
+    assert(exact.keySet == approx.keySet, "every query must answer")
+    val recalls = exact.map { case (q, ex) =>
+      ex.intersect(approx(q)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5=$mean")
+    // Results must be genuine top-5-of-candidates rows: 5 per query.
+    assert(approx.values.forall(_.size == 5))
+  }
+
   test("v05 IVF ANN reaches recall@20 >= 0.6 against exact search") {
     val exact = run("v02_knn_bruteforce").collect().map(_.getLong(0)).toSet
     val approx = run("v05_knn_ivf").collect().map(_.getLong(0)).toSet

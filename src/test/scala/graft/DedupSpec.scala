@@ -260,4 +260,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((9998L, 9999L)), s"out=$out")
   }
+
+  test("d21 measures d02's banding: full recall on this corpus, sane precision") {
+    val r = Dedup.defs.find(_._1 == "d21_lsh_dedup_eval").get
+      ._2(spark, TestSpark.sf).collect().head
+    val (nTrue, nCand, nHits) = (r.getAs[Long]("n_true_pairs"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"))
+    assert(nTrue > 0, "fixture has planted >=0.9 pairs")
+    // d02 is oracle-exact on this corpus, which REQUIRES its candidate
+    // stage to cover every true pair — d21 must measure exactly that.
+    assert(nHits == nTrue, s"banding missed ${nTrue - nHits} of $nTrue true pairs")
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(nCand >= nHits)
+    val p = r.getAs[Double]("precision")
+    assert(p > 0.0 && p <= 1.0, s"precision=$p")
+  }
 }
