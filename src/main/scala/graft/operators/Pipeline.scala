@@ -877,17 +877,21 @@ object Pipeline {
     // Gini's Σ rank·x and the shares' numerators stay integers until
     // one final gridded division (rank ties broken by doc_id, same
     // rule both engines). The global rank is NOT a single-task sort:
-    // docs bucket by a token-mass band (the p02/p04 split-prefix-sum
-    // discipline — band-local ranks run on the band's own partition,
-    // and the only global window orders the BAND TOTALS, a ≤64-row
-    // frame whatever the corpus size).
+    // docs band by their EXACT token count (the p02/p04 split-prefix-
+    // sum discipline; any monotone function of the sort key works, and
+    // identity maximizes bands) — band-local ranks run on the band's
+    // own partitions, and the only global window orders the BAND
+    // TOTALS, a token-range-sized frame whatever the corpus size. (The
+    // first cut banded by tok/32: ~10 bands on this corpus capped the
+    // rank sort's parallelism at 10 tasks and went 3.2× at the 80×
+    // doubling; identity banding restored ~2×.)
     ("p15_balance_audit",
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             org.apache.spark.sql.graft.TextHash
               .bpeTokenCountCol(col("text"), Bpe.mergeStrings(s, d)).as("tok"))
-          .withColumn("band", floor(col("tok") / 32).cast("long"))
+          .withColumn("band", col("tok"))
           .localCheckpoint()
         val wLocal = Window.partitionBy(col("band"))
           .orderBy(col("tok").asc, col("doc_id").asc)

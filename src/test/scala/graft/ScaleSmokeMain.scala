@@ -121,7 +121,22 @@ object ScaleSmokeMain {
       // q63/v14).
       "t28_sentences", "p12_pack_efficiency", "s18_peak_concurrency",
       "g09_jaccard", "t29_collocations", "s19_locf", "p13_span_corruption",
-      "g10_conductance")
+      "g10_conductance",
+      // Round-5 continuation additions. Absent by construction:
+      // q69-q72 read part/orders (like q63); v20-v22 read embeddings
+      // (like v14); m06 is decode-bound (like the rest of the
+      // m-family); s20 filters on the literal 'purchase' type and t30
+      // on the literal word 'spark', neither of which exists in the
+      // replica-PREFIXED domains (like s14/s17) — their smoke timing
+      // would measure a match-free degenerate path. t31 IS in: its
+      // predictions degenerate to 'und' here (marker words are
+      // prefixed too), but its corpus-scale cost — the marker-count
+      // kernel over every token — is match-independent, so the
+      // doubling ratio is honest.
+      "d20_dedup_savings", "d21_lsh_dedup_eval",
+      "t31_lang_confusion", "p14_temperature_mix", "p15_balance_audit",
+      "p16_leakfree_split", "s21_top_paths", "g11_assortativity",
+      "g12_modularity")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
