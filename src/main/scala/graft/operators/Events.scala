@@ -990,6 +990,106 @@ object Events {
               SELECT path, CAST(count(*) AS BIGINT) AS n_walks,
                      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
               FROM p GROUP BY 1
-              ORDER BY n_walks DESC, path ASC LIMIT 15"""))
+              ORDER BY n_walks DESC, path ASC LIMIT 15""")),
+
+    // ---- s22: rolling 7-day active users (DAU/WAU) -----------------------
+    // THE product-health metric: per day, how many distinct users acted in
+    // the trailing 7 days. A count(DISTINCT) over a RANGE window doesn't
+    // distribute (per-day state would be the whole user set), so the
+    // engine shape is: collapse the corpus to distinct (user, day)
+    // presence rows FIRST (one exchange, output bounded by users×days),
+    // then each presence row contributes to exactly 7 target days via a
+    // bounded explode, and the trailing-distinct count is a plain
+    // countDistinct per target day — its shuffle carries presence×7, never
+    // raw events. Target days are clipped to the observed day span so
+    // every output day reflects a full data window.
+    ("s22_rolling_actives",
+      (s, d) => {
+        val dayUs = 86400000000L
+        val pres = Tables.events(s, d)
+          .select(col("user_id"),
+            (unix_micros(date_trunc("day", col("ts"))) / dayUs).cast("long").as("day"))
+          .distinct()
+          .localCheckpoint()
+        val bounds = pres.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        pres.crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("day"), least(col("day") + 6, col("hi")))).as("t_day"))
+          .groupBy(col("t_day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .join(broadcast(bounds), col("t_day") >= col("lo") + 6)
+          .select((col("t_day") * dayUs).as("day_us"), col("wau"))
+      },
+      Some("""WITH pres AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(date_trunc('day', ts::TIMESTAMP)) / 86400000000
+                         AS BIGINT) AS day
+                FROM events),
+              b AS (SELECT min(day) AS lo, max(day) AS hi FROM pres),
+              contrib AS (
+                SELECT p.user_id, unnest(generate_series(p.day,
+                         LEAST(p.day + 6, b.hi))) AS t_day
+                FROM pres p, b)
+              SELECT t_day * 86400000000 AS day_us,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+              FROM contrib, b WHERE t_day >= b.lo + 6
+              GROUP BY 1""")),
+
+    // ---- s23: exponentially-weighted hourly volume (EWMA) ----------------
+    // The smoothing rung between s09's z-score (trailing uniform window)
+    // and s10's CUSUM (cumulative drift): an exponentially-weighted mean
+    // of each type's hourly count, α = 1/2. Infinite-memory EWMA can't be
+    // exact in doubles (denominator 2^t outruns the mantissa), so the
+    // engine defines the operator on a 48-hour horizon in SCALED INTEGERS:
+    //   ew_scaled(t) = Σ_{k=0..47} x(t-k) · 2^(47-k)
+    // (missing hours count 0; exact, associative, merge-order-free —
+    // headroom holds while hourly counts stay under 2^14 ≈ 16k/hour-type;
+    // past that a production run drops the weight scale to 2^(31-k),
+    // trading tail resolution it never reads anyway). Geometry: the
+    // hourly aggregate collapses the corpus once (s08/s10's single-scan
+    // spine discipline); each hourly count then fans out to ≤48 target
+    // hours — a bounded post-aggregate explode exactly like s22's, never
+    // a per-event blowup — and the weighted sum is one integer aggregate.
+    ("s23_ewma",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+          .groupBy(col("hr"), col("event_type"))
+          .agg(count(lit(1)).as("x"))
+          .select(col("event_type"), unix_micros(col("hr")).as("hour_us"), col("x"))
+          .localCheckpoint()
+        val hourUs = 3600000000L
+        val bounds = hourly.agg(max(col("hour_us")).as("hi"))
+        val contrib = hourly.crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("x"),
+            explode(sequence(col("hour_us"),
+              least(col("hour_us") + 47L * hourUs, col("hi")), lit(hourUs))).as("t_us"),
+            col("hour_us").as("src_us"))
+          .select(col("event_type"), col("t_us"),
+            (col("x") * expr(
+              "shiftleft(1L, CAST(47 - (t_us - src_us) / 3600000000 AS INT))"))
+              .as("wx"))
+        contrib.groupBy(col("event_type"), col("t_us"))
+          .agg(sum(col("wx")).as("ew_scaled"))
+          .select(col("event_type"), col("t_us").as("hour_us"), col("ew_scaled"))
+      },
+      Some("""WITH e AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hr, event_type
+                         FROM events),
+              hourly AS (SELECT event_type, epoch_us(hr) AS hour_us,
+                           CAST(count(*) AS BIGINT) AS x
+                         FROM e GROUP BY 1, 2),
+              b AS (SELECT max(hour_us) AS hi FROM hourly),
+              contrib AS (
+                SELECT h.event_type,
+                       unnest(generate_series(h.hour_us,
+                         LEAST(h.hour_us + 47 * 3600000000, b.hi),
+                         3600000000)) AS t_us,
+                       h.hour_us AS src_us, h.x
+                FROM hourly h, b)
+              SELECT event_type, t_us AS hour_us,
+                     CAST(sum(x * (CAST(1 AS BIGINT) <<
+                       CAST(47 - (t_us - src_us) / 3600000000 AS INTEGER)))
+                       AS BIGINT) AS ew_scaled
+              FROM contrib GROUP BY 1, 2"""))
   )
 }

@@ -1574,6 +1574,219 @@ object Relational {
                            ('4-NOT SPECIFIED', 4, 0.2), ('5-LOW', 5, 0.25))
                 AS r(o_orderpriority, prio_rank, discount)
                 USING (o_orderpriority)
-              GROUP BY 1, 2"""))
+              GROUP BY 1, 2""")),
+
+    // ---- q73: error-safe TRY arithmetic ---------------------------------
+    // Spark 4 runs under ANSI SQL semantics (overflow / bad cast / ÷0 are
+    // runtime ERRORS, the standard's behavior and this engine's default);
+    // the try_* family is the per-expression escape hatch — NULL instead
+    // of failing the job, which is what a 100 TB batch pipeline wants for
+    // the 0.001% of poisoned rows (one bad row must not kill a 6-hour
+    // job). Overflow is DATA-dependent here (o_orderkey > ~5000 ⇒ the
+    // scaled product leaves Long range), so the oracle reproduces the
+    // try-semantics by computing in HUGEINT and range-checking — the
+    // check IS the definition of try_multiply. All map-side expression
+    // work on one aggregate; zero extra exchanges.
+    ("q73_try_arith",
+      (s, d) => {
+        val bigScale = Long.MaxValue / 5000 // overflow iff o_orderkey > 5000
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            expr(s"try_multiply(o_orderkey, ${bigScale}L)").as("big"),
+            // dv is per-row IEEE division — bit-identical cross-engine —
+            // so it lands on the micro grid BEFORE the order-dependent
+            // sum, which then runs in exact integers.
+            expr("try_divide(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE))").as("dv"),
+            expr("try_cast(o_orderstatus AS BIGINT)").as("bad_num"),
+            expr("try_cast(split_part(o_orderpriority, '-', 1) AS BIGINT)").as("pri"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            count(col("big")).as("n_in_range"),
+            sum(when(col("big").isNull, 1L).otherwise(0L)).as("n_overflow"),
+            sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div0"),
+            sum(floor(col("dv") * 1000000 + 0.5).cast("long")).as("sum_dv_micro"),
+            count(col("bad_num")).as("n_bad_cast_ok"),
+            max(col("pri")).as("pri"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
+                      count(big) AS n_in_range,
+                      CAST(sum(CASE WHEN big IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_overflow,
+                      CAST(sum(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_div0,
+                      CAST(sum(CAST(FLOOR(dv * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                        AS sum_dv_micro,
+                      count(bad_num) AS n_bad_cast_ok,
+                      max(pri) AS pri
+               FROM (SELECT o_orderpriority,
+                       CASE WHEN CAST(o_orderkey AS HUGEINT) * ${Long.MaxValue / 5000}
+                                 BETWEEN -9223372036854775808 AND 9223372036854775807
+                            THEN CAST(o_orderkey * ${Long.MaxValue / 5000} AS BIGINT)
+                       END AS big,
+                       o_totalprice / CAST(NULLIF(o_orderkey % 7, 0) AS DOUBLE) AS dv,
+                       TRY_CAST(o_orderstatus AS BIGINT) AS bad_num,
+                       TRY_CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS pri
+                     FROM orders)
+               GROUP BY 1""")),
+
+    // ---- q74: exact wide-decimal money math -----------------------------
+    // Money at warehouse scale: double loses exactness past 2^53 ≈ 9e15,
+    // and a 1e9-order corpus × 1e7-cent totals crosses it. The engine
+    // discipline: land on the cent grid ONCE (the only rounding), then
+    // all accumulation in DECIMAL(38,0) (HUGEINT on the oracle side) —
+    // exact to 1e38, mergeable map-side partials like any sum. Wide
+    // results leave as STRINGS (digit-exact cross-engine, no float/scale
+    // ambiguity in the compare); in-Long-range values leave as BIGINT.
+    // The ·10^9 factor is the deliberate "past-2^53" stressor: at sf0.1
+    // the wide sum is ~1e21, provably outside double/Long and still
+    // exact. One hash-aggregate, zero joins.
+    ("q74_decimal_exact",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("dcents"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("cents").cast("decimal(19,0)") * lit(1000000000L))
+            .cast("string").as("wide_cents"),
+          sum(col("cents").cast("decimal(19,0)") * (lit(100L) - col("dcents")))
+            .cast("string").as("disc_units")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents,
+                     CAST(sum(CAST(cents AS HUGEINT) * 1000000000) AS VARCHAR)
+                       AS wide_cents,
+                     CAST(sum(CAST(cents AS HUGEINT) * (100 - dcents)) AS VARCHAR)
+                       AS disc_units
+              FROM (SELECT l_returnflag,
+                      CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                      CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dcents
+                    FROM lineitem)
+              GROUP BY 1""")),
+
+    // ---- q75: schema-evolving UNION BY NAME -----------------------------
+    // Two feeds with overlapping-but-different schemas (the daily reality
+    // of multi-source ingestion — a new column appears in one source
+    // first). unionByName(allowMissingColumns) aligns by NAME and
+    // null-fills the gaps — positional UNION (q15) would silently pair
+    // mismatched columns. Null-fill is observable in the counts: segment
+    // exists only on the customer feed, nk only on the supplier feed.
+    // Shape: two scans, one map-side tag, one hash-aggregate.
+    ("q75_union_by_name",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(
+          col("c_name").as("uname"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"),
+          col("c_mktsegment").as("segment"))
+        val su = Tables.supplier(s, d).select(
+          col("s_name").as("uname"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("bal_cents"),
+          col("s_nationkey").cast("long").as("nk"))
+        c.unionByName(su, allowMissingColumns = true)
+          .groupBy(substring(col("uname"), 1, 8).as("feed"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("segment")).as("n_with_segment"),
+            count(col("nk")).as("n_with_nk"),
+            sum(col("bal_cents")).as("total_bal_cents"))
+      },
+      Some("""SELECT feed, count(*) AS n_rows,
+                     count(segment) AS n_with_segment,
+                     count(nk) AS n_with_nk,
+                     CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+              FROM (SELECT substring(uname, 1, 8) AS feed, bal_cents, segment, nk
+                    FROM (SELECT c_name AS uname,
+                            CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+                            c_mktsegment AS segment
+                          FROM customer
+                          UNION ALL BY NAME
+                          SELECT s_name AS uname,
+                            CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+                            CAST(s_nationkey AS BIGINT) AS nk
+                          FROM supplier))
+              GROUP BY 1""")),
+
+    // ---- q76: struct-typed array analytics ------------------------------
+    // Structs as first-class values: per customer, the order history is
+    // collected as an array of (cents, orderkey) structs and sorted by
+    // STRUCT comparison (lexicographic over fields — cents desc, then
+    // orderkey desc under sort_array(..., asc=false)), then the top-2 are
+    // extracted by position. Group state is O(orders-per-customer), a
+    // bounded domain — never O(corpus). The oracle reproduces the struct
+    // ordering with a two-key window rank, proving the struct sort is
+    // exactly the (cents, okey) order.
+    ("q76_struct_ops",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(col("cents"), col("o_orderkey"))),
+          asc = false).as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("o_custkey"),
+          col("arr").getItem(0).getField("cents").as("top_cents"),
+          col("arr").getItem(0).getField("o_orderkey").as("top_okey"),
+          col("arr").getItem(1).getField("cents").as("second_cents"),
+          col("arr").getItem(1).getField("o_orderkey").as("second_okey"),
+          size(col("arr")).cast("long").as("n_orders")),
+      Some("""WITH r AS (
+                SELECT o_custkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                       o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY FLOOR(o_totalprice * 100 + 0.5) DESC,
+                                  o_orderkey DESC) AS rn,
+                       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+                FROM orders)
+              SELECT a.o_custkey, a.cents AS top_cents, a.o_orderkey AS top_okey,
+                     b.cents AS second_cents, b.o_orderkey AS second_okey,
+                     CAST(a.n_orders AS BIGINT) AS n_orders
+              FROM r a JOIN r b ON a.o_custkey = b.o_custkey
+              WHERE a.rn = 1 AND b.rn = 2""")),
+
+    // ---- q77: GROUP BY ALL / ORDER BY ALL -------------------------------
+    // The analyst-ergonomics surface both modern engines converged on:
+    // every non-aggregate select item becomes a grouping key. The
+    // DataFrame form is the explicit groupBy it desugars to; the SQL-text
+    // twin (RelationalSql) uses the literal GROUP BY ALL / ORDER BY ALL
+    // syntax and SqlParitySpec pins them equal — the desugaring is
+    // syntax, not a different plan. One hash-aggregate.
+    ("q77_group_by_all",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).as("ship_year"),
+          col("l_quantity"), col("l_extendedprice"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          cents(sum(col("l_extendedprice"))).as("sum_price")),
+      Some("""SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+                     count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+                     FLOOR(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+              FROM lineitem GROUP BY ALL""")),
+
+    // ---- q78: DISTINCT ON / latest-row-per-key --------------------------
+    // "The latest order per customer" — the semantics DuckDB/Postgres
+    // spell DISTINCT ON (k) ... ORDER BY k, ord. Spark's seat is a
+    // row_number window with the same total order (date desc, orderkey
+    // desc breaks ties deterministically) filtered to rn = 1: ONE
+    // exchange on the key, and at scale the heap-pruned GroupedTopK
+    // physical operator (q37) is the k=1 fast path of exactly this plan.
+    ("q78_distinct_on",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+            unix_micros(col("o_orderdate")).as("last_order_us"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("last_cents"))
+      },
+      Some("""SELECT DISTINCT ON (o_custkey)
+                     o_custkey, o_orderkey AS last_orderkey,
+                     epoch_us(o_orderdate) AS last_order_us,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS last_cents
+              FROM orders
+              ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC"""))
   )
 }

@@ -690,6 +690,81 @@ object RelationalSql {
         |             ('4-NOT SPECIFIED', 4L, 0.2D), ('5-LOW', 5L, 0.25D))
         |  AS r(o_orderpriority, prio_rank, discount)
         |  USING (o_orderpriority)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q73_try_arith" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+        |       count(big) AS n_in_range,
+        |       sum(CASE WHEN big IS NULL THEN 1L ELSE 0L END) AS n_overflow,
+        |       sum(CASE WHEN dv IS NULL THEN 1L ELSE 0L END) AS n_div0,
+        |       sum(CAST(FLOOR(dv * 1000000 + 0.5) AS BIGINT)) AS sum_dv_micro,
+        |       count(bad_num) AS n_bad_cast_ok,
+        |       max(pri) AS pri
+        |FROM (SELECT o_orderpriority,
+        |        try_multiply(o_orderkey, ${Long.MaxValue / 5000}L) AS big,
+        |        try_divide(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)) AS dv,
+        |        try_cast(o_orderstatus AS BIGINT) AS bad_num,
+        |        try_cast(split_part(o_orderpriority, '-', 1) AS BIGINT) AS pri
+        |      FROM orders)
+        |GROUP BY 1""".stripMargin,
+
+    "q74_decimal_exact" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       sum(cents) AS sum_cents,
+        |       CAST(sum(CAST(cents AS DECIMAL(19,0)) * 1000000000L) AS STRING)
+        |         AS wide_cents,
+        |       CAST(sum(CAST(cents AS DECIMAL(19,0)) * (100L - dcents)) AS STRING)
+        |         AS disc_units
+        |FROM (SELECT l_returnflag,
+        |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |        CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dcents
+        |      FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+
+    // Spark SQL text has no UNION BY NAME — this twin is the explicit
+    // null-fill desugaring (the one the DataFrame API performs), and
+    // SqlParitySpec pins it equal to unionByName(allowMissingColumns).
+    "q75_union_by_name" ->
+      """SELECT substring(uname, 1, 8) AS feed, count(*) AS n_rows,
+        |       count(segment) AS n_with_segment, count(nk) AS n_with_nk,
+        |       sum(bal_cents) AS total_bal_cents
+        |FROM (SELECT c_name AS uname,
+        |        CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+        |        c_mktsegment AS segment, CAST(NULL AS BIGINT) AS nk
+        |      FROM customer
+        |      UNION ALL
+        |      SELECT s_name, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT),
+        |        CAST(NULL AS STRING), CAST(s_nationkey AS BIGINT)
+        |      FROM supplier)
+        |GROUP BY 1""".stripMargin,
+
+    "q76_struct_ops" ->
+      """SELECT o_custkey,
+        |       arr[0].cents AS top_cents, arr[0].o_orderkey AS top_okey,
+        |       arr[1].cents AS second_cents, arr[1].o_orderkey AS second_okey,
+        |       CAST(size(arr) AS BIGINT) AS n_orders
+        |FROM (SELECT o_custkey,
+        |        sort_array(collect_list(struct(cents, o_orderkey)), false) AS arr
+        |      FROM (SELECT o_custkey,
+        |              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |              o_orderkey
+        |            FROM orders)
+        |      GROUP BY o_custkey)
+        |WHERE size(arr) >= 2""".stripMargin,
+
+    "q77_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+        |       count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |       FLOOR(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q78_distinct_on" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey,
+        |       unix_micros(o_orderdate) AS last_order_us,
+        |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS last_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin
   )
 }

@@ -1404,7 +1404,96 @@ object TextAnalysis {
                       FLOOR(CAST(n AS DOUBLE)
                             / sum(n) OVER (PARTITION BY lang)
                             * 1000000 + 0.5) / 1000000 AS frac_of_lang
-               FROM m"""))
+               FROM m""")),
+
+    // ---- t32: vocabulary coverage curve ----------------------------------
+    // The tokenizer-sizing question t06 (vocab) and t14 (Zipf fit) don't
+    // answer directly: how much of the token stream does a top-K
+    // vocabulary COVER? Rank types by frequency (count desc, word asc —
+    // total order) and emit each rank's cumulative token share; the rank
+    // where pct_micro crosses 950000 is the "95% vocab size" a BPE/word
+    // tokenizer budget reads off. Shape at scale: one corpus-collapsing
+    // word count (map-side combined), then rank + running sum as windows
+    // over the VOCABULARY-sized frame on its own exchange — the t07/t14
+    // count-window discipline, nothing corpus-sized past the first
+    // aggregate. All-integer outputs (shares on the fixed micro grid).
+    ("t32_vocab_coverage",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val wAll = Window.orderBy(col("cnt").desc, col("word").asc)
+        val wCum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("rank", row_number().over(wAll).cast("long"))
+          .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+          .withColumn("total", sum(col("cnt")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("rank"), col("word"), col("cnt"), col("cum_cnt"),
+            floor(col("cum_cnt").cast("double") / col("total") * 1000000)
+              .cast("long").as("pct_micro"))
+      },
+      Some("""WITH counts AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY 1),
+              r AS (SELECT word, cnt,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+                        AS rank,
+                      CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS cum_cnt,
+                      CAST(sum(cnt) OVER () AS BIGINT) AS total
+                    FROM counts)
+              SELECT rank, word, cnt, cum_cnt,
+                     CAST(FLOOR(CAST(cum_cnt AS DOUBLE) / total * 1000000) AS BIGINT)
+                       AS pct_micro
+              FROM r""")),
+
+    // ---- t33: n-gram novelty over ingestion order ------------------------
+    // Dataset freshness: as the corpus is ingested in doc_id order, what
+    // fraction of each document's distinct 3-gram shingles has NEVER been
+    // seen in an earlier document? A healthy crawl shows high sustained
+    // novelty; a stagnating one decays toward d12/d14's repeated-span
+    // territory. Per-gram "first seen" is min(doc_id) as a window over
+    // the gram-keyed exchange (the q60 first-occurrence rewrite — no
+    // self-join back), and grams ride as 8-byte kernel hashes, never
+    // strings (the Dedup discipline; equality modulo 2^-64 collisions,
+    // same contract d04's oracle accepts). One gram-keyed exchange plus
+    // one doc-keyed aggregate — no join against a growing "seen" state.
+    ("t33_gram_novelty",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(org.apache.spark.sql.graft.TextHash.shingleHashSet(col("text"))).as("g"))
+        val wG = Window.partitionBy(col("g"))
+        grams
+          .withColumn("first_doc", min(col("doc_id")).over(wG))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            floor(col("n_novel").cast("double") / col("n_grams") * 1000000)
+              .cast("long").as("novelty_micro"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 3),
+              sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg
+                     FROM idx
+                     UNION ALL
+                     SELECT doc_id, text AS sg FROM documents
+                     WHERE len(string_split(text, ' ')) < 3),
+              f AS (SELECT doc_id, sg,
+                      min(doc_id) OVER (PARTITION BY sg) AS first_doc
+                    FROM sh)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_novel,
+                     CAST(FLOOR(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS novelty_micro
+              FROM f GROUP BY doc_id"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

@@ -616,4 +616,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
   }
+
+  test("s22/s23 fan out AFTER the corpus collapses — no per-event explode") {
+    // Both rolling operators bound their explode by presence/hourly rows
+    // (post-aggregate), never raw events: the checkpointed aggregate is
+    // the only thing the final plan reads, and the 1-row bounds meet it
+    // by broadcast, not shuffle.
+    for (n <- Seq("s22_rolling_actives", "s23_ewma")) {
+      val p = planOf(n)
+      val eventScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("events"))
+      assert(eventScans == 0, s"$n re-scans the corpus ($eventScans scans)")
+      assert(p.contains("ExistingRDD"),
+        s"$n must read the checkpointed presence/hourly aggregate")
+      assert(p.contains("Generate"), s"$n lost its bounded explode")
+      assert(!p.contains("SortMergeJoin"),
+        s"$n: the 1-row bounds must broadcast, never sort-merge")
+    }
+  }
+
+  test("t33 novelty: first-occurrence rides a window, never a join-back") {
+    // Per-gram min(doc_id) must be the gram-keyed window (the q60
+    // rewrite); a join of grams against a grams-aggregate would shuffle
+    // the gram stream twice.
+    val p = planOf("t33_gram_novelty")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+      assert(!p.contains(j), s"t33 must not join: found $j")
+    assert(p.contains("Window"), "first_doc must come from the gram window")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"t33: gram window + doc agg only, got $exchanges")
+  }
+
+  test("q78 latest-per-key is one exchange and no join") {
+    val p = planOf("q78_distinct_on")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+      assert(!p.contains(j), s"q78 must not join: found $j")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"q78: the custkey window exchange only, got $exchanges")
+  }
 }
