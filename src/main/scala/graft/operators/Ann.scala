@@ -944,7 +944,116 @@ object Ann {
         org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
           cand, Seq("q_id"), Seq("cos_sim" -> true, "vec_id" -> false), 5)
       },
-      None)
+      None),
+
+    // ---- v23: binary (1-bit) Hamming KNN --------------------------------
+    // The most aggressive quantization rung under v13's SQ8 and v08's PQ:
+    // sign bits only — 64 dims pack into TWO 32-bit words (16 bytes/row
+    // incl. id vs 256 float bytes, 16×), and candidate scoring is two
+    // XOR+popcounts, the cheapest distance that exists. For unit vectors
+    // sign-agreement tracks cosine (1-bit LSH: P[sign match] =
+    // 1 − θ/π, Charikar 2002), so Hamming top-20 is a candidate set and
+    // the exact cosine re-ranks the survivors — v13's shape with an even
+    // smaller standing column. Packing uses two ADDITIVE 32-bit words
+    // (values < 2^32 — no sign-bit overflow in either engine's BIGINT),
+    // is pure map-side expression work, and the top-k is TakeOrdered;
+    // the oracle rebuilds identical words from the raw floats. At scale
+    // the packed words are the persisted column (AnnIndex discipline)
+    // and the re-rank touches 20 rows.
+    ("v23_knn_hamming",
+      (s, d) => {
+        def pack(src: String, lo: Int) = expr(
+          s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          s"IF(element_at($src, i + ${lo + 1}) > CAST(0 AS FLOAT), shiftleft(1L, i), 0L))")
+        val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            pack("embedding", 0).as("w1"), pack("embedding", 32).as("w2"))
+        val q = queryVec(s, d).select(col("qv"),
+          pack("qv", 0).as("qw1"), pack("qv", 32).as("qw2"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qv"),
+            expr("CAST(bit_count(w1 ^ qw1) + bit_count(w2 ^ qw2) AS BIGINT)")
+              .as("hamming"))
+          .orderBy(col("hamming").asc, col("vec_id").asc).limit(20)
+          .select(col("vec_id"), col("hamming"),
+            cosine(col("embedding"), col("qv")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                         FROM embeddings WHERE vec_id <> 0),
+              q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+              pk AS (SELECT vec_id, emb,
+                       CAST(list_sum(list_transform(range(1, 33), i ->
+                         CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                              ELSE 0 END)) AS BIGINT) AS w1,
+                       CAST(list_sum(list_transform(range(1, 33), i ->
+                         CASE WHEN emb[i + 32] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                              ELSE 0 END)) AS BIGINT) AS w2
+                     FROM e),
+              qk AS (SELECT qv,
+                       CAST(list_sum(list_transform(range(1, 33), i ->
+                         CASE WHEN qv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                              ELSE 0 END)) AS BIGINT) AS qw1,
+                       CAST(list_sum(list_transform(range(1, 33), i ->
+                         CASE WHEN qv[i + 32] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                              ELSE 0 END)) AS BIGINT) AS qw2
+                     FROM q),
+              h AS (SELECT vec_id, emb, qv,
+                      CAST(bit_count(xor(w1, qw1)) + bit_count(xor(w2, qw2))
+                        AS BIGINT) AS hamming
+                    FROM pk, qk),
+              top AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 20)
+              SELECT vec_id, hamming, list_cosine_similarity(emb, qv) AS cos_sim
+              FROM top ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- v24: matrix-free power iteration (top principal direction) -----
+    // The embedding-health rung above v17's per-dim stats: the corpus's
+    // dominant direction and its energy — anisotropy diagnosis (Ethayarajh
+    // 2019: contextual embeddings collapse toward a common direction;
+    // a big λ with one fat loading says "centering/whitening needed
+    // before cosine retrieval"). NEVER materializes the 64×64 covariance:
+    // each iteration computes X·(Xᵀv)/n directly — one broadcast of the
+    // 64-float v, one map-side dot per row, and a 64-key aggregate whose
+    // exchange carries partial sums (map-side combined), not rows. The
+    // posexplode fan-out is narrow map work; nothing corpus-sized
+    // shuffles. Float discipline: the per-row dot is gridded (1e-9), the
+    // per-dim mean is gridded, the norm and the normalized loadings are
+    // gridded — six iterations stay bit-identical to the oracle's
+    // unrolled CTE replay (the g01/g07 iterative contract). λ here is
+    // the dominant eigenvalue of (1/n)·XᵀX ≈ the top explained energy
+    // of the (uncentered) second moment.
+    ("v24_power_iteration",
+      (s, d) => {
+        val iters = 6
+        val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        var v: DataFrame = s.range(1).select(
+          expr(s"transform(sequence(1, $SqDim), i -> CAST(0.125 AS DOUBLE))").as("pv"),
+          lit(0.0).as("nrm"))
+        for (_ <- 1 to iters) {
+          val scored = e.crossJoin(broadcast(v.select(col("pv"))))
+            .select(col("embedding"), Graph.grid9(expr(
+              "aggregate(zip_with(embedding, pv, (x, y) -> x * y), " +
+              "CAST(0 AS DOUBLE), (a, z) -> a + z)")).as("sc"))
+          val dims = scored
+            .select(posexplode(col("embedding")), col("sc"))
+            .groupBy(col("pos"))
+            .agg(Graph.grid9(avg(col("col") * col("sc"))).as("nv"))
+          v = dims
+            .agg(sort_array(collect_list(struct(col("pos"), col("nv")))).as("a"))
+            .select(expr("transform(a, x -> x.nv)").as("raw"))
+            .select(col("raw"), Graph.grid9(sqrt(expr(
+              "aggregate(raw, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+              .as("nrm"))
+            .select(expr(
+              "transform(raw, x -> FLOOR(x / nrm * 1000000000 + 0.5) / 1000000000)")
+              .as("pv"), col("nrm"))
+            .localCheckpoint()
+        }
+        v.select(col("nrm").as("lambda"), posexplode(col("pv")))
+          .select(col("pos"), col("col").as("loading"), col("lambda"))
+      },
+      Some(powerIterationOracle(6)))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +
@@ -982,6 +1091,46 @@ object Ann {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT pick, vec_id, simq AS cos_sim, mmr_score FROM sel$k"
+  }
+
+  /** v24's recurrence as unrolled DuckDB CTEs — per iteration: gridded
+    * per-row dot, gridded per-dim mean of emb·sc, gridded norm, gridded
+    * normalized loadings (every grid mirrors the Spark plan exactly, so
+    * six iterations can't drift). MATERIALIZED per the g01 lesson. */
+  private def powerIterationOracle(iters: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings WHERE vec_id <> 0),
+         |v0 AS MATERIALIZED (
+         |  SELECT list_transform(range(1, ${SqDim + 1}),
+         |           i -> CAST(0.125 AS DOUBLE)) AS pv)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""sc$i AS MATERIALIZED (
+         |  SELECT vec_id, emb,
+         |         FLOOR(list_sum(list_transform(range(1, ${SqDim + 1}),
+         |           j -> emb[j] * pv[j])) * 1000000000 + 0.5) / 1000000000 AS sc
+         |  FROM e, v${i - 1}),
+         |dim$i AS MATERIALIZED (
+         |  SELECT j,
+         |         FLOOR(avg(emb[j] * sc) * 1000000000 + 0.5) / 1000000000 AS nv
+         |  FROM sc$i, range(1, ${SqDim + 1}) t(j) GROUP BY j),
+         |vr$i AS MATERIALIZED (
+         |  SELECT list(nv ORDER BY j) AS raw FROM dim$i),
+         |nr$i AS MATERIALIZED (
+         |  SELECT raw,
+         |         FLOOR(sqrt(list_sum(list_transform(raw, x -> x * x)))
+         |           * 1000000000 + 0.5) / 1000000000 AS nrm
+         |  FROM vr$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT list_transform(raw,
+         |           x -> FLOOR(x / nrm * 1000000000 + 0.5) / 1000000000) AS pv,
+         |         nrm
+         |  FROM nr$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""\nSELECT CAST(j - 1 AS INT) AS pos, pv[j] AS loading, nrm AS lambda
+         |FROM v$iters, range(1, ${SqDim + 1}) t(j)""".stripMargin
   }
 
   /** SemDeDup keeper pass over pre-assigned (vec_id, cell, embedding)

@@ -913,7 +913,61 @@ object Graph {
                             - (CAST(dt.d_tot AS DOUBLE) / (2 * m.m))
                               * (CAST(dt.d_tot AS DOUBLE) / (2 * m.m)))
                            * 1000000000 + 0.5) / 1000000000 AS modularity_term
-              FROM dt LEFT JOIN ein ON ein.community = dt.community, m"""))
+              FROM dt LEFT JOIN ein ON ein.community = dt.community, m""")),
+
+    // ---- g13: multi-source BFS hop distances -----------------------------
+    // The third semiring of the iterative-join family: PageRank sums
+    // (+,×), components take min labels, BFS runs MIN-PLUS — distance
+    // relaxation dist'(v) = min(dist(v), min over (u,v) of dist(u)+1) —
+    // the "blast radius" query (how far does influence/abuse spread from
+    // a seed set). Seeds are every graph node with user_id ≡ 0 (mod 50);
+    // 6 relaxation rounds bound the horizon, unreached nodes are absent
+    // (not NULL rows). Each round is ONE hash-keyed join + ONE min
+    // aggregate with lineage cut (the CC-loop discipline); full-edge
+    // relaxation keeps the round a pure replayable plan — a production
+    // run at 100 TB sends only the CHANGED frontier into the join
+    // (frontier ⋈ edges instead of dist ⋈ edges), same plan shape with a
+    // delta filter, converging work per round instead of O(E). Oracle:
+    // unrolled min-plus CTEs over the same undirected edge set.
+    ("g13_bfs_layers",
+      (s, d) => {
+        val und = undirectedEdges(s, d)
+        val sym = und.select(col("u").as("x"), col("v").as("y"))
+          .union(und.select(col("v").as("x"), col("u").as("y")))
+          .localCheckpoint()
+        var dist = sym.select(col("x").as("node")).distinct()
+          .filter(col("node") % 50 === 0)
+          .withColumn("dist", lit(0L)).localCheckpoint()
+        for (_ <- 1 to 6) {
+          val hop = sym.join(dist, sym("x") === dist("node"))
+            .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
+          dist = dist.union(hop)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+        }
+        dist.select(col("node").as("user_id"), col("dist"))
+      },
+      Some {
+        val head =
+          s"""WITH $eventGraphBaseCte,
+             |$undirectedCte,
+             |sym AS MATERIALIZED (
+             |  SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und),
+             |d0 AS MATERIALIZED (
+             |  SELECT DISTINCT x AS node, CAST(0 AS BIGINT) AS dist
+             |  FROM sym WHERE x % 50 = 0)""".stripMargin
+        val steps = (1 to 6).map { i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |    SELECT node, dist FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT s.y AS node, p.dist + 1 AS dist
+             |    FROM d${i - 1} p JOIN sym s ON s.x = p.node)
+             |  GROUP BY node)""".stripMargin
+        }
+        (head +: steps).mkString(",\n") +
+          "\nSELECT node AS user_id, dist FROM d6"
+      })
   )
 
   /** g07's oracle: nodes/edges base + [[hitsOracleSteps]] + the top-20. */

@@ -994,7 +994,57 @@ object Pipeline {
                      CASE WHEN u < 4294967296.0 * 0.8 THEN 'train'
                           WHEN u < 4294967296.0 * 0.9 THEN 'val'
                           ELSE 'test' END AS split
-              FROM u"""))
+              FROM u""")),
+
+    // ---- p17: dataset card ----------------------------------------------
+    // The per-stratum summary a dataset release ships (Gebru et al. 2021
+    // datasheets; every open corpus publishes one): per (source, lang) —
+    // volume, token mass, near-dup exposure, learned-quality mass and the
+    // length distribution. A composition proof over three existing cores
+    // (t18's classifierScores, d06's ccLabels, the corpus itself), so the
+    // card can never disagree with the operators it summarizes. Float
+    // discipline: per-doc logits land on the micro grid BEFORE the
+    // merge-order-dependent sum (integer sum after — the t28 rule);
+    // p50 is percentile_cont on integers at p = 1/2 (the (a+b)/2
+    // midpoint is dyadic-exact cross-engine). Shape at scale: doc-keyed
+    // LEFT join against the bounded dup-label set, one hash-aggregate;
+    // the exact-percentile group state is O(distinct n_chars) per
+    // stratum — bounded domain, never O(rows).
+    ("p17_dataset_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("nw"))
+        docs
+          .join(TextAnalysis.classifierScores(s, d), "doc_id")
+          .join(Dedup.ccLabels(s, d), Seq("doc_id"), "left")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("total_words"),
+            sum(when(col("label").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(floor(col("logit") * 1000000 + 0.5).cast("long"))
+              .as("sum_logit_micro"),
+            expr("CAST(percentile(n_chars, 0.5D) AS DOUBLE)").as("p50_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.oracleCcComponents},
+              ${TextAnalysis.oracleLogitCte},
+              dcs AS (SELECT doc_id, source, lang, n_chars,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+                      FROM documents)
+              SELECT d.source, d.lang, count(*) AS n_docs,
+                     CAST(sum(d.nw) AS BIGINT) AS total_words,
+                     CAST(sum(CASE WHEN cp.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dup_docs,
+                     CAST(sum(CAST(FLOOR(sc.logit * 1000000 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_logit_micro,
+                     quantile_cont(d.n_chars, 0.5) AS p50_chars,
+                     min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+              FROM dcs d
+              JOIN sc USING (doc_id)
+              LEFT JOIN comp cp ON cp.doc_id = d.doc_id
+              GROUP BY 1, 2"""))
   )
 
   /** p04's deterministic shuffle + token-budget sharding core —

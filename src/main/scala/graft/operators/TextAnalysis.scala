@@ -1622,13 +1622,16 @@ object TextAnalysis {
   }
 
   /** DuckDB CTE chain ending in `sc(doc_id, logit)` — the oracle twin of
-    * [[classifierScores]], shared by t18 and p07. */
+    * [[classifierScores]], shared by t18, p07 and p17. Internal CTE
+    * names are sc-prefixed so the chain can be spliced next to
+    * [[Dedup.oracleCcComponents]] (whose inverted-index chain also
+    * builds a `toks`) in one oracle without name collisions. */
   private[operators] lazy val oracleLogitCte: String =
-    s"""toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
-       |c AS (SELECT doc_id, n_chars, len(w) AS n_words,
+    s"""sctoks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+       |scfeat AS (SELECT doc_id, n_chars, len(w) AS n_words,
        |             len(list_distinct(w)) AS n_distinct,
        |             ${sqlCountIn(markers.flatMap(_._2).distinct)} AS n_stop
-       |      FROM toks),
+       |      FROM sctoks),
        |sc AS (SELECT doc_id,
        |         CAST(0.0 AS DOUBLE)
        |           + CAST(1.0 AS DOUBLE) * CAST(-2.25 AS DOUBLE)
@@ -1637,5 +1640,5 @@ object TextAnalysis {
        |           + CAST(n_stop AS DOUBLE) / n_words * CAST(-1.25 AS DOUBLE)
        |           + CAST(least(n_chars, 1000) AS DOUBLE) / 1000 * CAST(0.75 AS DOUBLE)
        |           AS logit
-       |       FROM c)""".stripMargin
+       |       FROM scfeat)""".stripMargin
 }

@@ -647,6 +647,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"t33: gram window + doc agg only, got $exchanges")
   }
 
+  test("v23 hamming KNN: packed words are map-side, top-k is TakeOrdered") {
+    // The packing expressions and the XOR+popcount distance are narrow
+    // map work over the scan; candidate selection must be distributed
+    // TakeOrdered (never a global sort), and the only join is the 1-row
+    // query broadcast.
+    val p = planOf("v23_knn_hamming")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "only the 1-row query broadcast may join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0, s"hamming scan must not shuffle, got $exchanges")
+  }
+
   test("q78 latest-per-key is one exchange and no join") {
     val p = planOf("q78_distinct_on")
     for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
