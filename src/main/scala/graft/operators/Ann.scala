@@ -33,6 +33,11 @@ object Ann {
     * (Declared before defs — a later val would be 0 at defs init.) */
   private val SqDim = 64
 
+  /** v24's fixed power-iteration unroll — ONE constant for the Spark
+    * loop and the oracle's CTE chain (declared before `defs`: the oracle
+    * string interpolates it eagerly at object construction). */
+  private val PowerIters = 6
+
   private def queryVec(s: SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
@@ -1024,13 +1029,12 @@ object Ann {
     // of the (uncentered) second moment.
     ("v24_power_iteration",
       (s, d) => {
-        val iters = 6
         val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("embedding")).localCheckpoint()
         var v: DataFrame = s.range(1).select(
           expr(s"transform(sequence(1, $SqDim), i -> CAST(0.125 AS DOUBLE))").as("pv"),
           lit(0.0).as("nrm"))
-        for (_ <- 1 to iters) {
+        for (_ <- 1 to PowerIters) {
           val scored = e.crossJoin(broadcast(v.select(col("pv"))))
             .select(col("embedding"), Graph.grid9(expr(
               "aggregate(zip_with(embedding, pv, (x, y) -> x * y), " +
@@ -1053,7 +1057,7 @@ object Ann {
         v.select(col("nrm").as("lambda"), posexplode(col("pv")))
           .select(col("pos"), col("col").as("loading"), col("lambda"))
       },
-      Some(powerIterationOracle(6)))
+      Some(powerIterationOracle(PowerIters)))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

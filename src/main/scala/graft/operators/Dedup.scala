@@ -59,12 +59,20 @@ object Dedup {
     * TextHash.gramHashes fallback), and each pair carries `has_cold` = 1
     * iff it shares at least one gram under the df cap — the candidate-
     * generation precondition d04/d06 apply (d02's LSH path does not). */
-  private val oracleShingleJaccard: String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The 3-word string-shingle extraction alone, ending in
+    * `sh(doc_id, sg)` — ONE definition of the shingle contract
+    * (including the <3-word whole-text fallback) shared by
+    * [[oracleShingleJaccard]] and t33's novelty oracle, so the gram
+    * rule can't drift between the dedup ladder and its audits. */
+  private[operators] val oracleShingleCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg FROM idx
       |       UNION ALL
-      |       SELECT doc_id, text AS sg FROM documents WHERE len(string_split(text, ' ')) < 3),
+      |       SELECT doc_id, text AS sg FROM documents WHERE len(string_split(text, ' ')) < 3)""".stripMargin
+
+  private val oracleShingleJaccard: String =
+    s"""$oracleShingleCte,
       |hot AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) > $GramDfCap),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c,

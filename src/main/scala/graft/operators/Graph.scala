@@ -51,6 +51,11 @@ object Graph {
     * same eager-interpolation reason as [[KcoreRounds]]. */
   private val HitsIters = 8
 
+  /** g13's fixed relaxation-round unroll — one constant for the Spark
+    * loop and the oracle CTE chain, declared before `defs` like
+    * [[KcoreRounds]]. */
+  private val BfsRounds = 6
+
   /** The 1e-9 grid used by every iterative float algorithm in the graph
     * family (and v14's drift metric) — one definition so the grid
     * discipline can't drift between operators. */
@@ -938,7 +943,7 @@ object Graph {
         var dist = sym.select(col("x").as("node")).distinct()
           .filter(col("node") % 50 === 0)
           .withColumn("dist", lit(0L)).localCheckpoint()
-        for (_ <- 1 to 6) {
+        for (_ <- 1 to BfsRounds) {
           val hop = sym.join(dist, sym("x") === dist("node"))
             .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
           dist = dist.union(hop)
@@ -956,7 +961,7 @@ object Graph {
              |d0 AS MATERIALIZED (
              |  SELECT DISTINCT x AS node, CAST(0 AS BIGINT) AS dist
              |  FROM sym WHERE x % 50 = 0)""".stripMargin
-        val steps = (1 to 6).map { i =>
+        val steps = (1 to BfsRounds).map { i =>
           s"""d$i AS MATERIALIZED (
              |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
              |    SELECT node, dist FROM d${i - 1}
@@ -966,7 +971,7 @@ object Graph {
              |  GROUP BY node)""".stripMargin
         }
         (head +: steps).mkString(",\n") +
-          "\nSELECT node AS user_id, dist FROM d6"
+          s"\nSELECT node AS user_id, dist FROM d$BfsRounds"
       })
   )
 

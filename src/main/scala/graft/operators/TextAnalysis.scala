@@ -1477,14 +1477,7 @@ object TextAnalysis {
             floor(col("n_novel").cast("double") / col("n_grams") * 1000000)
               .cast("long").as("novelty_micro"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-                      FROM toks WHERE len(w) >= 3),
-              sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg
-                     FROM idx
-                     UNION ALL
-                     SELECT doc_id, text AS sg FROM documents
-                     WHERE len(string_split(text, ' ')) < 3),
+      Some(s"""WITH ${Dedup.oracleShingleCte},
               f AS (SELECT doc_id, sg,
                       min(doc_id) OVER (PARTITION BY sg) AS first_doc
                     FROM sh)
