@@ -1788,5 +1788,79 @@ object Relational {
                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS last_cents
               FROM orders
               ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC"""))
+
+    ,
+    // ---- q79: quantified comparisons (> ALL / < ANY) --------------------
+    // The SQL-standard quantifier surface Spark's parser doesn't accept:
+    // x > ALL (subq) decorrelates to x > max(subq) and x < ANY (subq) to
+    // x < max(subq) — PLUS the empty-set edges the naive rewrite gets
+    // WRONG: ALL over an empty set is TRUE (the broadcast max is NULL ⇒
+    // the comparison is UNKNOWN ⇒ a bare rewrite silently counts 0) and
+    // ANY over an empty set is FALSE. The reference set (Brand#13 parts
+    // with p_size ≥ 48) is legitimately EMPTY at sf0.001, so the edge is
+    // exercised, not decorative. DuckDB runs the NATIVE quantifiers —
+    // machine-checked feature parity. Shape: 1-row broadcast thresholds,
+    // map-side comparisons, one hash-aggregate.
+    ("q79_quantified_cmp",
+      (s, d) => {
+        val ref = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13" && col("p_size") >= 48)
+          .agg(max(col("p_retailprice")).as("mx"),
+               min(col("p_retailprice")).as("mn"))
+        Tables.part(s, d).crossJoin(broadcast(ref))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when(col("mx").isNull, 1L)
+              .when(col("p_retailprice") > col("mx"), 1L).otherwise(0L))
+              .as("n_gt_all"),
+            sum(when(col("mx").isNull, 0L)
+              .when(col("p_retailprice") < col("mx"), 1L).otherwise(0L))
+              .as("n_lt_any"),
+            sum(when(col("mn").isNull, 1L)
+              .when(col("p_retailprice") < col("mn"), 1L).otherwise(0L))
+              .as("n_lt_all"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_parts,
+                     CAST(sum(CASE WHEN p_retailprice > ALL
+                       (SELECT p_retailprice FROM part
+                        WHERE p_brand = 'Brand#13' AND p_size >= 48)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_all,
+                     CAST(sum(CASE WHEN p_retailprice < ANY
+                       (SELECT p_retailprice FROM part
+                        WHERE p_brand = 'Brand#13' AND p_size >= 48)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_any,
+                     CAST(sum(CASE WHEN p_retailprice < ALL
+                       (SELECT p_retailprice FROM part
+                        WHERE p_brand = 'Brand#13' AND p_size >= 48)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_all
+              FROM part GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q80: FETCH FIRST n ROWS WITH TIES ------------------------------
+    // Top-n that keeps every row tied with the cutoff (the fairness
+    // variant of LIMIT — leaderboards, quota cuts). Neither engine
+    // parses WITH TIES, so the operator IS the scalable rewrite: the
+    // cutoff key comes from a TakeOrdered(10) (k rows to the driver
+    // plan, never a global sort) broadcast as a 1-row threshold, and the
+    // corpus takes a map-side band >= thr filter — rank(x) ≤ 10 ⟺
+    // band(x) ≥ band(10th row) for a desc rank, including the under-10-
+    // rows edge (threshold = min present band ⇒ all rows pass). The
+    // oracle spells the same semantics as the rank() window rewrite.
+    ("q80_fetch_ties",
+      (s, d) => {
+        val banded = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") / 1000).cast("long").as("price_band"))
+        val thr = banded.orderBy(col("price_band").desc).limit(10)
+          .agg(min(col("price_band")).as("thr"))
+        banded.crossJoin(broadcast(thr))
+          .filter(col("price_band") >= col("thr"))
+          .select(col("o_orderkey"), col("o_custkey"), col("price_band"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey,
+                       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
+                     FROM orders),
+              r AS (SELECT *, rank() OVER (ORDER BY price_band DESC) AS rnk FROM b)
+              SELECT o_orderkey, o_custkey, price_band FROM r WHERE rnk <= 10"""))
   )
 }

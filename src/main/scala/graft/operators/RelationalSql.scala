@@ -765,6 +765,34 @@ object RelationalSql {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    // Spark's parser has no quantified comparisons — this twin is the
+    // decorrelated scalar-subquery rewrite (empty-set edges spelled
+    // out), the same desugaring the DataFrame plan performs.
+    "q79_quantified_cmp" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       sum(CASE WHEN mx IS NULL THEN 1L
+        |                WHEN p_retailprice > mx THEN 1L ELSE 0L END) AS n_gt_all,
+        |       sum(CASE WHEN mx IS NULL THEN 0L
+        |                WHEN p_retailprice < mx THEN 1L ELSE 0L END) AS n_lt_any,
+        |       sum(CASE WHEN mn IS NULL THEN 1L
+        |                WHEN p_retailprice < mn THEN 1L ELSE 0L END) AS n_lt_all
+        |FROM (SELECT p_brand, p_retailprice,
+        |        (SELECT max(p_retailprice) FROM part
+        |         WHERE p_brand = 'Brand#13' AND p_size >= 48) AS mx,
+        |        (SELECT min(p_retailprice) FROM part
+        |         WHERE p_brand = 'Brand#13' AND p_size >= 48) AS mn
+        |      FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q80_fetch_ties" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
+        |           FROM orders),
+        |t AS (SELECT min(price_band) AS thr
+        |      FROM (SELECT price_band FROM b ORDER BY price_band DESC LIMIT 10))
+        |SELECT o_orderkey, o_custkey, price_band FROM b, t
+        |WHERE price_band >= thr""".stripMargin
   )
 }

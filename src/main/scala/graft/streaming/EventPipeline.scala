@@ -34,6 +34,16 @@ case class CusumState(nextHr: Long, s: Long, pending: Map[Long, Long])
 case class CusumOut(
     hr_no: Long, event_type: String, x: Long, cusum_scaled: Long, flag: Boolean)
 
+/** Per-type EWMA state: next hour to finalize, the running scaled
+  * weighted sum, the trailing ≤48 finalized hourly counts (the horizon
+  * the recurrence must retire — constant size), and counts for hours
+  * the watermark hasn't finalized yet. */
+case class EwmaState(
+    nextHr: Long, ew: Long, window: Seq[Long], pending: Map[Long, Long])
+
+/** One finalized EWMA hour (hr_no = hours since epoch). */
+case class EwmaOut(hr_no: Long, event_type: String, x: Long, ew_scaled: Long)
+
 /** One ±1 sweep-line delta (interval open/close) at an instant. */
 case class ConcDelta(t_us: Long, delta: Long)
 
@@ -316,6 +326,63 @@ object EventPipeline {
       h += 1
     }
     state.update(CusumState(h, s, pending))
+    out.iterator
+  }
+
+  /** s23's streaming twin: online exponentially-weighted hourly volume.
+    * The batch operator's scaled-integer definition
+    * ew(t) = Σ_{k=0..47} x(t−k)·2^(47−k) has an EXACT online form:
+    * ew(t) = x(t)·2^47 + (ew(t−1) − x(t−48)) / 2 — the subtraction
+    * removes the retiring hour's 2^0 term, leaving every remaining term
+    * even, so the halving is integer-exact and the stream can never
+    * drift from batch by rounding. Hours finalize strictly in order
+    * under the CUSUM twin's horizon discipline (zero-filled when
+    * absent — the recurrence cascades, so in-order sealing is the
+    * correctness boundary); state per type is two scalars + the ≤48
+    * trailing counts + the pending horizon — constant, independent of
+    * event rate. Hours the batch form doesn't emit (no contribution in
+    * the 48 h window) finalize here with x = 0, ew = 0 — the spec pins
+    * both that equality and the zero-ness of the extras. */
+  def ewmaStream(events: Dataset[HourEvent], spineStartHr: Long): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateEwma(spineStartHr))
+  }
+
+  private[streaming] def updateEwma(spineStartHr: Long)(
+      eventType: String,
+      batch: Iterator[HourEvent],
+      state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+    val hourUs = 3600L * 1000000L
+    val incoming = batch.toSeq.groupBy(e => micros(e.ts) / hourUs)
+      .map { case (h, es) => h -> es.size.toLong }
+    val st = state.getOption.getOrElse(
+      EwmaState(spineStartHr, 0L, Vector.empty, Map.empty))
+    var pending = st.pending
+    incoming.foreach { case (h, c) =>
+      if (h >= st.nextHr) pending = pending.updated(h, pending.getOrElse(h, 0L) + c)
+    }
+    val maxSeen = (pending.keySet + (st.nextHr - 1)).max
+    // Same sealing bound as the CUSUM twin: hour h is safe once maxSeen
+    // reaches h+3 — the 2 h watermark then rejects any row for h.
+    val finalizeThrough = maxSeen - 3
+    val out = scala.collection.mutable.ArrayBuffer[EwmaOut]()
+    var ew = st.ew
+    var window = st.window
+    var h = st.nextHr
+    while (h <= finalizeThrough) {
+      val x = pending.getOrElse(h, 0L)
+      val retiring = if (window.size == 48) window.head else 0L
+      ew = x * (1L << 47) + (ew - retiring) / 2
+      window = (if (window.size == 48) window.tail else window) :+ x
+      out += EwmaOut(h, eventType, x, ew)
+      pending -= h
+      h += 1
+    }
+    state.update(EwmaState(h, ew, window, pending))
     out.iterator
   }
 

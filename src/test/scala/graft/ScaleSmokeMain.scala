@@ -136,7 +136,11 @@ object ScaleSmokeMain {
       "d20_dedup_savings", "d21_lsh_dedup_eval",
       "t31_lang_confusion", "p14_temperature_mix", "p15_balance_audit",
       "p16_leakfree_split", "s21_top_paths", "g11_assortativity",
-      "g12_modularity")
+      "g12_modularity",
+      // Continuation-3 additions. Absent by construction: q73–q78 read
+      // TPC-H tables (like q63); v23/v24 read embeddings (like v14).
+      "s22_rolling_actives", "s23_ewma", "t32_vocab_coverage",
+      "t33_gram_novelty", "g13_bfs_layers", "p17_dataset_card")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —

@@ -354,6 +354,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming EWMA matches batch s23 on every finalized hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // The scaled-integer recurrence is exact on both sides, so every
+    // hour the stream finalizes must equal the batch row EXACTLY where
+    // batch emits one; hours batch does NOT emit (no contribution in
+    // the 48 h window) must finalize as exact zeroes.
+    val hourUs = 3600L * 1000000L
+    val batchRows = SparkEntry.queries("s23_ewma")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(1) / hourUs, r.getString(0)) -> r.getLong(2)).toMap
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"))
+      .as[graft.streaming.HourEvent].collect().toSeq
+    val spineStart = events.map(e => e.ts.getTime * 1000L / hourUs).min
+    val types = events.map(_.event_type).distinct.sorted.take(2)
+    types.foreach { tpe =>
+      val in = MemoryStream[graft.streaming.HourEvent]
+      val q = EventPipeline.ewmaStream(in.toDS(), spineStart)
+        .writeStream.format("memory").queryName(s"ewma_$tpe")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(events.filter(_.event_type == tpe))
+        q.processAllAvailable()
+        val streamed = spark.table(s"ewma_$tpe")
+          .as[graft.streaming.EwmaOut].collect()
+        assert(streamed.nonEmpty, s"$tpe emitted nothing")
+        var matched = 0
+        streamed.foreach { o =>
+          batchRows.get((o.hr_no, tpe)) match {
+            case Some(bEw) =>
+              matched += 1
+              assert(o.ew_scaled == bEw,
+                s"$tpe hr=${o.hr_no}: stream=${o.ew_scaled} batch=$bEw")
+            case None =>
+              assert(o.x == 0L && o.ew_scaled == 0L,
+                s"$tpe hr=${o.hr_no}: stream-only row must be zero, " +
+                  s"got (${o.x}, ${o.ew_scaled})")
+          }
+        }
+        assert(matched > 10, s"$tpe matched only $matched batch rows")
+      } finally q.stop()
+    }
+  }
+
   test("streaming LOCF forward-fill matches batch s19 on every sealed row") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
