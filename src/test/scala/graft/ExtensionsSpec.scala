@@ -58,4 +58,39 @@ class ExtensionsSpec extends AnyFunSuite {
         .cosine(col("v"), lit(Array(1.0f, 1.0f))).as("c"))
     assert(math.abs(equalLen.collect().head.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("ThresholdedLevenshtein rewrites bounded comparisons to the banded DP") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    // Parquet-backed (LocalRelation would constant-fold first). A naive
+    // user predicate `levenshtein(text, probe) <= 6` must leave the
+    // optimizer as the O(k·n) banded form `levenshtein(text, probe, 6)`.
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+    val probe = "key agg row scan slow fast"
+    def levOf(df: org.apache.spark.sql.DataFrame): Seq[Levenshtein] =
+      df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case l: Levenshtein => l })
+    val filtered = docs.filter(expr(s"levenshtein(substring(text, 1, 26), '$probe') <= 6"))
+    val levs = levOf(filtered)
+    assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+      s"expected banded levenshtein, got: ${levs.mkString(";")}")
+    // Semantics: membership equals a local reference DP on every doc.
+    def localLev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = docs.select(col("doc_id"), substring(col("text"), 1, 26).as("h"))
+      .collect().filter(r => localLev(r.getString(1), probe) <= 6).map(_.getLong(0)).toSet
+    val got = filtered.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"rewrite changed semantics: got ${got.size}, expected ${expected.size}")
+    // Strict `<` lowers the band by one; flipped orientation matches too.
+    val strict = levOf(docs.filter(expr(s"6 > levenshtein(text, '$probe')")))
+    assert(strict.nonEmpty && strict.forall(
+      _.threshold.exists(_.toString.contains("5"))), strict.mkString(";"))
+    // Non-literal bounds stay untouched.
+    val dynamic = levOf(docs.filter(expr("levenshtein(text, 'x') <= n_chars")))
+    assert(dynamic.nonEmpty && dynamic.forall(_.threshold.isEmpty))
+  }
 }
