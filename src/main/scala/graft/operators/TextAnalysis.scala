@@ -754,7 +754,13 @@ object TextAnalysis {
         val edges = sym.select(col("u").as("src"), col("v").as("dst"), col("w"))
           .union(sym.select(col("v").as("src"), col("u").as("dst"), col("w")))
         val nodes = edges.select(col("src").as("id")).distinct()
-        Graph.pageRankLoop(nodes, edges, TrIters)
+        // Symmetric edges ⇒ every node has out-weight ⇒ dangling mass is
+        // exactly 0.0 every iteration (the oracle's g-CTEs compute the
+        // same empty-sum 0.0): the dangling=false path is bit-identical
+        // and drops an anti-join + global agg + crossJoin per iteration;
+        // cutEvery=2 halves the eager materialization jobs (safe: one
+        // ranks reference per iteration on this path).
+        Graph.pageRankLoop(nodes, edges, TrIters, dangling = false, cutEvery = 5)
           .orderBy(col("r").desc, col("id").asc).limit(30)
           .select(col("id").as("word"), col("r").as("textrank"))
       },

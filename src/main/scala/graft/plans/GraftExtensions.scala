@@ -113,20 +113,46 @@ object NormalizeConstantCosine extends Rule[LogicalPlan] {
   * FALSE the normal optimizer already handles). */
 object ThresholdedLevenshtein extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{
-    GreaterThan, GreaterThanOrEqual, Levenshtein, LessThan, LessThanOrEqual}
-  import org.apache.spark.sql.types.IntegerType
+    Cast, GreaterThan, GreaterThanOrEqual, Levenshtein, LessThan, LessThanOrEqual}
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
   private def banded(a: Expression, b: Expression, k: Int): Expression =
     GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0))
 
+  /** The un-thresholded distance, seen through any value-preserving
+    * integral widening the comparison coercion may have inserted
+    * (`lev(a,b) <= 6L` arrives as `Cast(lev, LongType) <= 6L`). Only a
+    * WIDENING cast is matched — Int→Long cannot change the compared
+    * value, so dropping it in the rewrite is exact; a narrowing cast
+    * could, and stays untouched. */
+  private object Lev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None) => Some((a, b))
+      case c @ Cast(Levenshtein(a, b, None), LongType, _, _)
+          if c.child.dataType == IntegerType => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** An integral-literal bound folded to Int: the coercion above also
+    * types the bound as BIGINT/SMALLINT; any in-Int-range integral
+    * literal is the same bound. Out-of-range Long bounds are left alone
+    * (distance is Int-valued, so the predicate is constant anyway). */
+  private object Bound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(k: Int, IntegerType) => Some(k)
+      case Literal(k: Long, LongType)
+          if k >= Int.MinValue && k <= Int.MaxValue => Some(k.toInt)
+      case Literal(k: Short, ShortType) => Some(k.toInt)
+      case Literal(k: Byte, ByteType) => Some(k.toInt)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-        if k >= 0 => banded(a, b, k)
-    case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-        if k >= 1 => banded(a, b, k - 1)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-        if k >= 0 => banded(a, b, k)
-    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-        if k >= 1 => banded(a, b, k - 1)
+    case LessThanOrEqual(Lev(a, b), Bound(k)) if k >= 0 => banded(a, b, k)
+    case LessThan(Lev(a, b), Bound(k)) if k >= 1 => banded(a, b, k - 1)
+    case GreaterThanOrEqual(Bound(k), Lev(a, b)) if k >= 0 => banded(a, b, k)
+    case GreaterThan(Bound(k), Lev(a, b)) if k >= 1 => banded(a, b, k - 1)
   }
 }

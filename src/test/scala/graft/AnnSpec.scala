@@ -230,7 +230,7 @@ class AnnSpec extends AnyFunSuite {
     val e = graft.Tables.embeddings(spark, TestSpark.sf)
     // Force the two-level path by lowering the single-level cap: k=16
     // becomes 4 coarse × 4 fine quantizers — the shape the registered
-    // operator takes past 4096 cells.
+    // operator takes past the single-level cap (1024 cells).
     val m = AnnIndex.trainCellModel(e, 16, maxSingle = 4)
     assert(m.fine.isDefined && m.coarse.length == 4 && m.fine.get.length == 4
       && m.cells == 16)

@@ -183,4 +183,42 @@ class DdlSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS nation_analyzed")
     }
   }
+
+  test("CREATE INDEX USING ivf|lsh builds AnnIndex layouts that serve pruned probes") {
+    // The reference's one remaining end-to-end index story
+    // (parser_.py:554 `using <type>` → CreateIndexOperator → IndexScan):
+    // DDL in, pruned probe out, on executed plans.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ddl-idx").toString
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    // CREATE INDEX emb_ivf ON embeddings USING ivf (embedding)
+    val ivf = Ddl.createIndex(spark, "emb_ivf", e, "ivf", s"$tmp/ivf", k = 16)
+    assert(Ddl.describeIndex("emb_ivf").exists(_.using == "ivf"))
+    val probe = Ddl.probeIndex(spark, "emb_ivf", qv, k = 10, nProbe = 4)
+    val plan = probe.queryExecution.executedPlan.treeString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "IVF probe not directory-pruned: " + plan.take(500))
+    assert(ivf.isInstanceOf[Ddl.IvfIndexDef])
+    val got = probe.collect().map(_.getLong(0))
+    // The query vector is vector 0's own embedding and its cell is always
+    // probed first — its exact self-match (cos = 1) must rank top-1.
+    assert(got.length == 10 && got.head == 0L, got.mkString(","))
+
+    // CREATE INDEX emb_lsh ON embeddings USING lsh (embedding)
+    Ddl.createIndex(spark, "emb_lsh", e, "lsh", location = "", bandBits = 8, nBands = 8)
+    val lshProbe = Ddl.probeIndex(spark, "emb_lsh", qv, k = 10)
+    val lshPlan = lshProbe.queryExecution.executedPlan.treeString
+    val sel = "SelectedBucketsCount: ([0-9]+) out of ([0-9]+)".r.findFirstMatchIn(lshPlan)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      "LSH probe not bucket-pruned: " + lshPlan.take(600))
+    // The query vector itself is its own nearest neighbor in every band.
+    assert(lshProbe.collect().map(_.getLong(0)).contains(0L))
+
+    // DROP INDEX deregisters; further probes fail loud.
+    assert(Ddl.dropIndex("emb_ivf") && Ddl.dropIndex("emb_lsh"))
+    intercept[IllegalArgumentException] { Ddl.probeIndex(spark, "emb_ivf", qv, 5) }
+    spark.sql("DROP TABLE IF EXISTS emb_lsh_bands")
+  }
 }

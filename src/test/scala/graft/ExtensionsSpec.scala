@@ -92,5 +92,17 @@ class ExtensionsSpec extends AnyFunSuite {
     // Non-literal bounds stay untouched.
     val dynamic = levOf(docs.filter(expr("levenshtein(text, 'x') <= n_chars")))
     assert(dynamic.nonEmpty && dynamic.forall(_.threshold.isEmpty))
+    // A BIGINT bound coerces the distance through Cast(…, LongType) —
+    // the rule must see through the widening and still band (and the
+    // rewrite must drop the now-redundant cast, not orphan it).
+    val longBound = docs.filter(expr(s"levenshtein(text, '$probe') <= 6222111000"))
+    assert(levOf(longBound).forall(_.threshold.isEmpty),
+      "out-of-Int-range Long bound must stay untouched")
+    val coerced = docs.filter(expr(s"levenshtein(substring(text, 1, 26), '$probe') <= CAST(6 AS BIGINT)"))
+    val clevs = levOf(coerced)
+    assert(clevs.nonEmpty && clevs.forall(_.threshold.isDefined),
+      s"expected banded levenshtein through Cast, got: ${clevs.mkString(";")}")
+    val gotCoerced = coerced.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gotCoerced == expected, "Cast-path rewrite changed semantics")
   }
 }
