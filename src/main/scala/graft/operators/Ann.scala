@@ -203,7 +203,12 @@ object Ann {
     // band table is written bucketed by (band, bv) so a probe is a
     // partition-pruned lookup, never a scan; the signature pass itself is
     // one narrow codegen'd map over the parquet scan.
-    // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
+    // Candidate generation + re-rank are oracle-checked from the
+    // exported signature table (the t17 pattern): DuckDB re-slices the
+    // 64-bit signatures into bands with the same arithmetic-shift+mask
+    // integer math and re-derives the candidate set and exact-cosine
+    // top-20 independently. Only the hyperplane hash itself stays
+    // engine-pinned (TextHashPropertySpec/AnnSpec).
     ("v03_knn_lsh",
       (s, d) => {
         val bandBits = 4; val nBands = 16
@@ -212,7 +217,12 @@ object Ann {
           .select(col("*"), explode(Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
           .select(df.columns.toIndexedSeq.map(col) ++
             Seq(col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv")): _*)
-        val e = banded(Tables.embeddings(s, d), "embedding")
+        val raw = Tables.embeddings(s, d)
+        OracleExport.writeOnce(
+          raw.select(col("vec_id"),
+            hyperplaneSig(col("embedding"), bandBits * nBands).as("sig")),
+          OracleExport.LshSigPath, OracleExport.embKey(raw))
+        val e = banded(raw, "embedding")
         val probes = banded(queryVec(s, d), "qv").withColumnRenamed("sig", "psig")
         // First-matching-band filter (Lsh) keeps each (vector, query)
         // match exactly once — no distinct over embedding-carrying rows.
@@ -224,7 +234,23 @@ object Ann {
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)
       },
-      None),
+      Some(s"""WITH sigs AS MATERIALIZED (
+                 SELECT vec_id, sig
+                 FROM ${OracleExport.readSql(OracleExport.LshSigPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               e AS (SELECT vec_id, embedding FROM embeddings),
+               q AS (SELECT s.sig AS psig, e.embedding::DOUBLE[] AS qv
+                     FROM sigs s JOIN e ON s.vec_id = e.vec_id WHERE s.vec_id = 0),
+               cand AS (
+                 SELECT s.vec_id FROM sigs s, q
+                 WHERE s.vec_id <> 0
+                   AND EXISTS (SELECT 1 FROM range(16) t(b)
+                               WHERE ((s.sig >> (t.b * 4)) & 15)
+                                   = ((q.psig >> (t.b * 4)) & 15)))
+               SELECT e.vec_id,
+                      list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos_sim
+               FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+               ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20""")),
 
     // ---- v20: multi-probe LSH KNN (recall without re-hashing) ----------
     // The production answer to "v03's recall is short and the index is
@@ -240,11 +266,20 @@ object Ann {
     // discipline relaxed to popcount ≤ 1 (firstBandWithin1): map-side,
     // no candidate-sized distinct. Recall ≥ v03's by construction
     // (probed buckets ⊃ v03's); both pinned in AnnSpec.
-    // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
+    // Oracle-checked from v03's signature export: a multi-probe
+    // candidate is exactly a vector whose 4-bit slice XOR has popcount
+    // ≤ 1 in SOME band (own bucket ∪ its 4 Hamming-1 neighbors) —
+    // DuckDB re-derives that set and the exact-cosine top-20 from the
+    // exported sigs with plain integer math.
     ("v20_knn_multiprobe",
       (s, d) => {
         val bandBits = 4; val nBands = 16
-        val e = Tables.embeddings(s, d)
+        val raw = Tables.embeddings(s, d)
+        OracleExport.writeOnce(
+          raw.select(col("vec_id"),
+            hyperplaneSig(col("embedding"), bandBits * nBands).as("sig")),
+          OracleExport.LshSigPath, OracleExport.embKey(raw))
+        val e = raw
           .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
           .select(col("vec_id"), col("embedding"), col("sig"),
             explode(Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
@@ -264,7 +299,22 @@ object Ann {
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)
       },
-      None),
+      Some(s"""WITH sigs AS MATERIALIZED (
+                 SELECT vec_id, sig
+                 FROM ${OracleExport.readSql(OracleExport.LshSigPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               e AS (SELECT vec_id, embedding FROM embeddings),
+               q AS (SELECT s.sig AS psig, e.embedding::DOUBLE[] AS qv
+                     FROM sigs s JOIN e ON s.vec_id = e.vec_id WHERE s.vec_id = 0),
+               cand AS (
+                 SELECT s.vec_id FROM sigs s, q
+                 WHERE s.vec_id <> 0
+                   AND EXISTS (SELECT 1 FROM range(16) t(b)
+                               WHERE bit_count((xor(s.sig, q.psig) >> (t.b * 4)) & 15) <= 1))
+               SELECT e.vec_id,
+                      list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos_sim
+               FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+               ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20""")),
 
     // IVF (inverted-file) ANN: k-means-lite centroids → map-side argmax
     // assignment (no shuffle of the vectors) → probe only the query's
@@ -277,7 +327,9 @@ object Ann {
     // map-side). At 100 TB the table is *written partitioned by cell_id*
     // so a probe is partition-pruned I/O (read nProbe/k of the data),
     // not a filtered full scan.
-    // Approximate ⇒ rows-only driver check; recall asserted in AnnSpec.
+    // Oracle-checked from the exported centroid table — assignment,
+    // probe-cell choice, and the ranking all re-derived by DuckDB;
+    // recall vs brute force additionally asserted in AnnSpec.
     ("v05_knn_ivf",
       (s, d) => {
         val k = 16; val nProbe = 6
@@ -295,13 +347,39 @@ object Ann {
         // probe scan filters to those cells map-side (and at scale reads
         // only their partition directories — AnnIndex.probeIvf).
         val cells = AnnIndex.probeCells(qv, cents, nProbe)
+        // Export the trained centroids (the t17 model-fed-to-the-oracle
+        // pattern): DuckDB re-derives assignment, probe-cell choice and
+        // the final ranking from the model table alone, so everything
+        // the operator DOES with the model is oracle-checked; only the
+        // training kernel itself stays spec-pinned (AnnSpec).
+        OracleExport.writeOnce({
+          import s.implicits._
+          cents.toIndexedSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "centroid")
+        }, OracleExport.IvfCentPath, OracleExport.embKey(e))
         e.withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
           .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)
       },
-      None),
+      Some(s"""WITH cents AS MATERIALIZED (
+                 SELECT cell, centroid::DOUBLE[] AS c
+                 FROM ${OracleExport.readSql(OracleExport.IvfCentPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+               pc AS (SELECT cell FROM cents, q
+                      ORDER BY list_cosine_similarity(c, qv) DESC, cell ASC LIMIT 6),
+               asg AS MATERIALIZED (
+                 SELECT e.vec_id,
+                        (SELECT c.cell FROM cents c
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC,
+                                  c.cell ASC LIMIT 1) AS cell
+                 FROM embeddings e WHERE e.vec_id <> 0)
+               SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos_sim
+               FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id, q
+               WHERE a.cell IN (SELECT cell FROM pc)
+               ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20""")),
 
     // Embedding hygiene pass: unit-normalization + per-vector stats —
     // the standard preprocessing before any cosine-based index (after
@@ -361,13 +439,24 @@ object Ann {
     // per-partition heaps, never a full sort), and re-rank ONLY those
     // candidates with exact cosine against the full vectors. At scale the
     // encode runs once at write time and the ADC pass reads the 8-byte
-    // code column, not the embeddings. Approximate ⇒ rows-only driver
-    // check; recall vs v02 asserted in AnnSpec.
+    // code column, not the embeddings. Oracle-checked from the exported
+    // codebooks (the t17 pattern): DuckDB re-derives the per-subspace
+    // encode (argmin L2, ties to the lower code), both query LUTs, the
+    // ADC scores with the j-sum in subspace order, the rerank pool and
+    // the exact top-20 — only codebook TRAINING stays spec-pinned;
+    // recall vs v02 additionally asserted in AnnSpec.
     ("v08_knn_pq",
       (s, d) => {
         val m = 8; val ksub = 32; val k = 20; val rerank = 150
         val e = Tables.embeddings(s, d)
         val books = Pq.train(e, m, ksub)
+        OracleExport.writeOnce({
+          import s.implicits._
+          val subDim = books.length / (m * ksub)
+          (for (j <- 0 until m; c <- 0 until ksub) yield
+            (j, c, books.slice((j * ksub + c) * subDim,
+              (j * ksub + c + 1) * subDim).toIndexedSeq)).toDF("sub", "code", "b")
+        }, OracleExport.PqBookPath, OracleExport.embKey(e))
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         val (dotL, nrmL) = Pq.luts(qv, books, m, ksub)
@@ -383,7 +472,46 @@ object Ann {
           .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
       },
-      None),
+      Some(s"""WITH books AS MATERIALIZED (
+                 SELECT sub, code, b::DOUBLE[] AS b
+                 FROM ${OracleExport.readSql(OracleExport.PqBookPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               e AS MATERIALIZED (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+               q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+               lut AS MATERIALIZED (
+                 SELECT bk.sub, bk.code,
+                        list_sum(list_transform(range(1, 9),
+                          t -> q.qv[bk.sub * 8 + t] * bk.b[t])) AS dl,
+                        list_sum(list_transform(range(1, 9),
+                          t -> bk.b[t] * bk.b[t])) AS nl
+                 FROM books bk, q),
+               dists AS MATERIALIZED (
+                 SELECT e.vec_id, bk.sub, bk.code,
+                        list_sum(list_transform(range(1, 9),
+                          t -> (e.emb[bk.sub * 8 + t] - bk.b[t])
+                               * (e.emb[bk.sub * 8 + t] - bk.b[t]))) AS dist
+                 FROM e, books bk WHERE e.vec_id <> 0),
+               codes AS MATERIALIZED (
+                 SELECT vec_id, sub, code FROM (
+                   SELECT vec_id, sub, code,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist ASC, code ASC) AS rn
+                   FROM dists) WHERE rn = 1),
+               adc AS MATERIALIZED (
+                 -- j-sum in subspace order (list aggregation, not bag
+                 -- sum) so the fold order matches the engine's j=0..m-1
+                 -- loop exactly.
+                 SELECT c.vec_id,
+                        CASE WHEN list_sum(list(l.nl ORDER BY l.sub)) = 0 THEN 0.0
+                             ELSE list_sum(list(l.dl ORDER BY l.sub))
+                                  / sqrt(list_sum(list(l.nl ORDER BY l.sub))) END AS adc
+                 FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                 GROUP BY c.vec_id),
+               cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT 150)
+               SELECT e.vec_id, list_cosine_similarity(e.emb, q.qv) AS cos_sim
+               FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+               ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20""")),
 
     // Norms + dot products: native expressions next to the HOF
     // composition (zip_with/aggregate) the built-in surface offers.
@@ -423,14 +551,28 @@ object Ann {
     // partition-local — zero exchange, asserted on the executed plan in
     // AnnIndexSpec. Centroids are driver-side model state (spark.ml
     // pattern; fixed-point sums make training merge-order-insensitive,
-    // so the drop set is rerun-stable), no SQL oracle — AnnSpec pins
-    // soundness + completeness of the keeper rule against an
+    // so the drop set is rerun-stable). Oracle-checked from the exported
+    // cell model (both quantizer levels): DuckDB re-derives assignment
+    // and the greedy keeper rule independently; AnnSpec additionally
+    // pins soundness + completeness of the keeper rule against an
     // independently computed within-cell all-pairs set, on both the
     // flat and two-level assignment paths.
     ("v11_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val model = AnnIndex.cellModelFor(e, d, AnnIndex.cellCount(e.count()))
+        // Model-fed-to-the-oracle export (t17 pattern): both quantizer
+        // levels, so DuckDB re-derives the assignment (flat argmax, or
+        // coarse·|fine|+fine when two-level) and the greedy keeper rule
+        // from the exported centroids alone.
+        OracleExport.writeOnce({
+          import s.implicits._
+          (model.coarse.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+            (0, i, c.toIndexedSeq) } ++
+           model.fine.toIndexedSeq.flatMap(_.toIndexedSeq.zipWithIndex.map {
+             case (c, i) => (1, i, c.toIndexedSeq) }))
+            .toDF("lvl", "cell", "centroid")
+        }, OracleExport.SemCellPath, OracleExport.embKey(e))
         // Materialize the assignment ONCE: semDedup consumes the cells
         // frame three times (pair-join a-side, b-side, anti-join left),
         // and each lazy re-evaluation re-runs the k-centroid argmax —
@@ -442,7 +584,25 @@ object Ann {
           AnnIndex.cellOfModel(col("embedding"), model).as("cell"), col("embedding"))
           .localCheckpoint())
       },
-      None),
+      Some(s"""WITH cm AS MATERIALIZED (
+                 SELECT lvl, cell, centroid::DOUBLE[] AS c
+                 FROM ${OracleExport.readSql(OracleExport.SemCellPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               nf AS (SELECT GREATEST(1, count(*) FILTER (WHERE lvl = 1)) AS nf FROM cm),
+               asg AS MATERIALIZED (
+                 SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+                        CAST((SELECT cm.cell FROM cm WHERE cm.lvl = 0
+                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cm.c) DESC,
+                                       cm.cell ASC LIMIT 1) * nf.nf
+                             + coalesce((SELECT cm.cell FROM cm WHERE cm.lvl = 1
+                                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cm.c) DESC,
+                                         cm.cell ASC LIMIT 1), 0) AS INTEGER) AS cell
+                 FROM embeddings e, nf)
+               SELECT a.vec_id, a.cell FROM asg a
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM asg b
+                 WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                   AND list_cosine_similarity(a.emb, b.emb) >= 0.45)""")),
 
     // ---- v12: MMR diversified top-k (search-result reranking) ----------
     // Maximal Marginal Relevance (Carbonell & Goldstein 1998): rerank a
@@ -889,15 +1049,21 @@ object Ann {
     // per point (the spark.ml eval pattern, same as AnnIndexSpec's
     // measurements); the 5-row result frame is the tuning table a
     // capacity planner reads (frac_scanned ≈ nProbe/k is the I/O cost
-    // at 100 TB under the partitioned-by-cell layout). Rows-only
-    // (centroid model is engine-specific); monotonicity and the
-    // full-probe recall=1 endpoint pinned in AnnSpec.
+    // at 100 TB under the partitioned-by-cell layout). Oracle-checked
+    // from v05's centroid export: DuckDB re-derives assignment, the
+    // probe ranking, and the whole 5-point curve (scan fractions AND
+    // recalls) independently; monotonicity and the full-probe recall=1
+    // endpoint additionally pinned in AnnSpec.
     ("v21_nprobe_curve",
       (s, d) => {
         import s.implicits._
         val k = 16
         val e = Tables.embeddings(s, d)
         val cents = AnnIndex.trainCentroids(e, k)
+        OracleExport.writeOnce({
+          cents.toIndexedSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "centroid")
+        }, OracleExport.IvfCentPath, OracleExport.embKey(e))
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head.getSeq[Float](0).toArray
         val assigned = e.filter(col("vec_id") =!= 0)
@@ -919,7 +1085,40 @@ object Ann {
               * 1000000 + 0.5) / 1000000)
         }.toDF("n_probe", "n_cells", "frac_scanned", "recall_at_20")
       },
-      None),
+      Some(s"""WITH cents AS MATERIALIZED (
+                 SELECT cell, centroid::DOUBLE[] AS c
+                 FROM ${OracleExport.readSql(OracleExport.IvfCentPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+               asg AS MATERIALIZED (
+                 SELECT e.vec_id,
+                        list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cs,
+                        (SELECT c.cell FROM cents c
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC,
+                                  c.cell ASC LIMIT 1) AS cell
+                 FROM embeddings e, q WHERE e.vec_id <> 0),
+               tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM asg),
+               ranked AS MATERIALIZED (
+                 SELECT cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(c, qv) DESC, cell ASC) AS rk
+                 FROM cents, q),
+               exact AS MATERIALIZED (
+                 SELECT vec_id FROM asg ORDER BY cs DESC, vec_id ASC LIMIT 20),
+               en AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM exact),
+               probes AS (SELECT unnest([1, 2, 4, 8, 16]) AS p)
+               SELECT CAST(p AS BIGINT) AS n_probe,
+                      CAST(p AS BIGINT) AS n_cells,
+                      FLOOR((SELECT count(*) FROM asg a JOIN ranked r ON a.cell = r.cell
+                             WHERE r.rk <= probes.p)
+                            / tot.n * 1000000 + 0.5) / 1000000 AS frac_scanned,
+                      FLOOR((SELECT count(*)
+                             FROM (SELECT a.vec_id FROM asg a JOIN ranked r ON a.cell = r.cell
+                                   WHERE r.rk <= probes.p
+                                   ORDER BY a.cs DESC, a.vec_id ASC LIMIT 20) g
+                             JOIN exact x ON g.vec_id = x.vec_id)
+                            / en.n * 1000000 + 0.5) / 1000000 AS recall_at_20
+               FROM probes, tot, en""")),
 
     // ---- v22: batch ANN join through the IVF index ----------------------
     // v07 is the exact batch KNN join (every query × every vector —
@@ -933,13 +1132,20 @@ object Ann {
     // GroupedTopK aggregate (no per-group sort). A corpus row lives in
     // exactly one cell, so no candidate dedup is needed. At 100 TB the
     // corpus side is the AnnIndex.writeIvf partitioned layout and the
-    // join prunes to probed directories. Rows-only (cell model is
-    // engine-specific); per-query recall vs exact v07 pinned in AnnSpec.
+    // join prunes to probed directories. Oracle-checked from the
+    // centroid export: DuckDB re-derives corpus assignment, each
+    // query's dot-ranked probe cells, and the per-query top-5; per-query
+    // recall vs exact v07 additionally pinned in AnnSpec.
     ("v22_knn_join_ivf",
       (s, d) => {
         val k = 16; val nProbe = 4
         val e = Tables.embeddings(s, d)
         val cents = AnnIndex.trainCentroids(e, k)
+        OracleExport.writeOnce({
+          import s.implicits._
+          cents.toIndexedSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "centroid")
+        }, OracleExport.IvfCentPath, OracleExport.embKey(e))
         val corpus = e.filter(col("vec_id") >= 10)
           .withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
         // Per-row top-nProbe cells: score against every centroid (array
@@ -957,7 +1163,32 @@ object Ann {
         org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
           cand, Seq("q_id"), Seq("cos_sim" -> true, "vec_id" -> false), 5)
       },
-      None),
+      Some(s"""WITH cents AS MATERIALIZED (
+                 SELECT cell, centroid::DOUBLE[] AS c
+                 FROM ${OracleExport.readSql(OracleExport.IvfCentPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               asg AS MATERIALIZED (
+                 SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+                        (SELECT c.cell FROM cents c
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC,
+                                  c.cell ASC LIMIT 1) AS cell
+                 FROM embeddings e WHERE e.vec_id >= 10),
+               qp AS MATERIALIZED (
+                 -- the engine ranks probe cells by DOT (reverse(array_sort))
+                 -- with ties to the HIGHER cell id — mirror both.
+                 SELECT e.vec_id AS q_id, e.embedding::DOUBLE[] AS qv, c.cell,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+                                   c.cell DESC) AS rk
+                 FROM embeddings e, cents c WHERE e.vec_id < 10),
+               cand AS (
+                 SELECT q.q_id, a.vec_id,
+                        list_cosine_similarity(a.emb, q.qv) AS cos_sim,
+                        row_number() OVER (PARTITION BY q.q_id
+                          ORDER BY list_cosine_similarity(a.emb, q.qv) DESC,
+                                   a.vec_id ASC) AS rn
+                 FROM qp q JOIN asg a ON a.cell = q.cell AND q.rk <= 4)
+               SELECT q_id, vec_id, cos_sim FROM cand WHERE rn <= 5""")),
 
     // ---- v23: binary (1-bit) Hamming KNN --------------------------------
     // The most aggressive quantization rung under v13's SQ8 and v08's PQ:

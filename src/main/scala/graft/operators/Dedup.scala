@@ -401,8 +401,16 @@ object Dedup {
       Some(s"""WITH $oracleShingleJaccard
                SELECT ia AS a_id, ib AS b_id, jac FROM jacs WHERE jac >= 0.9""")),
 
-    // ---- d03: SimHash hamming-≤k pairs (rows-only: signature internals
-    // are engine-specific; validated against d04 in DedupSpec) -----------
+    // ---- d03: SimHash hamming-≤k pairs ---------------------------------
+    // Oracle-checked from the exported signature table (the t17
+    // model-export pattern): the pigeonhole band join is LOSSLESS for
+    // maxHamming < nBands (≤3 differing bits can ruin at most 3 of the
+    // 4 bands), so the operator's result is exactly "all pairs at
+    // Hamming ≤ 3" — which DuckDB re-derives from the exported sigs
+    // with an all-pairs popcount (fine at oracle scale; the band join
+    // exists precisely so the ENGINE never pays that quadratic). The
+    // SimHash kernel itself stays spec-pinned (TextHashPropertySpec,
+    // and the d04-agreement gate in DedupSpec).
     ("d03_dedup_simhash",
       (s, d) => {
         // Hamming ≤ 3 via Lsh.hammingPairs' 4×16-bit pigeonhole band
@@ -410,9 +418,18 @@ object Dedup {
         // shared verbatim with m03's image dHash.
         val sig = Tables.documents(s, d)
           .select(col("doc_id"), simHash64(col("text")).as("sig"))
+        OracleExport.writeOnce(sig,
+          OracleExport.SimHashPath, OracleExport.docKey(Tables.documents(s, d)))
         Lsh.hammingPairs(sig, bandBits = 16, nBands = 4, maxHamming = 3)
       },
-      None),
+      Some(s"""WITH sigs AS MATERIALIZED (
+                 SELECT doc_id, sig
+                 FROM ${OracleExport.readSql(OracleExport.SimHashPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql})
+               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+               FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.sig, b.sig)) <= 3""")),
 
     // ---- d04: exact n-gram Jaccard scores (df-capped inverted index) --
     // See [[ngramPairs]] for the full plan shape.
@@ -1039,11 +1056,17 @@ object Dedup {
     // production code paths (Lsh.minhashBandTable + the first-matching-
     // band rule; ngramPairs), checkpointed once and compared with one
     // LEFT SEMI join + three 1-row counts — driver sees five scalars.
-    // Rows-only (minhash is engine-specific); the planted-dup recall
-    // floor is pinned in DedupSpec.
+    // Oracle-checked from the exported band table (the t17 pattern):
+    // DuckDB re-derives the candidate pair set (any shared (band, sig)
+    // bucket), the exact ≥0.9 n-gram truth from raw text, and all five
+    // metrics; the MinHash kernel itself stays spec-pinned
+    // (TextHashPropertySpec + the planted-dup recall floor in DedupSpec).
     ("d21_lsh_dedup_eval",
       (s, d) => {
         val buckets = Lsh.minhashBandTable(Tables.documents(s, d), 3, 8, 4)
+        OracleExport.writeOnce(
+          buckets.select(col("doc_id"), col("band"), col("sig")),
+          OracleExport.MinHashBandPath, OracleExport.docKey(Tables.documents(s, d)))
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))
@@ -1065,7 +1088,31 @@ object Dedup {
               .otherwise(floor(col("n_hits").cast("double") / col("n_true_pairs")
                 * 1000000 + 0.5) / 1000000).as("recall"))
       },
-      None)
+      Some(s"""WITH $oracleShingleJaccard,
+               bands AS MATERIALIZED (
+                 SELECT doc_id, band, sig
+                 FROM ${OracleExport.readSql(OracleExport.MinHashBandPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               cands AS MATERIALIZED (
+                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               ex AS MATERIALIZED (
+                 SELECT ia AS a_id, ib AS b_id FROM jacs
+                 WHERE jac >= 0.9 AND has_cold = 1),
+               hits AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex
+                        WHERE EXISTS (SELECT 1 FROM cands c
+                                      WHERE c.a_id = ex.a_id AND c.b_id = ex.b_id)),
+               te AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+               ca AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cands)
+               SELECT te.n AS n_true_pairs, ca.n AS n_candidates, hits.n AS n_hits,
+                      CASE WHEN ca.n = 0 THEN NULL
+                           ELSE FLOOR(CAST(hits.n AS DOUBLE) / ca.n * 1000000 + 0.5)
+                                / 1000000 END AS "precision",
+                      CASE WHEN te.n = 0 THEN NULL
+                           ELSE FLOOR(CAST(hits.n AS DOUBLE) / te.n * 1000000 + 0.5)
+                                / 1000000 END AS recall
+               FROM te, ca, hits"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -28,6 +28,8 @@ object OracleExport {
   val IvfCentPath = "/tmp/graft_ivf_cents.parquet"
   val SimHashPath = "/tmp/graft_simhash_sigs.parquet"
   val MinHashBandPath = "/tmp/graft_minhash_bands.parquet"
+  val SemCellPath = "/tmp/graft_semdedup_cells.parquet"
+  val PqBookPath = "/tmp/graft_pq_books.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
