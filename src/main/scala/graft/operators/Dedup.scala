@@ -510,14 +510,45 @@ object Dedup {
     // Bernoulli sampling is one map-side pass (no shuffle; the groupBy
     // here only summarizes the result). Sampling RNG is engine-specific
     // ⇒ rows-only; proportions are asserted in DedupSpec.
+    // Deterministic HASH-based stratified sampling (upgraded from
+    // `stat.sampleBy` in round 6): keep a doc iff
+    // xxhash64(doc_id, salt) mod 1e6 < frac·1e6 for its stratum. Same
+    // statistical contract as Bernoulli sampling, but REPRODUCIBLE BY
+    // CONSTRUCTION — sampleBy's per-partition RNG changes the sample
+    // whenever partitioning changes, which at 100 TB means every AQE
+    // re-plan or file-split change silently reshuffles "the" sample;
+    // the hash rule gives the same sample on any cluster, any layout,
+    // forever (the p04/p05 md5-split discipline applied to sampling).
+    // Map-side only, zero extra exchanges. Oracle-checked via the
+    // bucket export: DuckDB re-applies the threshold rule per stratum
+    // and re-counts (the xxhash64 kernel itself is engine-pinned, same
+    // as every export-pattern kernel; fraction conformance is
+    // additionally asserted in DedupSpec).
     ("d07_sample_stratified",
       (s, d) => {
         val fractions = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25)
-        Tables.documents(s, d)
-          .stat.sampleBy("lang", fractions, seed = 7L)
+        val thr = map(fractions.toSeq.flatMap { case (l, f) =>
+          Seq(lit(l), lit((f * 1000000L).toLong)) }: _*)
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", pmod(xxhash64(col("doc_id"), lit(7L)), lit(1000000L)))
+        OracleExport.writeOnce(docs.select(col("doc_id"), col("bucket")),
+          OracleExport.SampleBucketPath, OracleExport.docKey(Tables.documents(s, d)))
+        docs
+          .filter(col("bucket") < element_at(thr, col("lang")))
           .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
       },
-      None),
+      Some(s"""WITH hx AS MATERIALIZED (
+                 SELECT doc_id, bucket
+                 FROM ${OracleExport.readSql(OracleExport.SampleBucketPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               thr AS (SELECT * FROM (VALUES ('en', 500000), ('de', 1000000),
+                       ('es', 1000000), ('fr', 1000000), ('zh', 250000)) t(lang, thr))
+               SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+               FROM documents d
+               JOIN hx ON hx.doc_id = d.doc_id
+               JOIN thr t ON t.lang = d.lang
+               WHERE hx.bucket < t.thr
+               GROUP BY 1""")),
 
     // ---- d08: benchmark contamination check ----------------------------
     // The decontamination op every LLM data pipeline runs: flag corpus

@@ -283,6 +283,60 @@ object Graph {
     und.select(col("u").as("x")).union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg")).localCheckpoint()
 
+  /** g09 core with the HUB CAP promoted to a parameter — the knob that
+    * bounds the co-neighbor pair work (Σ_w deg(w)² over kept nodes) the
+    * way d04's GramDfCap bounds gram-pair work. The cap is DECLARED
+    * semantics: the result is exact on the degree-≤cap subgraph.
+    *
+    * Measured cost knee (scale-smoke corpus = 40 replica copies of the
+    * sf0.1 interaction graph, local[8], warm first-count — G09CapProbeMain,
+    * also in BASELINE.md "g09 hub-cap sweep"):
+    * {{{
+    *   capDeg   co-neighbor pairs   wall (count)
+    *     128        13.4M              49 s
+    *     256        45.0M            ~160-220 s
+    *     512        45.0M            (= 256: max degree here is 185)
+    * }}}
+    * Pair work IS the cost: 3.4× more pairs from 128→256 costs ~3-4×
+    * the wall, and the sweep saturates once the cap clears the graph's
+    * max degree — above that the cap changes nothing, below it the cap
+    * bounds Σ_w deg(w)² directly. On the power-law graphs the operator
+    * targets (max degree ≫ cap), the cap is therefore the whole cost
+    * model, exactly like d04's GramDfCap. */
+  private[graft] def neighborJaccard(s: SparkSession, d: String,
+      capDeg: Long = 256L, minJac: Double = 0.5): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val deg = degreesOf(und)
+    val keep = deg.filter(col("dg") <= capDeg)
+      .select(col("x"), col("dg")).localCheckpoint()
+    // adjacency of the capped subgraph: BOTH endpoints must survive
+    val adj = und
+      .join(keep.select(col("x").as("u")), "u")
+      .join(keep.select(col("x").as("v")), "v")
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    // capped-subgraph degrees (≠ deg: a kept node may lose capped
+    // neighbors), one node-keyed aggregate
+    val cdeg = adj.select(col("u").as("x"))
+      .union(adj.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("cd"))
+    // co-neighbor pairs via shared neighbor w: (w,a) ⋈ (w,b), a<b
+    val inc = adj.select(col("u").as("w"), col("v").as("n"))
+      .union(adj.select(col("v").as("w"), col("u").as("n")))
+    val pairs = inc.as("l").join(inc.as("r"),
+        col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("a_id"), col("r.n").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cdeg.select(col("x").as("a_id"), col("cd").as("deg_a")), "a_id")
+      .join(cdeg.select(col("x").as("b_id"), col("cd").as("deg_b")), "b_id")
+      .withColumn("jac", grid9(col("inter").cast("double")
+        / (col("deg_a") + col("deg_b") - col("inter"))))
+      .filter(col("jac") >= minJac)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("deg_a"), col("deg_b"), col("jac"))
+  }
+
   /** The oracle twin of [[undirectedEdges]]: `und(u, v)` from `edges0`. */
   private val undirectedCte: String =
     """und AS MATERIALIZED (
@@ -699,39 +753,7 @@ object Graph {
     // by pair); both AQE-splittable — no single hot key because the cap
     // bounds every neighbor list.
     ("g09_jaccard",
-      (s, d) => {
-        val capDeg = 256L; val minJac = 0.5
-        val und = undirectedEdges(s, d)
-        val deg = degreesOf(und)
-        val keep = deg.filter(col("dg") <= capDeg)
-          .select(col("x"), col("dg")).localCheckpoint()
-        // adjacency of the capped subgraph: BOTH endpoints must survive
-        val adj = und
-          .join(keep.select(col("x").as("u")), "u")
-          .join(keep.select(col("x").as("v")), "v")
-          .select(col("u"), col("v"))
-          .localCheckpoint()
-        // capped-subgraph degrees (≠ deg: a kept node may lose capped
-        // neighbors), one node-keyed aggregate
-        val cdeg = adj.select(col("u").as("x"))
-          .union(adj.select(col("v").as("x")))
-          .groupBy(col("x")).agg(count(lit(1)).as("cd"))
-        // co-neighbor pairs via shared neighbor w: (w,a) ⋈ (w,b), a<b
-        val inc = adj.select(col("u").as("w"), col("v").as("n"))
-          .union(adj.select(col("v").as("w"), col("u").as("n")))
-        val pairs = inc.as("l").join(inc.as("r"),
-            col("l.w") === col("r.w") && col("l.n") < col("r.n"))
-          .groupBy(col("l.n").as("a_id"), col("r.n").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(cdeg.select(col("x").as("a_id"), col("cd").as("deg_a")), "a_id")
-          .join(cdeg.select(col("x").as("b_id"), col("cd").as("deg_b")), "b_id")
-          .withColumn("jac", grid9(col("inter").cast("double")
-            / (col("deg_a") + col("deg_b") - col("inter"))))
-          .filter(col("jac") >= minJac)
-          .select(col("a_id"), col("b_id"), col("inter"),
-            col("deg_a"), col("deg_b"), col("jac"))
-      },
+      (s, d) => neighborJaccard(s, d),
       Some(s"""WITH $eventGraphBaseCte,
               $undirectedCte,
               $degreeCte,

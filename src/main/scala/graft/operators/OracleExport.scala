@@ -30,6 +30,7 @@ object OracleExport {
   val MinHashBandPath = "/tmp/graft_minhash_bands.parquet"
   val SemCellPath = "/tmp/graft_semdedup_cells.parquet"
   val PqBookPath = "/tmp/graft_pq_books.parquet"
+  val SampleBucketPath = "/tmp/graft_sample_buckets.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
@@ -45,24 +46,40 @@ object OracleExport {
         .partitionBy("corpus_key").parquet(path)
     }
 
-  /** Fingerprint of an embeddings corpus: "<n>_<Σvec_id>" — recomputable
-    * by the oracle from its own `embeddings` view ([[embKeySql]]). */
+  /** Fingerprint of an embeddings corpus: "<n>_<Σvec_id>_<Σ⌊emb₁·10⁶⌋>"
+    * — recomputable by the oracle from its own `embeddings` view
+    * ([[embKeySql]]). The third term is CONTENT-sensitive: the driver's
+    * sf0.001 and sf0.01 embeddings tables share (n, Σvec_id) = (500,
+    * 124750) with different vectors, and an id-only key let a spec run
+    * at one SF silently replace the other SF's export partition mid-
+    * compare (caught live in round 6). Both engines compute the term in
+    * DOUBLE (float·10⁶ in FLOAT would round differently). */
   def embKey(e: DataFrame): String = {
-    val r = e.agg(count(lit(1)), sum(col("vec_id"))).head()
-    s"${r.getLong(0)}_${r.getLong(1)}"
+    val r = e.agg(count(lit(1)), sum(col("vec_id")),
+      sum(floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+        .cast("long"))).head()
+    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
   }
 
   val embKeySql: String =
-    "(SELECT CAST(count(*) AS VARCHAR) || '_' || CAST(CAST(sum(vec_id) AS BIGINT) AS VARCHAR) FROM embeddings)"
+    """(SELECT CAST(count(*) AS VARCHAR) || '_' ||
+              CAST(CAST(sum(vec_id) AS BIGINT) AS VARCHAR) || '_' ||
+              CAST(CAST(sum(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS VARCHAR)
+       FROM embeddings)"""
 
-  /** Fingerprint of a documents corpus — same shape, over doc_id. */
+  /** Fingerprint of a documents corpus: "<n>_<Σdoc_id>_<Σn_chars>" —
+    * the Σn_chars term is the content guard (Bpe.corpusKey's choice);
+    * sf0.001/sf0.01 documents also collide on (n, Σdoc_id). */
   def docKey(docs: DataFrame): String = {
-    val r = docs.agg(count(lit(1)), sum(col("doc_id"))).head()
-    s"${r.getLong(0)}_${r.getLong(1)}"
+    val r = docs.agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).head()
+    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
   }
 
   val docKeySql: String =
-    "(SELECT CAST(count(*) AS VARCHAR) || '_' || CAST(CAST(sum(doc_id) AS BIGINT) AS VARCHAR) FROM documents)"
+    """(SELECT CAST(count(*) AS VARCHAR) || '_' ||
+              CAST(CAST(sum(doc_id) AS BIGINT) AS VARCHAR) || '_' ||
+              CAST(CAST(sum(n_chars) AS BIGINT) AS VARCHAR)
+       FROM documents)"""
 
   /** DuckDB FROM-clause for an export: all fingerprint partitions, to be
     * filtered by `corpus_key = <keySql>`. */

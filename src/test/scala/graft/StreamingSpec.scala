@@ -496,6 +496,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state metrics: heavy twins hold O(keys + pending hours) state, not O(events)") {
+    // The O(rate × window) state claims as NUMBERS from the engine's own
+    // StreamingQueryProgress, not prose: per-type recurrences (CUSUM,
+    // concurrency) must hold exactly ONE state row per driven key at
+    // their peak, and the hour-keyed top-k must RELEASE sealed hours —
+    // its post-seal state cannot retain the corpus. Memory and batch
+    // durations are bounded too, so the claims survive as the corpus
+    // grows (state scales with keys/pending-hours, events only pass
+    // through).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val hourUs = 3600L * 1000000L
+    val events = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"), col("value")).as[ValueEvent]
+      .collect().toSeq
+    val nEvents = events.size
+    val tpe = events.map(_.event_type).min
+    val typed = events.filter(_.event_type == tpe)
+      .map(e => HourEvent(e.ts, e.event_type))
+    val hours = typed.map(e => EventPipeline.micros(e.ts) / hourUs)
+    def run[T: org.apache.spark.sql.Encoder](
+        name: String, data: Seq[T],
+        mk: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame)
+        : (Long, Long, Long, Long) = {
+      val in = MemoryStream[T]
+      val q = mk(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(data); q.processAllAvailable()
+        in.addData(Seq.empty); q.processAllAvailable()
+        val progs = q.recentProgress.toSeq
+        val peakRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+        val finalRows = progs.reverse.find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        val peakMem = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+        val maxDur = progs.map(_.batchDuration).max
+        (peakRows, finalRows, peakMem, maxDur)
+      } finally q.stop()
+    }
+    // CUSUM: one driven type -> exactly one state row, ever.
+    val (cuPeak, _, cuMem, cuDur) = run[HourEvent]("m_cusum", typed,
+      ds => EventPipeline.cusumStream(ds, typed.size.toLong,
+        (hours.max - hours.min + 1), hours.min).toDF())
+    assert(cuPeak == 1L, s"CUSUM state rows = $cuPeak, want 1 (events=$nEvents)")
+    // Concurrency: same per-key recurrence shape, same bound.
+    val (coPeak, _, coMem, coDur) = run[HourEvent]("m_conc", typed,
+      ds => EventPipeline.concurrencyStream(ds, 300L * 1000000L, hours.min).toDF())
+    assert(coPeak == 1L, s"concurrency state rows = $coPeak, want 1")
+    // Windowed top-k (hour-keyed): a far-future sentinel seals every real
+    // hour; sealed hours must LEAVE the store — final state is the
+    // sentinel's own open hour, nothing else.
+    val maxMs = events.map(_.ts.getTime).max
+    val sentinel = ValueEvent(
+      new java.sql.Timestamp(maxMs + 4L * 3600L * 1000L), "zzz_sentinel", 0.0)
+    val (tkPeak, tkFinal, tkMem, tkDur) = run[ValueEvent]("m_topk",
+      events :+ sentinel, ds => EventPipeline.windowTopKStream(ds).toDF())
+    val distinctHours = events.map(_.ts.getTime / 3600000L).distinct.size
+    assert(tkPeak <= distinctHours + 1,
+      s"top-k peak state $tkPeak exceeds open-hour bound ${distinctHours + 1}")
+    assert(tkFinal <= 2L,
+      s"top-k retained $tkFinal state rows after sealing (events=$nEvents) — leak")
+    // Memory and latency stay measured and sane (loose sanity ceilings;
+    // the real claims are the row bounds above).
+    Seq(("cusum", cuMem, cuDur), ("conc", coMem, coDur), ("topk", tkMem, tkDur))
+      .foreach { case (n, mem, dur) =>
+        assert(mem > 0L && mem < (64L << 20), s"$n memoryUsedBytes=$mem")
+        assert(dur > 0L && dur < 60000L, s"$n batchDuration=$dur ms")
+      }
+  }
+
   test("streaming concurrency matches a brute-force sweep on every sealed hour") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
