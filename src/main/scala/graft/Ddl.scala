@@ -125,6 +125,9 @@ object Ddl {
       source: DataFrame, bandBits: Int, nBands: Int) extends IndexDef {
     val using = "lsh"
   }
+  final case class IvfPqIndexDef(table: String, path: String,
+      cents: Array[Array[Float]], books: Array[Float],
+      m: Int, ksub: Int) extends IndexDef { val using = "ivfpq" }
 
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, IndexDef]()
@@ -147,8 +150,16 @@ object Ddl {
         val cat = s"${name}_bands"
         graft.operators.AnnIndex.writeLsh(df, bandBits, nBands, cat, buckets)
         LshIndexDef(name, cat, df, bandBits, nBands)
+      case "ivfpq" =>
+        // The composed 100 TB layout: IVF directory pruning × a
+        // codes-only ADC scan × exact re-rank (AnnIndex.writeIvfPq).
+        val m = 8; val ksub = 32
+        val cents = graft.operators.AnnIndex.trainCentroids(df, k)
+        val books = graft.operators.Pq.train(df, m, ksub)
+        graft.operators.AnnIndex.writeIvfPq(df, cents, books, m, ksub, location)
+        IvfPqIndexDef(name, location, cents, books, m, ksub)
       case other => throw new IllegalArgumentException(
-        s"unknown index method '$other' (supported: ivf, lsh)")
+        s"unknown index method '$other' (supported: ivf, lsh, ivfpq)")
     }
     indexes.put(name, d)
     d
@@ -170,6 +181,9 @@ object Ddl {
     case Some(l: LshIndexDef) =>
       graft.operators.AnnIndex.probeLsh(
         spark, l.catalogTable, l.source, qv, l.bandBits, l.nBands, k)
+    case Some(p: IvfPqIndexDef) =>
+      graft.operators.AnnIndex.probeIvfPq(spark, p.path, qv, p.cents,
+        p.books, p.m, p.ksub, nProbe, rerank = math.max(8 * k, 64), k)
     case None => throw new IllegalArgumentException(s"no such index: $name")
   }
 

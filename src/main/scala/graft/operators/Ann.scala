@@ -221,7 +221,7 @@ object Ann {
         OracleExport.writeOnce(
           raw.select(col("vec_id"),
             hyperplaneSig(col("embedding"), bandBits * nBands).as("sig")),
-          OracleExport.LshSigPath, OracleExport.embKey(raw))
+          OracleExport.LshSigPath, OracleExport.embKeyFor(raw, d))
         val e = banded(raw, "embedding")
         val probes = banded(queryVec(s, d), "qv").withColumnRenamed("sig", "psig")
         // First-matching-band filter (Lsh) keeps each (vector, query)
@@ -278,7 +278,7 @@ object Ann {
         OracleExport.writeOnce(
           raw.select(col("vec_id"),
             hyperplaneSig(col("embedding"), bandBits * nBands).as("sig")),
-          OracleExport.LshSigPath, OracleExport.embKey(raw))
+          OracleExport.LshSigPath, OracleExport.embKeyFor(raw, d))
         val e = raw
           .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
           .select(col("vec_id"), col("embedding"), col("sig"),
@@ -356,7 +356,7 @@ object Ann {
           import s.implicits._
           cents.toIndexedSeq.zipWithIndex
             .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "centroid")
-        }, OracleExport.IvfCentPath, OracleExport.embKey(e))
+        }, OracleExport.IvfCentPath, OracleExport.embKeyFor(e, d))
         e.withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
           .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
@@ -456,7 +456,7 @@ object Ann {
           (for (j <- 0 until m; c <- 0 until ksub) yield
             (j, c, books.slice((j * ksub + c) * subDim,
               (j * ksub + c + 1) * subDim).toIndexedSeq)).toDF("sub", "code", "b")
-        }, OracleExport.PqBookPath, OracleExport.embKey(e))
+        }, OracleExport.PqBookPath, OracleExport.embKeyFor(e, d))
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         val (dotL, nrmL) = Pq.luts(qv, books, m, ksub)
@@ -572,7 +572,7 @@ object Ann {
            model.fine.toIndexedSeq.flatMap(_.toIndexedSeq.zipWithIndex.map {
              case (c, i) => (1, i, c.toIndexedSeq) }))
             .toDF("lvl", "cell", "centroid")
-        }, OracleExport.SemCellPath, OracleExport.embKey(e))
+        }, OracleExport.SemCellPath, OracleExport.embKeyFor(e, d))
         // Materialize the assignment ONCE: semDedup consumes the cells
         // frame three times (pair-join a-side, b-side, anti-join left),
         // and each lazy re-evaluation re-runs the k-centroid argmax —
@@ -1063,7 +1063,7 @@ object Ann {
         OracleExport.writeOnce({
           cents.toIndexedSeq.zipWithIndex
             .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "centroid")
-        }, OracleExport.IvfCentPath, OracleExport.embKey(e))
+        }, OracleExport.IvfCentPath, OracleExport.embKeyFor(e, d))
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head.getSeq[Float](0).toArray
         val assigned = e.filter(col("vec_id") =!= 0)
@@ -1145,7 +1145,7 @@ object Ann {
           import s.implicits._
           cents.toIndexedSeq.zipWithIndex
             .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "centroid")
-        }, OracleExport.IvfCentPath, OracleExport.embKey(e))
+        }, OracleExport.IvfCentPath, OracleExport.embKeyFor(e, d))
         val corpus = e.filter(col("vec_id") >= 10)
           .withColumn("cell", AnnIndex.cellOf(col("embedding"), cents))
         // Per-row top-nProbe cells: score against every centroid (array

@@ -419,7 +419,7 @@ object Dedup {
         val sig = Tables.documents(s, d)
           .select(col("doc_id"), simHash64(col("text")).as("sig"))
         OracleExport.writeOnce(sig,
-          OracleExport.SimHashPath, OracleExport.docKey(Tables.documents(s, d)))
+          OracleExport.SimHashPath, OracleExport.docKeyFor(Tables.documents(s, d), d))
         Lsh.hammingPairs(sig, bandBits = 16, nBands = 4, maxHamming = 3)
       },
       Some(s"""WITH sigs AS MATERIALIZED (
@@ -532,7 +532,7 @@ object Dedup {
         val docs = Tables.documents(s, d)
           .withColumn("bucket", pmod(xxhash64(col("doc_id"), lit(7L)), lit(1000000L)))
         OracleExport.writeOnce(docs.select(col("doc_id"), col("bucket")),
-          OracleExport.SampleBucketPath, OracleExport.docKey(Tables.documents(s, d)))
+          OracleExport.SampleBucketPath, OracleExport.docKeyFor(Tables.documents(s, d), d))
         docs
           .filter(col("bucket") < element_at(thr, col("lang")))
           .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
@@ -1097,7 +1097,7 @@ object Dedup {
         val buckets = Lsh.minhashBandTable(Tables.documents(s, d), 3, 8, 4)
         OracleExport.writeOnce(
           buckets.select(col("doc_id"), col("band"), col("sig")),
-          OracleExport.MinHashBandPath, OracleExport.docKey(Tables.documents(s, d)))
+          OracleExport.MinHashBandPath, OracleExport.docKeyFor(Tables.documents(s, d), d))
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))

@@ -61,6 +61,19 @@ object OracleExport {
     s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
   }
 
+  private val keyMemo = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** [[embKey]] memoized per corpus directory — the fingerprint scan is
+    * tiny but it is still a Spark job per invocation, and the corpora
+    * are immutable test fixtures (same justification as the model
+    * memos; a mutable-table deployment would fingerprint per snapshot
+    * version instead). */
+  def embKeyFor(e: DataFrame, dir: String): String =
+    keyMemo.computeIfAbsent(("emb", dir), _ => embKey(e))
+
+  def docKeyFor(docs: DataFrame, dir: String): String =
+    keyMemo.computeIfAbsent(("doc", dir), _ => docKey(docs))
+
   val embKeySql: String =
     """(SELECT CAST(count(*) AS VARCHAR) || '_' ||
               CAST(CAST(sum(vec_id) AS BIGINT) AS VARCHAR) || '_' ||

@@ -90,17 +90,22 @@ object Versioned {
     versions(spark, path).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  private def readManifestLines(spark: SparkSession, path: String, v: Long): Seq[String] = {
     val in = fs(spark, path).open(manifestPath(path, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
     finally in.close()
   }
 
+  /** Data directories of version `v` ("#"-prefixed lines are commit
+    * metadata — e.g. the streaming batch tag — not layout). */
+  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
+    readManifestLines(spark, path, v).filterNot(_.startsWith("#"))
+
   /** Publish version `v` listing `dirs` — the commit point. Atomic
     * create-if-absent: if another writer already published `v`, this
     * transaction lost the race and must retry on the new base. */
   private def writeManifest(spark: SparkSession, path: String, v: Long,
-      dirs: Seq[String]): Unit = {
+      dirs: Seq[String], meta: Seq[String] = Nil): Unit = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val target = manifestPath(path, v)
@@ -110,7 +115,7 @@ object Versioned {
         throw new ConflictException(
           s"version $v at $path was committed concurrently: $e")
       }
-    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((meta ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -185,6 +190,89 @@ object Versioned {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val dirs = readManifest(spark, path, version).map(d => s"$path/$d")
     spark.read.parquet(dirs: _*)
+  }
+
+  // ---- streaming sink: exactly-once appends keyed by (appId, batchId) --
+
+  private def batchTag(appId: String, batchId: Long) = s"#txn=$appId/$batchId"
+
+  /** Highest micro-batch id `appId` has ever committed to this table —
+    * read from the commit metadata lines, newest manifest first. The
+    * O(commits) scan is the recovery-path cost only; the steady-state
+    * sink remembers its own last id. */
+  def lastCommittedBatch(spark: SparkSession, path: String,
+      appId: String): Option[Long] = {
+    val prefix = s"#txn=$appId/"
+    versions(spark, path).reverse.iterator
+      .flatMap(v => readManifestLines(spark, path, v)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong))
+      .reduceOption((a: Long, b: Long) => math.max(a, b))
+  }
+
+  /** Exactly-once streaming append — the lakehouse foreachBatch sink
+    * pattern (Delta's txnAppId/txnVersion, public protocol): each
+    * micro-batch commits WITH its (appId, batchId) recorded in the
+    * manifest metadata, so a replayed batch (failure recovery re-runs
+    * the last epoch) is recognized and SKIPPED instead of
+    * double-appended — idempotence is the commit log's, not the
+    * caller's. Lost commit races rebase + re-check (another writer may
+    * have committed OUR replay first). Returns the committed version,
+    * or None when the batch was already durable. Use as:
+    * {{{
+    * df.writeStream.foreachBatch(Versioned.streamingSink(path, "app")).start()
+    * }}} */
+  def commitBatchAppend(spark: SparkSession, path: String, appId: String,
+      batchId: Long, df: DataFrame): Option[Long] = {
+    if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId)) return None
+    var txn = begin(spark, path)
+    stage(txn, df)
+    while (true) {
+      try {
+        val v = txn.base + 1
+        // batch 0 of a fresh table CREATES it (base dirs empty).
+        val baseDirs = if (txn.base == 0) Nil else readManifest(spark, path, txn.base)
+        writeManifest(spark, path, v, baseDirs :+ s"data/txn-${txn.id}",
+          meta = Seq(batchTag(appId, batchId)))
+        return Some(v)
+      } catch {
+        case _: ConflictException =>
+          // Someone committed under us — if it was our own replayed
+          // batch, stop; otherwise rebase and retry on the new base.
+          if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId)) {
+            abort(spark, txn)
+            return None
+          }
+          txn = rebase(spark, txn)
+      }
+    }
+    None
+  }
+
+  /** `foreachBatch` adapter over [[commitBatchAppend]]. */
+  def streamingSink(path: String, appId: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { commitBatchAppend(df.sparkSession, path, appId, batchId, df); () }
+
+  /** OPTIMIZE analog: rewrite the current version's rows into
+    * right-sized files (the Io.compact sizing rule) and publish as a
+    * REPLACE commit — same rows, compacted layout, atomically visible;
+    * prior versions keep the old layout (time travel unaffected). A
+    * writer landing mid-compaction wins: the compaction conflicts,
+    * ABORTS and returns None rather than clobbering the newer commit —
+    * re-run against the new version. This is the maintenance story a
+    * streaming-append table needs ([[streamingSink]] accretes one dir
+    * per micro-batch; compaction folds them without pausing writers or
+    * readers). */
+  def optimize(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Option[Long] = {
+    val txn = begin(spark, path)
+    require(txn.base >= 1, s"cannot optimize unborn table $path")
+    val f = fs(spark, path)
+    val bytes = readManifest(spark, path, txn.base)
+      .map(d => f.getContentSummary(new Path(s"$path/$d")).getLength).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    stage(txn, readAsOf(spark, path, txn.base).coalesce(n))
+    try Some(commitReplace(spark, txn))
+    catch { case _: ConflictException => abort(spark, txn); None }
   }
 
   /** VACUUM: delete staged directories no manifest references (aborted

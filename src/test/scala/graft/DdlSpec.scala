@@ -216,8 +216,17 @@ class DdlSpec extends AnyFunSuite {
     // The query vector itself is its own nearest neighbor in every band.
     assert(lshProbe.collect().map(_.getLong(0)).contains(0L))
 
+    // CREATE INDEX emb_pq ON embeddings USING ivfpq — the composed
+    // layout: pruned directories, codes-only ADC, exact re-rank.
+    Ddl.createIndex(spark, "emb_pq", e, "ivfpq", s"$tmp/ivfpq", k = 16)
+    val pqProbe = Ddl.probeIndex(spark, "emb_pq", qv, k = 10, nProbe = 6)
+    val pqPlan = pqProbe.queryExecution.executedPlan.treeString
+    assert(pqPlan.contains("PartitionFilters: [cell"),
+      "IVF+PQ probe not directory-pruned: " + pqPlan.take(600))
+    assert(pqProbe.collect().map(_.getLong(0)).head == 0L)
+
     // DROP INDEX deregisters; further probes fail loud.
-    assert(Ddl.dropIndex("emb_ivf") && Ddl.dropIndex("emb_lsh"))
+    assert(Ddl.dropIndex("emb_ivf") && Ddl.dropIndex("emb_lsh") && Ddl.dropIndex("emb_pq"))
     intercept[IllegalArgumentException] { Ddl.probeIndex(spark, "emb_ivf", qv, 5) }
     spark.sql("DROP TABLE IF EXISTS emb_lsh_bands")
   }

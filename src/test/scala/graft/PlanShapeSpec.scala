@@ -667,4 +667,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"q78: the custkey window exchange only, got $exchanges")
   }
+
+  test("d07 hash sampling is a map-side filter + one aggregate exchange") {
+    // The deterministic sampler must stay selection-at-scan-speed: the
+    // keep rule is a per-row hash threshold (no join against a
+    // fractions table, no window, no extra shuffle); the only exchange
+    // is the per-stratum count's. The export write runs once per corpus
+    // and is not part of this plan.
+    val p = planOf("d07_sample_stratified")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Window"))
+      assert(!p.contains(j), s"d07 must not $j:\n${p.take(400)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"d07: the lang-count exchange only, got $exchanges")
+  }
 }

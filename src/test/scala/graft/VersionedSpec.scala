@@ -82,6 +82,52 @@ class VersionedSpec extends AnyFunSuite {
     assert(rows(path) == Seq((1, Some("hello")), (2, Some("b2")), (3, None), (4, Some("c4"))))
   }
 
+  test("streaming sink: micro-batch commits are exactly-once under replay") {
+    // The foreachBatch sink contract: a failure-recovery REPLAY of the
+    // last epoch must not double-append — idempotence lives in the
+    // commit log ((appId, batchId) recorded in manifest metadata), not
+    // in the caller.
+    val path = freshTable()
+    assert(Versioned.commitBatchAppend(spark, path, "app", 0L,
+      Seq((1, "a")).toDF("a", "b")).contains(1L))   // batch 0 creates
+    assert(Versioned.commitBatchAppend(spark, path, "app", 1L,
+      Seq((2, "b")).toDF("a", "b")).contains(2L))
+    // Replayed batch 1: recognized as durable, skipped.
+    assert(Versioned.commitBatchAppend(spark, path, "app", 1L,
+      Seq((2, "b")).toDF("a", "b")).isEmpty)
+    assert(Versioned.read(spark, path).count() == 2)
+    assert(Versioned.lastCommittedBatch(spark, path, "app").contains(1L))
+    // A different writer's ledger is independent.
+    assert(Versioned.commitBatchAppend(spark, path, "other", 1L,
+      Seq((3, "c")).toDF("a", "b")).contains(3L))
+    assert(Versioned.read(spark, path).count() == 3)
+    assert(Versioned.lastCommittedBatch(spark, path, "app").contains(1L))
+    // Nothing leaked: every staged dir is referenced or was aborted.
+    assert(Versioned.vacuum(spark, path) == 0)
+  }
+
+  test("optimize compacts the layout as a replace commit, preserving rows and history") {
+    val path = freshTable()
+    // Accrete many small commits (the streaming-append shape).
+    Versioned.commitBatchAppend(spark, path, "w", 0L, Seq((1, "a")).toDF("a", "b"))
+    (1 to 4).foreach { i =>
+      Versioned.commitBatchAppend(spark, path, "w", i.toLong,
+        Seq((i * 10, s"r$i")).toDF("a", "b"))
+    }
+    val before = Versioned.read(spark, path).collect().map(_.getInt(0)).sorted
+    val dirsBefore = Versioned.read(spark, path).inputFiles.length
+    val v = Versioned.optimize(spark, path)
+    assert(v.contains(6L))
+    val after = Versioned.read(spark, path)
+    assert(after.collect().map(_.getInt(0)).sorted.sameElements(before))
+    assert(after.inputFiles.length < dirsBefore,
+      s"compaction did not reduce files: ${after.inputFiles.length} vs $dirsBefore")
+    // History intact: the pre-compaction version still reads the old layout.
+    assert(Versioned.readAsOf(spark, path, 5).count() == 5)
+    // Orphan cleanup finds nothing (optimize staged dir is referenced).
+    assert(Versioned.vacuum(spark, path) == 0)
+  }
+
   test("concurrent committers: exactly one wins, the loser gets a conflict") {
     val path = freshTable()
     Versioned.create(spark, path, baseDf)
