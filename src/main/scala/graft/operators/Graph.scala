@@ -876,29 +876,63 @@ object Graph {
         val deg = degreesOf(und)
         val sym = und.select(col("u").as("x"), col("v").as("y"))
           .union(und.select(col("v").as("x"), col("u").as("y")))
-        sym
+        // Pearson r from EXACT integer moment sums, not the builtin
+        // corr aggregate: degrees are integers, so n/Σx/Σy/Σx²/Σy²/Σxy
+        // are exact longs (mergeable map-side partials) and the n-factor
+        // form r = (nΣxy − ΣxΣy)/(√(nΣx²−Σx²̂)·√(nΣy²−Σy²̂)) is computed
+        // in IDENTICAL op order by both engines — and the zero-variance
+        // case (degree-regular graph — the sf0.001 shape) is a GUARDED
+        // null instead of a division Spark's ANSI-mode corr turns into
+        // a runtime error. Cross products lift through decimal(38,0)
+        // (HUGEINT on the oracle side) before the one double division —
+        // overflow-free to ~1e19 edge-endpoint rows; at larger scale
+        // lift the moment sums themselves to decimal.
+        val st = sym
           .join(deg, "x")
           .join(deg.select(col("x").as("y"), col("dg").as("dg_y")), "y")
-          .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
-            // Degree-regular graph ⇒ zero variance: Spark corr yields
-            // NaN where DuckDB yields NULL — pin both to NULL.
-            {
-              val c = corr(col("dg").cast("double"), col("dg_y").cast("double"))
-              when(isnan(c), lit(null).cast("double"))
-                .otherwise(floor(c * 1000000 + 0.5) / 1000000)
-                .as("assortativity")
-            })
+          .agg(count(lit(1)).as("n"),
+            sum(col("dg")).as("sx"), sum(col("dg_y")).as("sy"),
+            sum(col("dg") * col("dg")).as("sxx"),
+            sum(col("dg_y") * col("dg_y")).as("syy"),
+            sum(col("dg") * col("dg_y")).as("sxy"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val num = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
+        val dx = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
+        val dy = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
+        st.select((col("n") / 2).cast("long").as("n_edges"),
+          when(col("n") === 0 || dx <= 0 || dy <= 0, lit(null).cast("double"))
+            .otherwise(floor(num / (sqrt(dx) * sqrt(dy)) * 1000000 + 0.5) / 1000000)
+            .as("assortativity"))
       },
       Some(s"""WITH $eventGraphBaseCte,
               $undirectedCte,
               $degreeCte,
               sym AS (SELECT u AS x, v AS y FROM und
-                      UNION ALL SELECT v AS x, u AS y FROM und)
-              SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-                     FLOOR(corr(CAST(dx.dg AS DOUBLE), CAST(dy.dg AS DOUBLE))
-                           * 1000000 + 0.5) / 1000000 AS assortativity
-              FROM sym JOIN dg0 dx ON dx.x = sym.x
-              JOIN dg0 dy ON dy.x = sym.y""")),
+                      UNION ALL SELECT v AS x, u AS y FROM und),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(dx.dg) AS BIGINT) AS sx,
+                            CAST(sum(dy.dg) AS BIGINT) AS sy,
+                            CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sxx,
+                            CAST(sum(dy.dg * dy.dg) AS BIGINT) AS syy,
+                            CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy
+                     FROM sym JOIN dg0 dx ON dx.x = sym.x
+                     JOIN dg0 dy ON dy.x = sym.y)
+              SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+                     CASE WHEN n = 0
+                            OR CAST(CAST(n AS HUGEINT) * sxx
+                                    - CAST(sx AS HUGEINT) * sx AS DOUBLE) <= 0
+                            OR CAST(CAST(n AS HUGEINT) * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE) <= 0
+                          THEN NULL
+                          ELSE FLOOR(
+                            CAST(CAST(n AS HUGEINT) * sxy
+                                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                            / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                         - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                               * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                           - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                            * 1000000 + 0.5) / 1000000 END AS assortativity
+              FROM st""")),
 
     // ---- g12: community modularity (the OTHER partition-quality audit) -
     // g10 measures conductance (how leaky is each community's boundary);

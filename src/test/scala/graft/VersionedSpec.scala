@@ -106,6 +106,28 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.vacuum(spark, path) == 0)
   }
 
+  test("foreachBatch sink end-to-end: a real stream lands as versioned commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = freshTable()
+    val in = MemoryStream[(Int, String)]
+    val q = in.toDS().toDF("a", "b").writeStream
+      .foreachBatch(graft.sources.Versioned.streamingSink(path, "ing"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString)
+      .start()
+    try {
+      in.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      in.addData((3, "c")); q.processAllAvailable()
+      assert(Versioned.read(spark, path).collect().map(_.getInt(0)).sorted
+        .sameElements(Array(1, 2, 3)))
+      // Each micro-batch is one atomic commit; history is per-batch.
+      assert(Versioned.versions(spark, path) == Seq(1L, 2L))
+      assert(Versioned.readAsOf(spark, path, 1).count() == 2)
+      assert(Versioned.lastCommittedBatch(spark, path, "ing").contains(1L))
+    } finally q.stop()
+  }
+
   test("optimize compacts the layout as a replace commit, preserving rows and history") {
     val path = freshTable()
     // Accrete many small commits (the streaming-append shape).
