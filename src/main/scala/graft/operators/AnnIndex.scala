@@ -291,15 +291,35 @@ object AnnIndex {
         "(hyperplaneSig caps at 64 bits; extra bands would alias)")
   }
 
-  def writeLsh(e: DataFrame, bandBits: Int, nBands: Int,
-      table: String, buckets: Int): Unit = {
+  /** The banded rows for the table — ONE construction shared by the
+    * initial write and incremental append, so geometry and packing can
+    * never drift between them. */
+  private def lshBanded(e: DataFrame, bandBits: Int, nBands: Int): DataFrame = {
     requireBandGeometry(bandBits, nBands)
-    val banded = e
-      .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
+    e.withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
       .select(col("vec_id"), col("sig"),
         explode(bandKeys(col("sig"), bandBits, nBands)).as("bkey"))
-    Io.writeBucketedBy(banded, table, Seq("bkey"), buckets)
   }
+
+  def writeLsh(e: DataFrame, bandBits: Int, nBands: Int,
+      table: String, buckets: Int): Unit =
+    Io.writeBucketedBy(lshBanded(e, bandBits, nBands), table, Seq("bkey"), buckets)
+
+  /** INCREMENTAL LSH maintenance — [[appendIvf]]'s twin for the band
+    * layout (hyperplanes are position-keyed hashes, so unlike IVF there
+    * is not even frozen model state to carry: the same geometry IS the
+    * quantizer). The batch is banded with the shared construction and
+    * appended; new bucket files land beside the standing ones, which
+    * are never rewritten, and a probe's `bkey IN (...)` bucket pruning
+    * reads old + appended files of the probed buckets alike — no probe
+    * code change, no rebuild. Spark validates the bucket spec against
+    * the catalog entry on append, so a geometry/bucket-count mismatch
+    * fails loud rather than corrupting the index. Per-batch cost:
+    * O(batch) signature work + append. AnnIndexSpec pins standing-files-
+    * untouched AND append-probe equality with a from-scratch rebuild. */
+  def appendLsh(batch: DataFrame, bandBits: Int, nBands: Int,
+      table: String, buckets: Int): Unit =
+    Io.appendBucketedBy(lshBanded(batch, bandBits, nBands), table, Seq("bkey"), buckets)
 
   /** Probe the bucketed band table: `bkey IN (query's nBands keys)` reads
     * only the matching buckets (bucket pruning — asserted in

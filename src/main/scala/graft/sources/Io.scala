@@ -47,6 +47,18 @@ object Io {
       .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Append a batch to a standing bucketed table — the incremental-
+    * maintenance write: new bucket files land beside the old ones (per
+    * bucket id), standing files are never rewritten, and a reader's
+    * bucket pruning / exchange elision sees old + new files of each
+    * bucket alike. Spark validates the (keys, buckets) spec against the
+    * catalog entry, so a mismatched append fails loud instead of
+    * silently corrupting the layout. */
+  def appendBucketedBy(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** The canonical 100 TB fact-table layout: partitioned by the
     * low-cardinality filter columns AND bucketed by the recurring join
     * key — a probe prunes partitions first, then the join on the bucket

@@ -252,6 +252,31 @@ object Versioned {
   def streamingSink(path: String, appId: String): (DataFrame, Long) => Unit =
     (df, batchId) => { commitBatchAppend(df.sparkSession, path, appId, batchId, df); () }
 
+  /** Change feed between two versions — the incremental-consumption
+    * story ([[streamingSink]]'s reader half): rows APPENDED in
+    * (fromVersion, toVersion] read as a DataFrame, planned from exactly
+    * the directories those commits added. For an append-only history
+    * this is precise CDC at zero read amplification (a downstream
+    * consumer processes each commit's files once, never rescans the
+    * table); a REPLACE commit (update/optimize) rewrites the whole
+    * layout, so its "delta" is the full new version — fail loud there
+    * rather than hand the caller a silently-wrong incremental batch:
+    * row-level diffing across a rewrite is an anti-join the caller must
+    * opt into knowingly. */
+  def changesBetween(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    val fromDirs = readManifest(spark, path, fromVersion).toSet
+    val toDirs = readManifest(spark, path, toVersion)
+    require(fromDirs.subsetOf(toDirs.toSet),
+      s"version $toVersion is not an append descendant of $fromVersion " +
+        "(a replace commit rewrote the layout) — read the full version " +
+        "or diff rows explicitly")
+    val added = toDirs.filterNot(fromDirs)
+    if (added.isEmpty) spark.read.parquet(s"$path/${toDirs.head}").limit(0)
+    else spark.read.parquet(added.map(d => s"$path/$d"): _*)
+  }
+
   /** OPTIMIZE analog: rewrite the current version's rows into
     * right-sized files (the Io.compact sizing rule) and publish as a
     * REPLACE commit — same rows, compacted layout, atomically visible;

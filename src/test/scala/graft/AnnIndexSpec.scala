@@ -182,6 +182,50 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS lsh_band_idx")
   }
 
+  test("incremental LSH append: standing files untouched, probe equals a full rebuild") {
+    val bandBits = 4; val nBands = 16; val buckets = 32
+    val e = embeddings
+    def reset(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val orphan = new File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (orphan.exists())
+        Files.walk(orphan.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+    }
+    Seq("lsh_inc_idx", "lsh_full_idx").foreach(reset)
+    val standing = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    AnnIndex.writeLsh(standing, bandBits, nBands, "lsh_inc_idx", buckets)
+    def files(t: String): Set[String] = {
+      val dir = new File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      val out = scala.collection.mutable.Set.empty[String]
+      Files.walk(dir.toPath).forEach { p =>
+        val s = p.toString; if (s.endsWith(".parquet")) out += s
+      }
+      out.toSet
+    }
+    val before = files("lsh_inc_idx")
+    AnnIndex.appendLsh(batch, bandBits, nBands, "lsh_inc_idx", buckets)
+    val after = files("lsh_inc_idx")
+    assert(before.subsetOf(after), s"append rewrote ${(before -- after).take(3)}")
+    assert(after.size > before.size, "append added no files")
+    // The appended index answers EXACTLY like a from-scratch rebuild of
+    // the union (same geometry — there is no model state to freeze).
+    AnnIndex.writeLsh(e, bandBits, nBands, "lsh_full_idx", buckets)
+    val qv = queryVec
+    def top(t: String) = AnnIndex.probeLsh(spark, t, e, qv, bandBits, nBands, 21)
+    assert(top("lsh_inc_idx").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      top("lsh_full_idx").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // Bucket pruning survives the append (old + new files, probed ids only).
+    val plan = top("lsh_inc_idx").queryExecution.executedPlan.treeString
+    val sel = "SelectedBucketsCount: ([0-9]+) out of ([0-9]+)".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no bucket pruning after append:\n${plan.take(800)}"))
+    assert(sel.group(1).toInt <= nBands && sel.group(1).toInt < sel.group(2).toInt)
+    Seq("lsh_inc_idx", "lsh_full_idx").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("SemDeDup on the bucketed cell layout: pair join is partition-local and matches in-memory") {
     import graft.operators.Ann
     val e = embeddings

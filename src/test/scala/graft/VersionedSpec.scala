@@ -128,6 +128,24 @@ class VersionedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changesBetween reads exactly the appended delta; replace commits fail loud") {
+    val path = freshTable()
+    Versioned.commitBatchAppend(spark, path, "w", 0L, Seq((1, "a")).toDF("a", "b"))
+    Versioned.commitBatchAppend(spark, path, "w", 1L, Seq((2, "b"), (3, "c")).toDF("a", "b"))
+    Versioned.commitBatchAppend(spark, path, "w", 2L, Seq((4, "d")).toDF("a", "b"))
+    // Delta (1, 3]: commits 2 and 3 only — never rescans commit 1.
+    val delta = Versioned.changesBetween(spark, path, 1L, 3L)
+    assert(delta.collect().map(_.getInt(0)).sorted.sameElements(Array(2, 3, 4)))
+    // Zero-width range: empty frame, correct schema.
+    assert(Versioned.changesBetween(spark, path, 2L, 2L).count() == 0)
+    // A replace commit breaks dir-level lineage — incremental readers
+    // must be told, not silently handed the whole table as a "delta".
+    Versioned.optimize(spark, path)
+    intercept[IllegalArgumentException] {
+      Versioned.changesBetween(spark, path, 3L, 4L)
+    }
+  }
+
   test("optimize compacts the layout as a replace commit, preserving rows and history") {
     val path = freshTable()
     // Accrete many small commits (the streaming-append shape).
