@@ -45,10 +45,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   data/txn-<uuid>/part-*.parquet            -- one dir per writer
   * }}}
   * At 100 TB this scales exactly as the production systems do: a commit
-  * moves O(1) metadata regardless of data size, readers plan from a
-  * file list (no directory race with concurrent writers), and N
+  * moves O(1) DATA regardless of table size, readers plan from a file
+  * list (no directory race with concurrent writers), and N
   * streaming/batch writers append lock-free until the single-file
   * commit point.
+  *
+  * Metadata growth envelope: each manifest is SELF-CONTAINED (the full
+  * dir list — one read plans any version, no log replay), so an
+  * append-only history of n commits costs O(n) listing per version
+  * resolution and O(n) lines per manifest write — fine to ~10⁴ commits,
+  * after which the production mitigations apply in this exact design:
+  * [[optimize]] folds the dir list back to O(1) (a replace commit's
+  * manifest lists one dir), and a deployment past that would add
+  * Delta-style checkpointed logs (delta-encoded manifests + periodic
+  * full snapshots) without changing the commit protocol or any caller.
   */
 object Versioned {
 
