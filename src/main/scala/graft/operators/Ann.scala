@@ -1296,7 +1296,111 @@ object Ann {
         v.select(col("nrm").as("lambda"), posexplode(col("pv")))
           .select(col("pos"), col("col").as("loading"), col("lambda"))
       },
-      Some(powerIterationOracle(PowerIters)))
+      Some(powerIterationOracle(PowerIters))),
+
+    // ---- v25: PQ rerank-depth tuning curve -------------------------------
+    // v21's measure-don't-guess discipline applied to v08's knob: the
+    // rerank pool depth is THE recall/IO trade of a PQ deployment
+    // (deeper pool = more exact-distance reads per query), so the curve
+    // (recall@20 vs pool depth vs fraction of the corpus re-read) is
+    // what a capacity planner tunes from. The ADC scores are computed
+    // ONCE (checkpointed; one corpus codes pass), each depth is a
+    // TakeOrdered pool + bounded exact re-rank, and the driver sees 20
+    // ids per depth (the v21 eval pattern). Oracle-checked end to end
+    // from the SAME codebook export as v08 — DuckDB re-derives encode,
+    // LUTs, ADC ranking, every pool, every recall.
+    ("v25_pq_rerank_curve",
+      (s, d) => {
+        import s.implicits._
+        val m = 8; val ksub = 32
+        val e = Tables.embeddings(s, d)
+        val books = Pq.train(e, m, ksub)
+        OracleExport.writeOnce({
+          val subDim = books.length / (m * ksub)
+          (for (j <- 0 until m; c <- 0 until ksub) yield
+            (j, c, books.slice((j * ksub + c) * subDim,
+              (j * ksub + c + 1) * subDim).toIndexedSeq)).toDF("sub", "code", "b")
+        }, OracleExport.PqBookPath, OracleExport.embKeyFor(e, d))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val (dotL, nrmL) = Pq.luts(qv, books, m, ksub)
+        val adc = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            org.apache.spark.sql.graft.VectorExpressions.pqAdcCosine(
+              org.apache.spark.sql.graft.VectorExpressions.pqEncode(
+                col("embedding"), books.toSeq, m, ksub),
+              dotL.toSeq, nrmL.toSeq, m, ksub).as("adc"))
+          .localCheckpoint()
+        val total = adc.count()
+        def top20(df: DataFrame): Set[Long] = df
+          .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id").asc).limit(20)
+          .collect().map(_.getLong(0)).toSet
+        val exact = top20(adc)
+        Seq(20, 50, 100, 200).map { depth =>
+          val pool = adc.orderBy(col("adc").desc, col("vec_id").asc).limit(depth)
+          val got = top20(pool)
+          (depth.toLong,
+            math.floor(depth.toDouble / total * 1000000 + 0.5) / 1000000,
+            math.floor(exact.intersect(got).size.toDouble / exact.size
+              * 1000000 + 0.5) / 1000000)
+        }.toDF("rerank_depth", "frac_reranked", "recall_at_20")
+      },
+      Some(s"""WITH books AS MATERIALIZED (
+                 SELECT sub, code, b::DOUBLE[] AS b
+                 FROM ${OracleExport.readSql(OracleExport.PqBookPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               e AS MATERIALIZED (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+               q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+               lut AS MATERIALIZED (
+                 SELECT bk.sub, bk.code,
+                        list_sum(list_transform(range(1, 9),
+                          t -> q.qv[bk.sub * 8 + t] * bk.b[t])) AS dl,
+                        list_sum(list_transform(range(1, 9),
+                          t -> bk.b[t] * bk.b[t])) AS nl
+                 FROM books bk, q),
+               dists AS MATERIALIZED (
+                 SELECT e.vec_id, bk.sub, bk.code,
+                        list_sum(list_transform(range(1, 9),
+                          t -> (e.emb[bk.sub * 8 + t] - bk.b[t])
+                               * (e.emb[bk.sub * 8 + t] - bk.b[t]))) AS dist
+                 FROM e, books bk WHERE e.vec_id <> 0),
+               codes AS MATERIALIZED (
+                 SELECT vec_id, sub, code FROM (
+                   SELECT vec_id, sub, code,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist ASC, code ASC) AS rn
+                   FROM dists) WHERE rn = 1),
+               adc AS MATERIALIZED (
+                 SELECT c.vec_id, e.emb,
+                        CASE WHEN list_sum(list(l.nl ORDER BY l.sub)) = 0 THEN 0.0
+                             ELSE list_sum(list(l.dl ORDER BY l.sub))
+                                  / sqrt(list_sum(list(l.nl ORDER BY l.sub))) END AS adc
+                 FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                 JOIN e ON e.vec_id = c.vec_id
+                 GROUP BY c.vec_id, e.emb),
+               ranked AS MATERIALIZED (
+                 SELECT vec_id, emb,
+                        row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rk
+                 FROM adc),
+               tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM adc),
+               exact AS MATERIALIZED (
+                 SELECT a.vec_id FROM adc a, q
+                 ORDER BY list_cosine_similarity(a.emb, q.qv) DESC, a.vec_id ASC
+                 LIMIT 20),
+               en AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM exact),
+               depths AS (SELECT unnest([20, 50, 100, 200]) AS depth)
+               SELECT CAST(p.depth AS BIGINT) AS rerank_depth,
+                      FLOOR(p.depth / tot.n * 1000000 + 0.5) / 1000000 AS frac_reranked,
+                      FLOOR((SELECT count(*)
+                             FROM (SELECT a.vec_id FROM ranked a, q
+                                   WHERE a.rk <= p.depth
+                                   ORDER BY list_cosine_similarity(a.emb, q.qv) DESC,
+                                            a.vec_id ASC LIMIT 20) g
+                             JOIN exact x ON g.vec_id = x.vec_id)
+                            / en.n * 1000000 + 0.5) / 1000000 AS recall_at_20
+               FROM depths p, tot, en"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

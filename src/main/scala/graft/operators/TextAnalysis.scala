@@ -1492,7 +1492,48 @@ object TextAnalysis {
                        AS BIGINT) AS n_novel,
                      CAST(FLOOR(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                        AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS novelty_micro
-              FROM f GROUP BY doc_id"""))
+              FROM f GROUP BY doc_id""")),
+
+    // ---- t34: quality-filter threshold calibration curve ----------------
+    // The deployment knob for t18's classifier, measured instead of
+    // guessed (v21's tuning-curve discipline applied to filtering):
+    // kept count and kept fraction at each candidate logit threshold —
+    // the volume-vs-strictness table a data engineer reads before
+    // setting the production cutoff (and the input to any "keep the top
+    // X tokens" budget). ONE corpus pass: the scores frame aggregates
+    // seven CONDITIONAL counts in a single hash-aggregate (map-side
+    // combinable; no per-threshold scan, no corpus×thresholds join),
+    // then `stack` pivots the 1-row aggregate into the 7-row curve —
+    // driver-side cost is seven longs. Thresholds are dyadic doubles
+    // and logits are IEEE-exact cross-engine (t18's argument), so the
+    // strict `>` comparisons are exact; kept_frac is a ratio of exact
+    // integers gridded once.
+    ("t34_threshold_curve",
+      (s, d) => {
+        val thrs = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
+        val agg = classifierScores(s, d).agg(
+          count(lit(1)).as("n_total"),
+          thrs.zipWithIndex.map { case (t, i) =>
+            sum(when(col("logit") > t, 1L).otherwise(0L)).as(s"k$i")
+          }: _*)
+        val stackExpr = "stack(" + thrs.length + ", " +
+          thrs.zipWithIndex.map { case (t, i) => s"CAST($t AS DOUBLE), k$i" }
+            .mkString(", ") + ") AS (thr, n_kept)"
+        agg.select(col("n_total"), expr(stackExpr))
+          .select(col("thr"), col("n_kept"), col("n_total"),
+            (floor(col("n_kept").cast("double") / col("n_total")
+              * 1000000 + 0.5) / 1000000).as("kept_frac"))
+      },
+      Some(s"""WITH $oracleLogitCte,
+               tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sc),
+               thr AS (SELECT unnest([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0]) AS thr)
+               SELECT t.thr,
+                      CAST(count(*) FILTER (WHERE s.logit > t.thr) AS BIGINT) AS n_kept,
+                      tot.n_total,
+                      FLOOR(CAST(count(*) FILTER (WHERE s.logit > t.thr) AS DOUBLE)
+                            / tot.n_total * 1000000 + 0.5) / 1000000 AS kept_frac
+               FROM thr t, sc s, tot
+               GROUP BY t.thr, tot.n_total"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20
