@@ -668,6 +668,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"q78: the custkey window exchange only, got $exchanges")
   }
 
+  test("t34 threshold curve is ONE corpus aggregate, no per-threshold scan") {
+    // Seven thresholds must not become seven scans or a corpus×thresholds
+    // join: the curve is conditional counts in a single hash-aggregate
+    // (one exchange), stack-pivoted afterwards.
+    val p = planOf("t34_threshold_curve")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+      assert(!p.contains(j), s"t34 must not join: found $j")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"t34: one corpus scan, got $scans")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"t34: global-agg exchanges only, got $exchanges")
+  }
+
   test("d07 hash sampling is a map-side filter + one aggregate exchange") {
     // The deterministic sampler must stay selection-at-scan-speed: the
     // keep rule is a per-row hash threshold (no join against a
