@@ -1143,7 +1143,103 @@ object Dedup {
                       CASE WHEN te.n = 0 THEN NULL
                            ELSE FLOOR(CAST(hits.n AS DOUBLE) / te.n * 1000000 + 0.5)
                                 / 1000000 END AS recall
-               FROM te, ca, hits"""))
+               FROM te, ca, hits""")),
+
+    // ---- d22: MinHash band-geometry sweep -------------------------------
+    // The design decision d21 evaluates one point of, measured across
+    // the whole knob (the LSH S-curve table from Mining Massive
+    // Datasets): the SAME 32 minhashes re-sliced as 4×8, 8×4 and 16×2
+    // band geometries, each geometry's candidate set scored for
+    // precision/recall against the one exact ≥0.9 n-gram truth. ONE
+    // signature pass (checkpointed) feeds all three slicings — geometry
+    // choice costs nothing extra at signature time, which is exactly
+    // why it should be swept, not guessed: more bands × fewer rows
+    // slides the S-curve left (recall up, precision down). All three
+    // geometries ride one unioned band frame: one self-join (geom in
+    // the key), one semi-join against the truth, per-geom counts.
+    // Oracle-checked from the exported per-geometry band table (the
+    // d21 pattern; the minhash kernel stays spec-pinned).
+    ("d22_band_geometry_sweep",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val geoms = Seq((4, 8), (8, 4), (16, 2)) // (bands, rowsPerBand) × 32 hashes
+        val mh = docs.select(col("doc_id"),
+          org.apache.spark.sql.graft.TextHash
+            .minHashSignature(col("text"), 3, 32).as("mh"))
+          .localCheckpoint()
+        val bands = geoms.map { case (b, r) =>
+          mh.select(lit(s"${b}x$r").as("geom"), col("doc_id"),
+              posexplode(array((0 until b).map(i =>
+                xxhash64(slice(col("mh"), i * r + 1, r))): _*)))
+            .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+        }.reduce(_ unionAll _).localCheckpoint()
+        OracleExport.writeOnce(
+          bands.select(col("geom"), col("doc_id"), col("band"), col("sig")),
+          OracleExport.BandSweepPath, OracleExport.docKeyFor(docs, d))
+        val cands = bands.as("a").join(bands.as("b"),
+            col("a.geom") === col("b.geom") && col("a.band") === col("b.band")
+              && col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.geom").as("geom"),
+            col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct().localCheckpoint()
+        val exact = ngramPairs(s, d, 9, 10)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val hits = cands.join(exact, Seq("a_id", "b_id"), "left_semi")
+          .groupBy(col("geom")).agg(count(lit(1)).as("n_hits"))
+        val per = cands.groupBy(col("geom")).agg(count(lit(1)).as("n_candidates"))
+          .join(hits, Seq("geom"), "left")
+        geoms.map { case (b, r) => (s"${b}x$r", b.toLong, r.toLong) }
+          .toDF("geom", "n_bands", "rows_per_band")
+          .join(per, Seq("geom"), "left")
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true_pairs"))))
+          .select(col("geom"), col("n_bands"), col("rows_per_band"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            when(coalesce(col("n_candidates"), lit(0L)) === 0,
+              lit(null).cast("double"))
+              .otherwise(floor(coalesce(col("n_hits"), lit(0L)).cast("double")
+                / col("n_candidates") * 1000000 + 0.5) / 1000000).as("precision"),
+            when(col("n_true_pairs") === 0, lit(null).cast("double"))
+              .otherwise(floor(coalesce(col("n_hits"), lit(0L)).cast("double")
+                / col("n_true_pairs") * 1000000 + 0.5) / 1000000).as("recall"))
+      },
+      Some(s"""WITH $oracleShingleJaccard,
+               bands AS MATERIALIZED (
+                 SELECT geom, doc_id, band, sig
+                 FROM ${OracleExport.readSql(OracleExport.BandSweepPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               cand AS MATERIALIZED (
+                 SELECT DISTINCT a.geom, a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.geom = b.geom AND a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id),
+               ex AS MATERIALIZED (
+                 SELECT ia AS a_id, ib AS b_id FROM jacs
+                 WHERE jac >= 0.9 AND has_cold = 1),
+               te AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+               per AS (
+                 SELECT geom, CAST(count(*) AS BIGINT) AS n_candidates,
+                        CAST(count(*) FILTER (WHERE EXISTS (
+                          SELECT 1 FROM ex
+                          WHERE ex.a_id = cand.a_id AND ex.b_id = cand.b_id))
+                          AS BIGINT) AS n_hits
+                 FROM cand GROUP BY geom),
+               gd AS (SELECT * FROM (VALUES ('4x8', 4, 8), ('8x4', 8, 4),
+                      ('16x2', 16, 2)) t(geom, n_bands, rows_per_band))
+               SELECT gd.geom, CAST(gd.n_bands AS BIGINT) AS n_bands,
+                      CAST(gd.rows_per_band AS BIGINT) AS rows_per_band,
+                      coalesce(p.n_candidates, 0) AS n_candidates,
+                      coalesce(p.n_hits, 0) AS n_hits,
+                      CASE WHEN coalesce(p.n_candidates, 0) = 0 THEN NULL
+                           ELSE FLOOR(CAST(coalesce(p.n_hits, 0) AS DOUBLE)
+                                / p.n_candidates * 1000000 + 0.5)
+                                / 1000000 END AS "precision",
+                      CASE WHEN te.n = 0 THEN NULL
+                           ELSE FLOOR(CAST(coalesce(p.n_hits, 0) AS DOUBLE)
+                                / te.n * 1000000 + 0.5)
+                                / 1000000 END AS recall
+               FROM gd LEFT JOIN per p ON p.geom = gd.geom, te"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -31,6 +31,7 @@ object OracleExport {
   val SemCellPath = "/tmp/graft_semdedup_cells.parquet"
   val PqBookPath = "/tmp/graft_pq_books.parquet"
   val SampleBucketPath = "/tmp/graft_sample_buckets.parquet"
+  val BandSweepPath = "/tmp/graft_band_sweep.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
