@@ -61,7 +61,10 @@ object Bench {
     // the FULL table is also written to a file (durable per-round
     // history: each query judged against its own prior number, not just
     // whichever slice survived the tail buffer).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A FILTERED run must never clobber the full-table history file —
+    // default subset output goes to its own file.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (filter.isEmpty) "bench_full.json" else "bench_subset.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

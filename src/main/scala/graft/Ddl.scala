@@ -121,6 +121,12 @@ object Ddl {
   sealed trait IndexDef { def table: String; def using: String }
   final case class IvfIndexDef(table: String, path: String,
       cents: Array[Array[Float]]) extends IndexDef { val using = "ivf" }
+  /** NOTE: unlike IVF's plain-array model state, the LSH descriptor
+    * carries the SOURCE frame (the probe's exact re-rank reads full
+    * vectors, and the band table stores only ids) — so the registry
+    * entry is bound to the creating session's lifetime, exactly like a
+    * temp view. A cross-session deployment would register the vectors
+    * as a catalog table and store its name here instead. */
   final case class LshIndexDef(table: String, catalogTable: String,
       source: DataFrame, bandBits: Int, nBands: Int) extends IndexDef {
     val using = "lsh"

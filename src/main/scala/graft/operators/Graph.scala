@@ -887,15 +887,20 @@ object Graph {
         // (HUGEINT on the oracle side) before the one double division —
         // overflow-free to ~1e19 edge-endpoint rows; at larger scale
         // lift the moment sums themselves to decimal.
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
         val st = sym
           .join(deg, "x")
           .join(deg.select(col("x").as("y"), col("dg").as("dg_y")), "y")
           .agg(count(lit(1)).as("n"),
             sum(col("dg")).as("sx"), sum(col("dg_y")).as("sy"),
-            sum(col("dg") * col("dg")).as("sxx"),
-            sum(col("dg_y") * col("dg_y")).as("syy"),
-            sum(col("dg") * col("dg_y")).as("sxy"))
-        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+            // The SECOND-moment sums are accumulated in decimal too —
+            // a Long sum of dg² wraps silently at Σdg² > 2^63 (≈1e6
+            // hub-degree endpoints of degree 1e7), while the oracle's
+            // HUGEINT sum would stay exact: the decimal lift must start
+            // at the sum inputs, not at the cross products.
+            sum(dec(col("dg")) * dec(col("dg"))).as("sxx"),
+            sum(dec(col("dg_y")) * dec(col("dg_y"))).as("syy"),
+            sum(dec(col("dg")) * dec(col("dg_y"))).as("sxy"))
         val num = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
         val dx = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
         val dy = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
@@ -912,9 +917,9 @@ object Graph {
               st AS (SELECT CAST(count(*) AS BIGINT) AS n,
                             CAST(sum(dx.dg) AS BIGINT) AS sx,
                             CAST(sum(dy.dg) AS BIGINT) AS sy,
-                            CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sxx,
-                            CAST(sum(dy.dg * dy.dg) AS BIGINT) AS syy,
-                            CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy
+                            sum(CAST(dx.dg AS HUGEINT) * dx.dg) AS sxx,
+                            sum(CAST(dy.dg AS HUGEINT) * dy.dg) AS syy,
+                            sum(CAST(dx.dg AS HUGEINT) * dy.dg) AS sxy
                      FROM sym JOIN dg0 dx ON dx.x = sym.x
                      JOIN dg0 dy ON dy.x = sym.y)
               SELECT CAST(n / 2 AS BIGINT) AS n_edges,

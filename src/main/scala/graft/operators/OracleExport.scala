@@ -41,10 +41,15 @@ object OracleExport {
     * fastest on the oracle side. */
   def writeOnce(df: => DataFrame, path: String, key: String): Unit =
     if (done.add((path, key))) {
-      df.withColumn("corpus_key", lit(key))
+      // The memo marks SUCCESS, not attempts: a failed export must be
+      // retried on the next invocation, or every later oracle compare
+      // for this corpus would see a missing partition and misreport a
+      // value mismatch.
+      try df.withColumn("corpus_key", lit(key))
         .coalesce(1).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("corpus_key").parquet(path)
+      catch { case e: Throwable => done.remove((path, key)); throw e }
     }
 
   /** Fingerprint of an embeddings corpus: "<n>_<Σvec_id>_<Σ⌊emb₁·10⁶⌋>"

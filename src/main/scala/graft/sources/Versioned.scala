@@ -111,22 +111,39 @@ object Versioned {
   private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
     readManifestLines(spark, path, v).filterNot(_.startsWith("#"))
 
-  /** Publish version `v` listing `dirs` — the commit point. Atomic
-    * create-if-absent: if another writer already published `v`, this
-    * transaction lost the race and must retry on the new base. */
+  /** Publish version `v` listing `dirs` — the commit point. The
+    * content is written to a PRIVATE temp file first and RENAMED into
+    * place, so the manifest becomes visible all-or-nothing: a reader
+    * (or a crash) can never observe a torn/empty manifest as the
+    * current version. Put-if-absent serializes racing committers:
+    * FileContext.rename without the OVERWRITE option refuses an
+    * existing destination (atomically on HDFS-class filesystems;
+    * check-enforced on the local FS) — only that refusal is a
+    * [[ConflictException]]; any other I/O failure propagates as
+    * itself, because treating "disk full" as "lost a race" would send
+    * retry loops spinning forever. */
   private def writeManifest(spark: SparkSession, path: String, v: Long,
       dirs: Seq[String], meta: Seq[String] = Nil): Unit = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val target = manifestPath(path, v)
-    val out =
-      try f.create(target, /* overwrite = */ false)
-      catch { case e: java.io.IOException =>
-        throw new ConflictException(
-          s"version $v at $path was committed concurrently: $e")
-      }
+    if (f.exists(target))
+      throw new ConflictException(s"version $v at $path already committed")
+    val tmp = new Path(manifestDir(path),
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /* overwrite = */ false)
     try out.write(((meta ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, true)
+        throw new ConflictException(
+          s"version $v at $path was committed concurrently: $e")
+    }
   }
 
   /** CREATE TABLE ... AS: stages `df` and commits it as version 1. */
@@ -204,7 +221,17 @@ object Versioned {
 
   // ---- streaming sink: exactly-once appends keyed by (appId, batchId) --
 
-  private def batchTag(appId: String, batchId: Long) = s"#txn=$appId/$batchId"
+  private def batchTag(appId: String, batchId: Long) = {
+    requireAppId(appId)
+    s"#txn=$appId/$batchId"
+  }
+
+  /** appIds land inside manifest metadata lines and are parsed back by
+    * prefix — a '/' would alias another app's ledger ("a" matching
+    * "a/b"'s tags) and a newline would corrupt the manifest format. */
+  private def requireAppId(appId: String): Unit =
+    require(appId.nonEmpty && !appId.exists(c => c == '/' || c == '\n' || c == '\r'),
+      s"invalid appId '$appId': must be non-empty, no '/', no newlines")
 
   /** Highest micro-batch id `appId` has ever committed to this table —
     * read from the commit metadata lines, newest manifest first. The
@@ -212,6 +239,7 @@ object Versioned {
     * sink remembers its own last id. */
   def lastCommittedBatch(spark: SparkSession, path: String,
       appId: String): Option[Long] = {
+    requireAppId(appId)
     val prefix = s"#txn=$appId/"
     versions(spark, path).reverse.iterator
       .flatMap(v => readManifestLines(spark, path, v)
@@ -276,7 +304,11 @@ object Versioned {
   def changesBetween(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
-    val fromDirs = readManifest(spark, path, fromVersion).toSet
+    // fromVersion = 0 is the legitimate "since creation" bootstrap (the
+    // unborn-table base begin() itself uses): the base dir set is empty.
+    val fromDirs =
+      if (fromVersion == 0) Set.empty[String]
+      else readManifest(spark, path, fromVersion).toSet
     val toDirs = readManifest(spark, path, toVersion)
     require(fromDirs.subsetOf(toDirs.toSet),
       s"version $toVersion is not an append descendant of $fromVersion " +
@@ -314,14 +346,23 @@ object Versioned {
     * or lost-race transactions). Safe by the protocol: a referenced dir
     * can never become unreferenced, so listing manifests first is
     * race-free. Returns the number of directories removed. */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  def vacuum(spark: SparkSession, path: String,
+      minAgeMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, path)
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
     val referenced = versions(spark, path)
       .flatMap(readManifest(spark, path, _)).map(_.stripPrefix("data/")).toSet
+    // Retention window: an unreferenced dir younger than `minAgeMs` may
+    // be an IN-FLIGHT transaction (staged, not yet committed) — deleting
+    // it would let that commit publish a manifest pointing at deleted
+    // files. The default 24 h mirrors the production retention-period
+    // practice (Delta/Iceberg); tests that own all writers pass 0.
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = f.listStatus(dataDir).toSeq
-      .map(_.getPath).filterNot(p => referenced.contains(p.getName))
+      .filter(st => !referenced.contains(st.getPath.getName)
+        && st.getModificationTime < cutoff)
+      .map(_.getPath)
     orphans.foreach(f.delete(_, true))
     orphans.size
   }

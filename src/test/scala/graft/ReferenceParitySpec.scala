@@ -125,7 +125,7 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(inTxn.count() == 6)
     Versioned.abort(spark, ins)
     assert(readAll() == expectOld)
-    Versioned.vacuum(spark, path) // checkpoint analog: durable state settles
+    Versioned.vacuum(spark, path, minAgeMs = 0) // checkpoint analog: durable state settles
     assert(readAll() == expectOld)
 
     // begin; update t1 set b = 'hello' where a = 1; abort → unchanged.

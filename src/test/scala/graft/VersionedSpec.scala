@@ -57,7 +57,10 @@ class VersionedSpec extends AnyFunSuite {
     // A lost/aborted txn that was never cleaned is garbage, not state:
     val ghost = Versioned.begin(spark, path)
     Versioned.stage(ghost, Seq((8, "yy")).toDF("a", "b"))
-    assert(Versioned.vacuum(spark, path) == 1)
+    // Default retention protects a FRESH unreferenced stage (it may be
+    // an in-flight commit); an explicit zero window reclaims it.
+    assert(Versioned.vacuum(spark, path) == 0)
+    assert(Versioned.vacuum(spark, path, minAgeMs = 0) == 1)
     assert(rows(path) == base)
   }
 
@@ -103,7 +106,7 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, path).count() == 3)
     assert(Versioned.lastCommittedBatch(spark, path, "app").contains(1L))
     // Nothing leaked: every staged dir is referenced or was aborted.
-    assert(Versioned.vacuum(spark, path) == 0)
+    assert(Versioned.vacuum(spark, path, minAgeMs = 0) == 0)
   }
 
   test("foreachBatch sink end-to-end: a real stream lands as versioned commits") {
@@ -165,7 +168,7 @@ class VersionedSpec extends AnyFunSuite {
     // History intact: the pre-compaction version still reads the old layout.
     assert(Versioned.readAsOf(spark, path, 5).count() == 5)
     // Orphan cleanup finds nothing (optimize staged dir is referenced).
-    assert(Versioned.vacuum(spark, path) == 0)
+    assert(Versioned.vacuum(spark, path, minAgeMs = 0) == 0)
   }
 
   test("concurrent committers: exactly one wins, the loser gets a conflict") {
