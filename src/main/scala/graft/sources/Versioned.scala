@@ -19,19 +19,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   - every writer stages its files under a PRIVATE directory that no
   *     manifest references — readers cannot observe it, so "uncommitted
   *     rows are invisible" holds by construction, not by filtering;
-  *   - a commit is ONE atomic filesystem operation: creating the next
-  *     numbered manifest file (create-if-absent). Before it, the table
-  *     is the old version; after it, the new — there is no intermediate
-  *     state to observe, which is the abort test's core assertion;
+  *   - a commit is ONE atomic filesystem operation: renaming the
+  *     fully-written next numbered manifest into place. Before it, the
+  *     table is the old version; after it, the new — there is no
+  *     intermediate state to observe (not even a torn manifest), which
+  *     is the abort test's core assertion;
   *   - abort simply never creates that manifest (staged files become
   *     unreferenced garbage for [[vacuum]]) — nothing to roll back
   *     because nothing was published, the O(1) analog of the
   *     reference's WAL undo;
-  *   - concurrent committers race on create-if-absent of the SAME
-  *     manifest number: exactly one wins, the loser gets a conflict
-  *     error and retries on the new base — optimistic concurrency,
-  *     serialized by the filesystem primitive (HDFS/ABFS atomic create;
-  *     local fs `create(overwrite = false)`);
+  *   - concurrent committers race on publishing the SAME manifest
+  *     number (temp-file write + no-overwrite rename): exactly one
+  *     wins, the loser gets a conflict error and retries on the new
+  *     base — optimistic concurrency, serialized by the filesystem
+  *     rename primitive (atomic on HDFS-class stores);
   *   - old manifests are never deleted by commits, so every historical
   *     version stays readable ([[readAsOf]] — time travel), and
   *     "SELECT after abort" trivially reads the unchanged current
