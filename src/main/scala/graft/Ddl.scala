@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The reference's DDL surface (CREATE/DROP/ALTER TABLE, CREATE INDEX/
   * VIEW/DATABASE, andb/sql/parser/lexer.py:13-17) and its ANALYZE-style
@@ -121,14 +122,16 @@ object Ddl {
   sealed trait IndexDef { def table: String; def using: String }
   final case class IvfIndexDef(table: String, path: String,
       cents: Array[Array[Float]]) extends IndexDef { val using = "ivf" }
-  /** NOTE: unlike IVF's plain-array model state, the LSH descriptor
-    * carries the SOURCE frame (the probe's exact re-rank reads full
-    * vectors, and the band table stores only ids) — so the registry
-    * entry is bound to the creating session's lifetime, exactly like a
-    * temp view. A cross-session deployment would register the vectors
-    * as a catalog table and store its name here instead. */
+  /** Unlike IVF's plain-array model state, an LSH probe's exact re-rank
+    * needs the FULL vectors (the band table stores only ids) — so
+    * createIndex also registers the vectors as a catalog table
+    * (`vectorsTable`, bucketed by vec_id so the re-rank join is
+    * exchange-free on the candidate side's key) and the descriptor
+    * holds only NAMES. Nothing session-bound lives in the registry:
+    * both tables resolve from whatever session probes, and the creating
+    * session's plans are not pinned for the JVM lifetime. */
   final case class LshIndexDef(table: String, catalogTable: String,
-      source: DataFrame, bandBits: Int, nBands: Int) extends IndexDef {
+      vectorsTable: String, bandBits: Int, nBands: Int) extends IndexDef {
     val using = "lsh"
   }
   final case class IvfPqIndexDef(table: String, path: String,
@@ -154,8 +157,11 @@ object Ddl {
         IvfIndexDef(name, location, cents)
       case "lsh" =>
         val cat = s"${name}_bands"
+        val vecs = s"${name}_vectors"
         graft.operators.AnnIndex.writeLsh(df, bandBits, nBands, cat, buckets)
-        LshIndexDef(name, cat, df, bandBits, nBands)
+        graft.sources.Io.writeBucketedBy(
+          df.select(col("vec_id"), col("embedding")), vecs, Seq("vec_id"), buckets)
+        LshIndexDef(name, cat, vecs, bandBits, nBands)
       case "ivfpq" =>
         // The composed 100 TB layout: IVF directory pruning × a
         // codes-only ADC scan × exact re-rank (AnnIndex.writeIvfPq).
@@ -186,7 +192,8 @@ object Ddl {
       graft.operators.AnnIndex.probeIvf(spark, path, qv, cents, nProbe, k)
     case Some(l: LshIndexDef) =>
       graft.operators.AnnIndex.probeLsh(
-        spark, l.catalogTable, l.source, qv, l.bandBits, l.nBands, k)
+        spark, l.catalogTable, spark.table(l.vectorsTable), qv,
+        l.bandBits, l.nBands, k)
     case Some(p: IvfPqIndexDef) =>
       graft.operators.AnnIndex.probeIvfPq(spark, p.path, qv, p.cents,
         p.books, p.m, p.ksub, nProbe, rerank = math.max(8 * k, 64), k)

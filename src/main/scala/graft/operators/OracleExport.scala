@@ -24,14 +24,39 @@ import org.apache.spark.sql.functions._
   * of (corpus, geometry), so the first write is the only write. */
 object OracleExport {
 
-  val LshSigPath = "/tmp/graft_lsh_sigs.parquet"
-  val IvfCentPath = "/tmp/graft_ivf_cents.parquet"
-  val SimHashPath = "/tmp/graft_simhash_sigs.parquet"
-  val MinHashBandPath = "/tmp/graft_minhash_bands.parquet"
-  val SemCellPath = "/tmp/graft_semdedup_cells.parquet"
-  val PqBookPath = "/tmp/graft_pq_books.parquet"
-  val SampleBucketPath = "/tmp/graft_sample_buckets.parquet"
-  val BandSweepPath = "/tmp/graft_band_sweep.parquet"
+  /** Per-PROCESS export root: two concurrent JVMs on the same box (a
+    * test run racing a bench run) must never overwrite each other's
+    * partitions mid-compare — the writeOnce memo is per-JVM, so a fixed
+    * shared path let process B's mode=overwrite rewrite race process
+    * A's DuckDB read. Every oracle-SQL string is built in the SAME JVM
+    * that writes the export (Verify dumps both), so the scoped path is
+    * consistent end-to-end. Roots from past runs age out below. */
+  private val Root: String = {
+    val base = java.nio.file.Paths.get("/tmp/graft_exports")
+    try { // courtesy sweep: roots older than 24 h are dead runs
+      if (java.nio.file.Files.isDirectory(base)) {
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        val it = java.nio.file.Files.list(base).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        }
+      }
+    } catch { case _: Throwable => () }
+    s"$base/${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  val LshSigPath = s"$Root/lsh_sigs.parquet"
+  val IvfCentPath = s"$Root/ivf_cents.parquet"
+  val SimHashPath = s"$Root/simhash_sigs.parquet"
+  val MinHashBandPath = s"$Root/minhash_bands.parquet"
+  val SemCellPath = s"$Root/semdedup_cells.parquet"
+  val PqBookPath = s"$Root/pq_books.parquet"
+  val SampleBucketPath = s"$Root/sample_buckets.parquet"
+  val BandSweepPath = s"$Root/band_sweep.parquet"
+  val PhashPath = s"$Root/phash_sigs.parquet"
+  val FramePath = s"$Root/frame_table.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 

@@ -132,18 +132,33 @@ object Versioned {
       throw new ConflictException(s"version $v at $path already committed")
     val tmp = new Path(manifestDir(path),
       s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, /* overwrite = */ false)
-    try out.write(((meta ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    // The tmp file must not outlive this call unless the rename won:
+    // vacuum sweeps only data/ and versions() ignores tmp names, so a
+    // leaked tmp (failed create/write, or a rename that threw anything
+    // at all) would accumulate in _versions/ forever.
+    var renamed = false
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        target.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
-    } catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        f.delete(tmp, true)
-        throw new ConflictException(
-          s"version $v at $path was committed concurrently: $e")
+      val out = f.create(tmp, /* overwrite = */ false)
+      try out.write(((meta ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          target.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
+        renamed = true
+      } catch {
+        // Stores differ in how they surface a put-if-absent collision
+        // (RawLocal/HDFS: FileAlreadyExistsException; object-store
+        // adapters: PathExistsException) — both mean "lost the race",
+        // which must map to the retryable ConflictException, not a
+        // hard error.
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: org.apache.hadoop.fs.PathExistsException) =>
+          throw new ConflictException(
+            s"version $v at $path was committed concurrently: $e")
+      }
+    } finally {
+      if (!renamed) try f.delete(tmp, true) catch { case _: Throwable => () }
     }
   }
 
@@ -262,8 +277,17 @@ object Versioned {
     * }}} */
   def commitBatchAppend(spark: SparkSession, path: String, appId: String,
       batchId: Long, df: DataFrame): Option[Long] = {
-    if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId)) return None
+    // Dedup-check AFTER begin(), never before: the ledger scan must see
+    // at least everything committed up to the snapshotted base. A
+    // zombie driver replaying this same batch that commits between a
+    // pre-begin check and begin() would land INSIDE our base — our
+    // commit then targets base+1 with no version conflict and
+    // double-appends. Checked after begin(), any same-batch commit is
+    // either already in the ledger (seen here → skip) or lands after
+    // this scan, which forces our own put-if-absent rename to lose →
+    // ConflictException → the handler below re-checks the ledger.
     var txn = begin(spark, path)
+    if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId)) return None
     stage(txn, df)
     while (true) {
       try {

@@ -188,5 +188,12 @@ class VersionedSpec extends AnyFunSuite {
     // preserved under it (append-append commutes; nothing is lost).
     assert(Versioned.commitAppend(spark, Versioned.rebase(spark, t2)) == 3L)
     assert(Versioned.read(spark, path).count() == 6)
+
+    // A lost race must not leak its temp manifest: _versions/ is swept
+    // by nothing (vacuum only touches data/), so the commit path itself
+    // deletes the tmp file on every non-renamed exit.
+    val vdir = new java.io.File(s"$path/_versions")
+    assert(vdir.listFiles().forall(!_.getName.startsWith(".tmp-")),
+      "conflicted commit leaked a .tmp- manifest in _versions/")
   }
 }
