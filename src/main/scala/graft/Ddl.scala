@@ -158,6 +158,12 @@ object Ddl {
       case "lsh" =>
         val cat = s"${name}_bands"
         val vecs = s"${name}_vectors"
+        // Idempotence across JVMs, not just catalog entries: a managed
+        // CTAS refuses a stale warehouse DIRECTORY left by a dead
+        // process (LOCATION_ALREADY_EXISTS) even when the in-memory
+        // catalog is empty — so re-running CREATE INDEX must clear both
+        // the entry and the location.
+        Seq(cat, vecs).foreach(dropManagedTable(spark, _))
         graft.operators.AnnIndex.writeLsh(df, bandBits, nBands, cat, buckets)
         graft.sources.Io.writeBucketedBy(
           df.select(col("vec_id"), col("embedding")), vecs, Seq("vec_id"), buckets)
@@ -175,6 +181,17 @@ object Ddl {
     }
     indexes.put(name, d)
     d
+  }
+
+  /** Drop a MANAGED table's catalog entry and its warehouse location,
+    * whether or not the entry survived the JVM that created it. */
+  private[graft] def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ()
   }
 
   /** DROP INDEX name — deregisters; layout files are left for the

@@ -582,9 +582,14 @@ object Multimodal {
     // ---- m01: metadata-pruned decode + feature extraction -------------
     // Filter on typed metadata FIRST (pushdown prunes before any decode),
     // then mapPartitions-extract features, then a small rollup proving the
-    // decoded output is a first-class DataFrame again. Rows-only driver
-    // check (signature internals are engine-specific); semantics asserted
-    // in MultimodalSpec.
+    // decoded output is a first-class DataFrame again. Oracle-checked via
+    // the export pattern: the per-doc decoded features travel as an
+    // export, while the oracle independently re-derives the metadata
+    // FILTER (format/width are doc_id/n_chars arithmetic) and every
+    // payload length (octet_length of the UTF-8 payload) from the raw
+    // documents table — the join on (doc_id, format, payload_len)
+    // cross-checks the pruning predicate and the byte plumbing; only the
+    // decode kernel's norm value rides the export (spec-owned).
     ("m01_multimodal_meta",
       (s, d) => {
         import s.implicits._
@@ -594,13 +599,50 @@ object Multimodal {
         // push down/prune before any payload is materialized.
         val decoded = extractFeatures(mediaTable(s, d)
           .filter(col("format") =!= "wav" && col("width") >= 64))
-        decoded.toDF()
+        val perDoc = decoded.toDF()
+          .select(col("doc_id"), col("format"), col("payload_len"),
+            floor(col("feat_norm") * 1000000 + 0.5).cast("long").as("nm"))
+        OracleExport.writeOnce(perDoc, OracleExport.MediaFeatPath,
+          OracleExport.docKeyFor(Tables.documents(s, d), d))
+        perDoc
           .groupBy(col("format"))
           .agg(count(lit(1)).as("n_media"),
-               sum(col("payload_len")).as("total_bytes"),
-               floor(avg(col("feat_norm")) * 1000000 + 0.5).as("avg_norm_micros"))
+               sum(col("payload_len")).cast("long").as("total_bytes"),
+               floor(sum(col("nm")) / count(lit(1)).cast("double") + 0.5)
+                 .cast("long").as("avg_norm_micros"))
       },
-      None),
+      Some(s"""WITH exp AS MATERIALIZED (
+                 SELECT doc_id, format, payload_len, nm
+                 FROM ${OracleExport.readSql(OracleExport.MediaFeatPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               meta AS (
+                 SELECT doc_id,
+                        CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav'
+                        END AS format,
+                        CAST(n_chars % 640 + 32 AS INTEGER) AS width,
+                        octet_length(encode(text)) AS len
+                 FROM documents),
+               sel AS (
+                 SELECT doc_id, format, len FROM meta
+                 WHERE format <> 'wav' AND width >= 64),
+               -- counts/bytes from the oracle's OWN arithmetic row set
+               -- (catches engine over- AND under-filtering); only the
+               -- norm average needs the exported kernel values.
+               agg AS (
+                 SELECT format, count(*) AS n_media, sum(len) AS total_bytes
+                 FROM sel GROUP BY format),
+               av AS (
+                 SELECT s.format,
+                        FLOOR(SUM(e.nm) / CAST(count(*) AS DOUBLE) + 0.5) AS avg_norm_micros
+                 FROM sel s JOIN exp e
+                   ON s.doc_id = e.doc_id AND s.format = e.format
+                      AND s.len = e.payload_len
+                 GROUP BY s.format)
+               SELECT a.format, CAST(a.n_media AS BIGINT) AS n_media,
+                      CAST(a.total_bytes AS BIGINT) AS total_bytes,
+                      CAST(av.avg_norm_micros AS BIGINT) AS avg_norm_micros
+               FROM agg a JOIN av ON a.format = av.format""")),
 
     // ---- m02: frame sampling ------------------------------------------
     // The video-shaped access pattern: explode each payload into fixed-
@@ -608,11 +650,20 @@ object Multimodal {
     // flatMap fans out rows *within* a partition — no shuffle; output
     // parallelism equals input parallelism, and frame rows carry only the
     // sampled bytes (a real decoder would emit decoded tensors here).
+    // Oracle-checked via the export pattern, with a twist that makes the
+    // check genuinely independent: block SELECTION is pure integer
+    // arithmetic on the payload length, which DuckDB re-derives from the
+    // raw documents table itself (octet_length of the UTF-8 payload) —
+    // the oracle joins its own arithmetic frame set against the exported
+    // per-frame table on (doc_id, frame_idx, frame_len), so an engine
+    // bug in frame fan-out (extra/missing/mis-sized frames) breaks the
+    // join and fails the row compare. Only the per-frame brightness
+    // VALUE rides the export (byte-content kernel, spec-owned).
     ("m02_frame_sample",
       (s, d) => {
         import s.implicits._
         val block = 64; val stride = 4
-        mediaTable(s, d)
+        val frames = mediaTable(s, d)
           .flatMap { m =>
             val nBlocks = (m.payload.length + block - 1) / block
             (0 until nBlocks by stride).map { b =>
@@ -621,15 +672,57 @@ object Multimodal {
               val brightness =
                 bytes.foldLeft(0.0)((a, x) => a + (x & 0xFF)) /
                   math.max(1, bytes.length) / 255.0
-              (m.doc_id, b / stride, bytes.length, brightness)
+              (m.doc_id, b / stride, bytes.length,
+                math.floor(brightness * 1000000 + 0.5).toLong)
             }
           }
-          .toDF("doc_id", "frame_idx", "frame_len", "brightness")
-          .groupBy(col("doc_id"))
+          .toDF("doc_id", "frame_idx", "frame_len", "bm")
+        OracleExport.writeOnce(frames, OracleExport.FramePath,
+          OracleExport.docKeyFor(Tables.documents(s, d), d))
+        // Exact-integer aggregation on both sides: sum of per-frame
+        // brightness-micros longs, divided once — no float accumulation
+        // order to diverge on.
+        frames.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_frames"),
-               floor(avg(col("brightness")) * 1000000 + 0.5).as("avg_brightness_micros"))
+               sum(col("frame_len")).cast("long").as("sampled_bytes"),
+               floor(sum(col("bm")) / count(lit(1)).cast("double") + 0.5)
+                 .cast("long").as("avg_brightness_micros"))
       },
-      None),
+      Some(s"""WITH exp AS MATERIALIZED (
+                 SELECT doc_id, frame_idx, frame_len, bm
+                 FROM ${OracleExport.readSql(OracleExport.FramePath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               lens AS (
+                 SELECT doc_id, octet_length(encode(text)) AS len,
+                        CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS nb
+                 FROM documents),
+               arith AS (
+                 SELECT doc_id, len,
+                        unnest(generate_series(0, nb - 1, 4)) AS b
+                 FROM lens WHERE len > 0),
+               frames AS (
+                 SELECT doc_id, b // 4 AS frame_idx,
+                        LEAST(64, len - b * 64) AS frame_len
+                 FROM arith),
+               -- frame COUNT and byte totals from the oracle's own
+               -- integer arithmetic alone (catches both extra and
+               -- missing engine frames); only the brightness value
+               -- needs the exported kernel rows.
+               agg AS (
+                 SELECT doc_id, count(*) AS n_frames,
+                        sum(frame_len) AS sampled_bytes
+                 FROM frames GROUP BY doc_id),
+               av AS (
+                 SELECT f.doc_id,
+                        FLOOR(SUM(e.bm) / CAST(count(*) AS DOUBLE) + 0.5) AS abm
+                 FROM frames f JOIN exp e
+                   ON f.doc_id = e.doc_id AND f.frame_idx = e.frame_idx
+                      AND f.frame_len = e.frame_len
+                 GROUP BY f.doc_id)
+               SELECT a.doc_id, CAST(a.n_frames AS BIGINT) AS n_frames,
+                      CAST(a.sampled_bytes AS BIGINT) AS sampled_bytes,
+                      CAST(av.abm AS BIGINT) AS avg_brightness_micros
+               FROM agg a JOIN av ON a.doc_id = av.doc_id""")),
 
     // ---- m03: perceptual-hash image near-dup ---------------------------
     // Media dedup a training pipeline actually needs: byte-identical
@@ -637,8 +730,13 @@ object Multimodal {
     // images need a perceptual signature. One mapPartitions decode pass
     // emits (doc_id, dHash64); near-dups fall out of the SAME pigeonhole
     // band join as text SimHash (d03) — the decode is the only
-    // modality-specific stage. Rows-only (signatures are
-    // engine-specific); real-PNG semantics pinned in MultimodalSpec.
+    // modality-specific stage. Oracle-checked via the d03
+    // signature-export pattern: the computed 64-bit hashes are exported
+    // under the corpus fingerprint and DuckDB re-derives the ENTIRE
+    // dedup answer — band slicing, bucket-population cap, pair join,
+    // Hamming filter, per-pair dedup — independently. Only the hash
+    // kernel itself stays spec-owned (real-PNG perceptual behavior in
+    // MultimodalSpec).
     ("m03_phash_dedup",
       (s, d) => {
         import s.implicits._
@@ -654,9 +752,30 @@ object Multimodal {
         val sig = media.union(recrawl)
           .mapPartitions(rows => rows.map(m => (m.doc_id, phash(m.payload))))
           .toDF("doc_id", "phash")
+        OracleExport.writeOnce(sig, OracleExport.PhashPath,
+          OracleExport.docKeyFor(Tables.documents(s, d), d))
         phashPairs(sig, maxHamming = 3)
       },
-      None),
+      // DuckDB replays phashPairs' exact capped-band semantics from the
+      // exported signatures: 4×16-bit band slices, buckets holding more
+      // than 1024 members excluded from pair generation, popcount ≤ 3,
+      // DISTINCT pairs (the capped path's dedup rule).
+      Some(s"""WITH sigs AS MATERIALIZED (
+                 SELECT doc_id, phash
+                 FROM ${OracleExport.readSql(OracleExport.PhashPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               banded AS (
+                 SELECT s.doc_id, s.phash, b.band,
+                        (s.phash >> (b.band * 16)) & 65535 AS bv
+                 FROM sigs s CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+               ok AS (
+                 SELECT * FROM banded
+                 QUALIFY count(*) OVER (PARTITION BY band, bv) <= 1024)
+               SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+               FROM ok a JOIN ok b
+                 ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3""")),
 
     // ---- m04: audio spectral features over the REAL codec path ---------
     // The audio analog of m01's image features: per-payload sine WAVs
@@ -667,13 +786,18 @@ object Multimodal {
     // codec, not a fixture. One mapPartitions pass, per-row cost
     // O(FrameLen·log FrameLen) regardless of duration (the naive-DFT
     // first cut was FrameLen²/2 — 61 s on the full bench, caught and
-    // replaced); output collapses to the 8-class rollup. Rows-only
-    // (trig internals engine-specific); bin-accuracy pinned in
-    // MultimodalSpec against the known sine frequencies.
+    // replaced); output collapses to the 8-class rollup. Oracle-checked
+    // via the export pattern: per-doc spectral values (millihz longs,
+    // rounded once at the kernel boundary) ride the export; the oracle
+    // re-derives the class assignment (doc_id % 8) and the rollup from
+    // the raw documents table independently, so a mis-classed doc or a
+    // wrong aggregate breaks the compare. The FFT kernel itself stays
+    // spec-owned (bin accuracy pinned in MultimodalSpec against the
+    // known sine frequencies).
     ("m04_audio_spectral",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        val perDoc = Tables.documents(s, d)
           .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("freq_class"))
           .as[(Long, Int)]
           .mapPartitions(_.map { case (id, cls) =>
@@ -683,15 +807,42 @@ object Multimodal {
               case Some((samples, sr, _)) => spectralFeatures(samples, sr)
               case None => (-1.0, -1.0)
             }
-            (id, cls, peakHz, centroidHz)
+            (id, cls, math.floor(peakHz * 1000 + 0.5).toLong,
+              math.floor(centroidHz * 1000 + 0.5).toLong)
           })
-          .toDF("doc_id", "freq_class", "peak_hz", "centroid_hz")
+          .toDF("doc_id", "freq_class", "pm", "cm")
+        OracleExport.writeOnce(perDoc.select(col("doc_id"), col("pm"), col("cm")),
+          OracleExport.SpectralPath,
+          OracleExport.docKeyFor(Tables.documents(s, d), d))
+        perDoc
           .groupBy(col("freq_class"))
           .agg(count(lit(1)).as("n"),
-            floor(avg(col("peak_hz")) * 1000 + 0.5).as("avg_peak_millihz"),
-            floor(avg(col("centroid_hz")) * 1000 + 0.5).as("avg_centroid_millihz"))
+            floor(sum(col("pm")) / count(lit(1)).cast("double") + 0.5)
+              .cast("long").as("avg_peak_millihz"),
+            floor(sum(col("cm")) / count(lit(1)).cast("double") + 0.5)
+              .cast("long").as("avg_centroid_millihz"))
       },
-      None),
+      Some(s"""WITH exp AS MATERIALIZED (
+                 SELECT doc_id, pm, cm
+                 FROM ${OracleExport.readSql(OracleExport.SpectralPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               cls AS (
+                 SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS freq_class
+                 FROM documents),
+               -- class population from the arithmetic side alone
+               -- (catches dropped docs); averages from the join.
+               agg AS (
+                 SELECT freq_class, count(*) AS n FROM cls GROUP BY freq_class),
+               av AS (
+                 SELECT c.freq_class,
+                        FLOOR(SUM(e.pm) / CAST(count(*) AS DOUBLE) + 0.5) AS apm,
+                        FLOOR(SUM(e.cm) / CAST(count(*) AS DOUBLE) + 0.5) AS acm
+                 FROM cls c JOIN exp e ON c.doc_id = e.doc_id
+                 GROUP BY c.freq_class)
+               SELECT a.freq_class, CAST(a.n AS BIGINT) AS n,
+                      CAST(av.apm AS BIGINT) AS avg_peak_millihz,
+                      CAST(av.acm AS BIGINT) AS avg_centroid_millihz
+               FROM agg a JOIN av ON a.freq_class = av.freq_class""")),
 
     // ---- m05: patch-grid extraction (ViT patchify plumbing) -------------
     // The vision-pretraining ingest step: tile every image into a g×g
@@ -702,14 +853,17 @@ object Multimodal {
     // never pixels. The rollup proves the patch batch is a first-class
     // frame again: per-format patch-contrast profile (max−min patch
     // luma) and mean luma. Real proportional tiling pinned on generated
-    // PNGs in MultimodalSpec (two-tone halves → exact patch means);
-    // registered corpus rows take the deterministic byte stub —
-    // rows-only, like every m-entry.
+    // PNGs in MultimodalSpec (two-tone halves → exact patch means).
+    // Oracle-checked via the export pattern: per-doc patch stats ride
+    // the export; the oracle re-derives the format mapping + wav filter
+    // from doc_id arithmetic (population counts from its own side, so
+    // dropped/extra docs are caught) and replays the rollup in exact
+    // integer arithmetic. The tiling kernel stays spec-owned.
     ("m05_patch_grid",
       (s, d) => {
         import s.implicits._
         val g = 4
-        mediaTable(s, d)
+        val perDoc = mediaTable(s, d)
           .filter(col("format") =!= "wav")
           .map { m =>
             val p = patchify(m.payload, g)
@@ -724,13 +878,41 @@ object Multimodal {
               ((mx - mn).toDouble * 1000000).round, (sum / p.length * 1000000).round)
           }
           .toDF("doc_id", "format", "n_patches", "contrast_micros", "mean_micros")
+        OracleExport.writeOnce(perDoc, OracleExport.PatchPath,
+          OracleExport.docKeyFor(Tables.documents(s, d), d))
+        perDoc
           .groupBy(col("format"))
           .agg(count(lit(1)).as("n_media"),
             max(col("n_patches")).as("n_patches"),
-            floor(avg(col("contrast_micros")) + 0.5).as("avg_contrast_micros"),
-            floor(avg(col("mean_micros")) + 0.5).as("avg_mean_micros"))
+            floor(sum(col("contrast_micros")) / count(lit(1)).cast("double") + 0.5)
+              .cast("long").as("avg_contrast_micros"),
+            floor(sum(col("mean_micros")) / count(lit(1)).cast("double") + 0.5)
+              .cast("long").as("avg_mean_micros"))
       },
-      None),
+      Some(s"""WITH exp AS MATERIALIZED (
+                 SELECT doc_id, format, n_patches, contrast_micros, mean_micros
+                 FROM ${OracleExport.readSql(OracleExport.PatchPath)}
+                 WHERE corpus_key = ${OracleExport.docKeySql}),
+               meta AS (
+                 SELECT doc_id,
+                        CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav'
+                        END AS format
+                 FROM documents),
+               sel AS (SELECT doc_id, format FROM meta WHERE format <> 'wav'),
+               agg AS (SELECT format, count(*) AS n_media FROM sel GROUP BY format),
+               av AS (
+                 SELECT s.format, max(e.n_patches) AS n_patches,
+                        FLOOR(SUM(e.contrast_micros) / CAST(count(*) AS DOUBLE) + 0.5) AS acm,
+                        FLOOR(SUM(e.mean_micros) / CAST(count(*) AS DOUBLE) + 0.5) AS amm
+                 FROM sel s JOIN exp e
+                   ON s.doc_id = e.doc_id AND s.format = e.format
+                 GROUP BY s.format)
+               SELECT a.format, CAST(a.n_media AS BIGINT) AS n_media,
+                      CAST(av.n_patches AS BIGINT) AS n_patches,
+                      CAST(av.acm AS BIGINT) AS avg_contrast_micros,
+                      CAST(av.amm AS BIGINT) AS avg_mean_micros
+               FROM agg a JOIN av ON a.format = av.format""")),
 
     // ---- m06: silence segmentation (VAD plumbing) -----------------------
     // The audio-curation step before any speech model sees a clip: how
@@ -741,9 +923,15 @@ object Multimodal {
     // through the SAME javax.sound.sampled round trip real audio takes,
     // then ONE O(n) frame-RMS pass (silenceStats) — no FFT, no second
     // scan. Same distribution contract as m04: one mapPartitions map,
-    // no shuffle before the 4-class rollup. Rows-only (codec internals
-    // engine-specific); exact frame/segment counts for known gate
-    // patterns pinned in MultimodalSpec.
+    // no shuffle before the 4-class rollup. Oracle-checked with a FULLY
+    // INDEPENDENT arithmetic oracle, no export at all: the gate pattern
+    // is integer arithmetic on (doc_id, frame, class), so DuckDB
+    // re-derives every silent frame and segment run from the documents
+    // table alone — the compare therefore asserts that the WAV
+    // encode→decode→frame-RMS round trip through the real JDK codec
+    // reproduces the planted gate exactly (a codec or framing bug
+    // changes the counts). Exact counts for known gate patterns are
+    // also pinned in MultimodalSpec.
     ("m06_silence_segments",
       (s, d) => {
         import s.implicits._
@@ -770,9 +958,43 @@ object Multimodal {
           .agg(count(lit(1)).as("n_payloads"),
             sum(col("n_silent")).as("silent_frames"),
             sum(col("n_segments")).as("silence_segments"),
-            floor(avg(col("n_silent").cast("double") / col("n_frames"))
-              * 1000000 + 0.5).as("avg_silence_micros"))
+            // exact-integer form: one double division per group, so the
+            // independent oracle lands on the identical value
+            floor(sum(col("n_silent")) * lit(1000000.0)
+              / sum(col("n_frames")) + 0.5).cast("long").as("avg_silence_micros"))
       },
-      None)
+      // Silent frame f of doc (16 frames/payload) ⟺ gate block f is off
+      // ⟺ (doc_id + f) ≡ 0 mod (pattern_class + 2); segments = maximal
+      // silent runs via a LAG over the frame index.
+      Some("""WITH docs AS (
+                SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS pattern_class
+                FROM documents),
+              fr AS (
+                SELECT doc_id, pattern_class,
+                       unnest(generate_series(0, 15)) AS f
+                FROM docs),
+              flags AS (
+                SELECT doc_id, pattern_class, f,
+                       CASE WHEN (doc_id + f) % (pattern_class + 2) = 0
+                            THEN 1 ELSE 0 END AS silent
+                FROM fr),
+              lagged AS (
+                SELECT *, LAG(silent) OVER
+                  (PARTITION BY doc_id ORDER BY f) AS prev
+                FROM flags),
+              perdoc AS (
+                SELECT doc_id, pattern_class,
+                       SUM(silent) AS n_silent,
+                       SUM(CASE WHEN silent = 1 AND COALESCE(prev, 0) = 0
+                                THEN 1 ELSE 0 END) AS n_segments,
+                       16 AS n_frames
+                FROM lagged GROUP BY doc_id, pattern_class)
+              SELECT pattern_class,
+                     CAST(count(*) AS BIGINT) AS n_payloads,
+                     CAST(SUM(n_silent) AS BIGINT) AS silent_frames,
+                     CAST(SUM(n_segments) AS BIGINT) AS silence_segments,
+                     CAST(FLOOR(SUM(n_silent) * 1000000.0 / SUM(n_frames) + 0.5)
+                       AS BIGINT) AS avg_silence_micros
+              FROM perdoc GROUP BY pattern_class"""))
   )
 }

@@ -57,6 +57,10 @@ object OracleExport {
   val BandSweepPath = s"$Root/band_sweep.parquet"
   val PhashPath = s"$Root/phash_sigs.parquet"
   val FramePath = s"$Root/frame_table.parquet"
+  val MediaFeatPath = s"$Root/media_feats.parquet"
+  val SpectralPath = s"$Root/spectral_feats.parquet"
+  val PatchPath = s"$Root/patch_feats.parquet"
+  val SketchPath = s"$Root/q33_sketches.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
@@ -118,6 +122,21 @@ object OracleExport {
     val r = docs.agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).head()
     s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
   }
+
+  /** Fingerprint of a lineitem corpus: "<n>_<Σl_orderkey>_<Σl_partkey>". */
+  def lineKey(l: DataFrame): String = {
+    val r = l.agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey"))).head()
+    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+  }
+
+  def lineKeyFor(l: DataFrame, dir: String): String =
+    keyMemo.computeIfAbsent(("line", dir), _ => lineKey(l))
+
+  val lineKeySql: String =
+    """(SELECT CAST(count(*) AS VARCHAR) || '_' ||
+              CAST(CAST(sum(l_orderkey) AS BIGINT) AS VARCHAR) || '_' ||
+              CAST(CAST(sum(l_partkey) AS BIGINT) AS VARCHAR)
+       FROM lineitem)"""
 
   val docKeySql: String =
     """(SELECT CAST(count(*) AS VARCHAR) || '_' ||

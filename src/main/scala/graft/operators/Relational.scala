@@ -645,16 +645,49 @@ object Relational {
     // ---- approximate aggregates (the 100 TB cardinality toolkit) -------
     // HLL++ distinct counts + quantile sketches: constant memory per
     // group, one pass, mergeable across partitions — the only viable
-    // shape for interactive stats over 100 TB. Sketch internals are
-    // engine-specific ⇒ rows-only driver check; accuracy bounds are
-    // asserted against exact answers in UtilitySpec.
+    // shape for interactive stats over 100 TB. Sketch INTERNALS are
+    // engine-specific, but the sketches' CONTRACTS are not — so the
+    // oracle is a bound check over the exported estimates: DuckDB
+    // computes the exact per-group distinct count and the exact
+    // 0.498/0.502 discrete quantiles, then emits each exported estimate
+    // only if it sits inside the documented envelope (HLL rsd 0.05 →
+    // ±3σ = 15 %; percentile_approx accuracy 1000 → rank error ≤ 0.001,
+    // doubled for margin), a sentinel otherwise — estimates out of
+    // contract hash-mismatch. Tighter accuracy asserts live in
+    // UtilitySpec.
     ("q33_approx_agg",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-               .as("approx_median_price")),
-      None),
+      (s, d) => {
+        val perGroup = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+               percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+                 .as("approx_median_price"))
+        graft.operators.OracleExport.writeOnce(perGroup,
+          graft.operators.OracleExport.SketchPath,
+          graft.operators.OracleExport.lineKeyFor(Tables.lineitem(s, d), d))
+        perGroup
+      },
+      Some(s"""WITH exp AS MATERIALIZED (
+                 SELECT l_returnflag, approx_parts, approx_median_price
+                 FROM ${graft.operators.OracleExport.readSql(
+                        graft.operators.OracleExport.SketchPath)}
+                 WHERE corpus_key = ${graft.operators.OracleExport.lineKeySql}),
+               exact AS (
+                 SELECT l_returnflag,
+                        count(DISTINCT l_partkey) AS ed,
+                        quantile_disc(l_extendedprice, 0.498) AS lo,
+                        quantile_disc(l_extendedprice, 0.502) AS hi
+                 FROM lineitem GROUP BY l_returnflag)
+               SELECT x.l_returnflag,
+                      CASE WHEN e.approx_parts
+                             BETWEEN CAST(FLOOR(x.ed * 0.85) AS BIGINT)
+                                 AND CAST(CEIL(x.ed * 1.15) AS BIGINT)
+                           THEN e.approx_parts ELSE CAST(-1 AS BIGINT)
+                      END AS approx_parts,
+                      CASE WHEN e.approx_median_price BETWEEN x.lo AND x.hi
+                           THEN e.approx_median_price ELSE -1.0
+                      END AS approx_median_price
+               FROM exact x JOIN exp e ON x.l_returnflag = e.l_returnflag""")),
 
     // ---- q44: correlated scalar subquery (per-group, decorrelated) -----
     // "Orders above 1.5× their customer's average" — the per-outer-group

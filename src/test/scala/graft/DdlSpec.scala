@@ -228,6 +228,6 @@ class DdlSpec extends AnyFunSuite {
     // DROP INDEX deregisters; further probes fail loud.
     assert(Ddl.dropIndex("emb_ivf") && Ddl.dropIndex("emb_lsh") && Ddl.dropIndex("emb_pq"))
     intercept[IllegalArgumentException] { Ddl.probeIndex(spark, "emb_ivf", qv, 5) }
-    spark.sql("DROP TABLE IF EXISTS emb_lsh_bands")
+    Seq("emb_lsh_bands", "emb_lsh_vectors").foreach(Ddl.dropManagedTable(spark, _))
   }
 }
