@@ -56,8 +56,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // The stdout consumer captures only the TAIL of this process's
-    // output, which truncates the per-query map past ~80 entries — so
+    // The stdout consumer captures only the last ~2000 chars of this
+    // process's output, which truncates the ~220-entry map's HEAD — so
     // the FULL table is also written to a file (durable per-round
     // history: each query judged against its own prior number, not just
     // whichever slice survived the tail buffer).
@@ -67,6 +67,18 @@ object Bench {
       if (filter.isEmpty) "bench_full.json" else "bench_subset.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // LAST line: a compact summary guaranteed to fit whole inside the
+    // consumer's tail buffer (total + the slowest queries, map capped at
+    // ~1.2 kB), so the driver-side artifact parses on its own even
+    // though the full line above arrives head-truncated. Slowest-first:
+    // if only one slice survives, it should be the one worth reading.
+    val slowest = results.sortBy(-_._2).iterator
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
+      .drop(1).takeWhile(_._2 <= 1200).map(_._1).toSeq
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
+      slowest.mkString("{", ",", "}")},"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -662,29 +662,39 @@ object Graph {
         val nodesC = Tables.events(s, d).select(col("user_id").as("id"))
           .distinct().localCheckpoint()
         val edgesC = interactionEdges(s, d).localCheckpoint()
-        var h = nodesC.select(col("id"), lit(1.0).as("h")).localCheckpoint()
+        var h = nodesC.select(col("id"), lit(1.0).as("h"))
         var a: DataFrame = null
         for (_ <- 1 to HitsIters) {
+          // The loop works SPARSE (t20's discipline, taken further than
+          // the old 4-checkpoint form): a node with no in-edges has
+          // a = 0, and a zero score contributes literal 0.0 to every
+          // downstream sum — so the dense zero-padding left join adds
+          // nothing inside the loop and runs ONCE after it. Per
+          // half-step that leaves one corpus-edge join + one aggregate
+          // + the 1-row norm broadcast, with a single lineage cut on
+          // the post-aggregate frame (the smallest in the half-step,
+          // shared by the norm and the normalized join).
           val ain = edgesC.join(h.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst")).agg(sum(col("h")).as("ain"))
-          val ar = nodesC.join(ain, col("id") === col("dst"), "left")
-            .select(col("id"), coalesce(col("ain"), lit(0.0)).as("ar"))
-            .localCheckpoint()
-          val sa = ar.agg(sum(col("ar")).as("s"))
-          a = ar.crossJoin(sa)
-            .select(col("id"), grid9(col("ar") / col("s")).as("a"))
-            .localCheckpoint()
+            .localCheckpoint(false)
+          val sa = ain.agg(sum(col("ain")).as("s"))
+          a = ain.crossJoin(sa)
+            .select(col("dst").as("id"), grid9(col("ain") / col("s")).as("a"))
           val hout = edgesC.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy(col("src")).agg(sum(col("a")).as("hout"))
-          val hr = nodesC.join(hout, col("id") === col("src"), "left")
-            .select(col("id"), coalesce(col("hout"), lit(0.0)).as("hr"))
-            .localCheckpoint()
-          val sh = hr.agg(sum(col("hr")).as("s"))
-          h = hr.crossJoin(sh)
-            .select(col("id"), grid9(col("hr") / col("s")).as("h"))
-            .localCheckpoint()
+            .localCheckpoint(false)
+          val sh = hout.agg(sum(col("hout")).as("s"))
+          h = hout.crossJoin(sh)
+            .select(col("src").as("id"), grid9(col("hout") / col("s")).as("h"))
         }
-        a.join(h, "id")
+        // Densify once: restore the zero-score rows the sparse loop
+        // never carried (grid9(0/s) = 0 exactly, so values match the
+        // dense unroll bit-for-bit).
+        val aD = nodesC.join(a, Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0.0)).as("a"))
+        val hD = nodesC.join(h, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0.0)).as("h"))
+        aD.join(hD, "id")
           .select(col("id").as("user_id"), col("a").as("authority"), col("h").as("hub"))
           .orderBy(col("authority").desc, col("user_id").asc)
           .limit(20)
