@@ -51,15 +51,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * streaming/batch writers append lock-free until the single-file
   * commit point.
   *
-  * Metadata growth envelope: each manifest is SELF-CONTAINED (the full
-  * dir list — one read plans any version, no log replay), so an
-  * append-only history of n commits costs O(n) listing per version
-  * resolution and O(n) lines per manifest write — fine to ~10⁴ commits,
-  * after which the production mitigations apply in this exact design:
-  * [[optimize]] folds the dir list back to O(1) (a replace commit's
-  * manifest lists one dir), and a deployment past that would add
-  * Delta-style checkpointed logs (delta-encoded manifests + periodic
-  * full snapshots) without changing the commit protocol or any caller.
+  * Metadata growth envelope — checkpointed delta manifests (the
+  * Delta-log/Iceberg-snapshot mitigation, native here): an APPEND
+  * commit writes a DELTA manifest — a `#delta=<base>` line plus only
+  * the added directory, O(1) lines regardless of history — while every
+  * [[CheckpointEvery]]-th version (and every replace commit, whose
+  * layout resets anyway) writes a FULL self-contained manifest.
+  * Resolution of any version walks its delta chain back to the nearest
+  * full manifest: ≤ CheckpointEvery file reads — the object-store cost
+  * model's currency, where per-file latency dominates and the one full
+  * manifest is a single sequential read. The commit protocol (stage →
+  * one atomic rename), conflicts, abort, time travel and CDC are all
+  * unchanged by the encoding; [[optimize]] still folds the dir list
+  * itself back to O(1).
   */
 object Versioned {
 
@@ -107,10 +111,42 @@ object Versioned {
     finally in.close()
   }
 
+  /** Every CheckpointEvery-th append commit writes a full manifest
+    * instead of a delta, bounding any version's resolution chain. 16
+    * balances append cost (15/16 of commits write 2 lines) against
+    * worst-case resolution (16 metadata-file reads). */
+  val CheckpointEvery: Long = 16L
+
+  private val DeltaRe = "#delta=([0-9]+)".r
+
   /** Data directories of version `v` ("#"-prefixed lines are commit
-    * metadata — e.g. the streaming batch tag — not layout). */
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
-    readManifestLines(spark, path, v).filterNot(_.startsWith("#"))
+    * metadata — e.g. the streaming batch tag or the delta base pointer —
+    * not layout). A delta manifest resolves against its base, walking at
+    * most [[CheckpointEvery]] files before hitting a full manifest. */
+  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    val lines = readManifestLines(spark, path, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    lines.collectFirst { case DeltaRe(b) => b.toLong } match {
+      case Some(base) => readManifest(spark, path, base) ++ dirs
+      case None => dirs
+    }
+  }
+
+  /** Publish an APPEND commit's manifest: a 2-line delta against `base`
+    * normally, a full self-contained snapshot on checkpoint versions
+    * (and for the version-1 create, which has no base to delta from).
+    * Same single-rename commit point either way. */
+  private def writeAppendManifest(spark: SparkSession, path: String, base: Long,
+      addedDir: String, meta: Seq[String] = Nil): Long = {
+    val next = base + 1
+    if (base >= 1 && next % CheckpointEvery != 0)
+      writeManifest(spark, path, next, Seq(addedDir), meta :+ s"#delta=$base")
+    else {
+      val baseDirs = if (base == 0) Nil else readManifest(spark, path, base)
+      writeManifest(spark, path, next, baseDirs :+ addedDir, meta)
+    }
+    next
+  }
 
   /** Publish version `v` listing `dirs` — the commit point. The
     * content is written to a PRIVATE temp file first and RENAMED into
@@ -195,10 +231,7 @@ object Versioned {
     * serializes them, the loser throws [[ConflictException]]. */
   def commitAppend(spark: SparkSession, txn: Txn): Long = {
     require(txn.base >= 1, s"cannot append to unborn table ${txn.path}")
-    val next = txn.base + 1
-    writeManifest(spark, txn.path, next,
-      readManifest(spark, txn.path, txn.base) :+ s"data/txn-${txn.id}")
-    next
+    writeAppendManifest(spark, txn.path, txn.base, s"data/txn-${txn.id}")
   }
 
   /** COMMIT of an UPDATE/DELETE/overwrite rewrite: version base+1 is
@@ -291,12 +324,9 @@ object Versioned {
     stage(txn, df)
     while (true) {
       try {
-        val v = txn.base + 1
         // batch 0 of a fresh table CREATES it (base dirs empty).
-        val baseDirs = if (txn.base == 0) Nil else readManifest(spark, path, txn.base)
-        writeManifest(spark, path, v, baseDirs :+ s"data/txn-${txn.id}",
-          meta = Seq(batchTag(appId, batchId)))
-        return Some(v)
+        return Some(writeAppendManifest(spark, path, txn.base,
+          s"data/txn-${txn.id}", meta = Seq(batchTag(appId, batchId))))
       } catch {
         case _: ConflictException =>
           // Someone committed under us — if it was our own replayed
@@ -376,8 +406,13 @@ object Versioned {
     val f = fs(spark, path)
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
+    // Raw dir lines, not resolved versions: every dir any version
+    // resolves to appears verbatim in some manifest of its delta chain,
+    // so the union of raw lines over all manifests IS the referenced
+    // set — one read per manifest instead of one chain walk per version.
     val referenced = versions(spark, path)
-      .flatMap(readManifest(spark, path, _)).map(_.stripPrefix("data/")).toSet
+      .flatMap(readManifestLines(spark, path, _))
+      .filterNot(_.startsWith("#")).map(_.stripPrefix("data/")).toSet
     // Retention window: an unreferenced dir younger than `minAgeMs` may
     // be an IN-FLIGHT transaction (staged, not yet committed) — deleting
     // it would let that commit publish a manifest pointing at deleted

@@ -196,4 +196,71 @@ class VersionedSpec extends AnyFunSuite {
     assert(vdir.listFiles().forall(!_.getName.startsWith(".tmp-")),
       "conflicted commit leaked a .tmp- manifest in _versions/")
   }
+
+  /** Raw manifest lines for version v, straight off disk. */
+  private def manifestLines(path: String, v: Long): Seq[String] = {
+    val f = new java.io.File(f"$path/_versions/$v%020d.manifest")
+    scala.io.Source.fromFile(f, "UTF-8").getLines().toList.filter(_.nonEmpty)
+  }
+
+  /** Number of manifest FILES a resolution of version v must read,
+    * replayed from the raw files (the object-store cost model). */
+  private def chainLength(path: String, v: Long): Int =
+    manifestLines(path, v).collectFirst {
+      case l if l.startsWith("#delta=") => l.stripPrefix("#delta=").toLong
+    } match {
+      case Some(base) => 1 + chainLength(path, base)
+      case None => 1
+    }
+
+  test("checkpointed delta manifests: 1k-commit history resolves in O(1) manifest reads") {
+    val path = freshTable()
+    Versioned.create(spark, path, baseDf)
+    // Manifest-only appends (no staged data) — the protocol layer is
+    // what's under test, and 999 parquet writes would swamp the suite.
+    for (_ <- 1 to 999) Versioned.commitAppend(spark, Versioned.begin(spark, path))
+    assert(Versioned.currentVersion(spark, path) == 1000L)
+
+    // Every version's delta chain terminates within CheckpointEvery
+    // file reads — resolution cost is bounded by the checkpoint cadence,
+    // not the history length.
+    val worst = (1L to 1000L).map(chainLength(path, _)).max
+    assert(worst <= Versioned.CheckpointEvery,
+      s"resolution chain reached $worst manifests (cap ${Versioned.CheckpointEvery})")
+
+    // Append cost: a non-checkpoint commit writes O(1) lines (delta
+    // pointer + one dir), never the full history.
+    assert(manifestLines(path, 999L).size <= 3,
+      s"delta manifest not O(1): ${manifestLines(path, 999L).size} lines")
+    // Checkpoint versions are full snapshots: self-contained dir lists.
+    assert(manifestLines(path, 992L).count(!_.startsWith("#")) == 992,
+      "checkpoint manifest is not a full snapshot")
+  }
+
+  test("delta manifests preserve the protocol: time travel, CDC and vacuum across checkpoints") {
+    val path = freshTable()
+    Versioned.create(spark, path, baseDf) // v1, 4 rows
+    for (i <- 1 to 19) { // v2..v20 — crosses the v16 checkpoint
+      val t = Versioned.begin(spark, path)
+      Versioned.stage(t, Seq((100 + i, s"r$i")).toDF("a", "b"))
+      assert(Versioned.commitAppend(spark, t) == 1L + i)
+    }
+    // Time travel resolves identically through deltas, the checkpoint,
+    // and deltas stacked on the checkpoint.
+    assert(Versioned.readAsOf(spark, path, 5L).count() == 4 + 4)
+    assert(Versioned.readAsOf(spark, path, 16L).count() == 4 + 15)
+    assert(Versioned.read(spark, path).count() == 4 + 19)
+    // CDC across the checkpoint boundary: exactly the appended rows.
+    val delta = Versioned.changesBetween(spark, path, 14L, 18L)
+    assert(delta.count() == 4)
+    assert(delta.select("a").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(114, 115, 116, 117))
+    // Vacuum still reclaims a crashed writer's orphaned stage (staged,
+    // never committed, never aborted) and keeps every referenced dir
+    // readable (raw-line reference scan).
+    val dead = Versioned.begin(spark, path)
+    Versioned.stage(dead, Seq((999, "zzz")).toDF("a", "b"))
+    assert(Versioned.vacuum(spark, path, minAgeMs = 0) == 1)
+    assert(Versioned.read(spark, path).count() == 4 + 19)
+  }
 }
