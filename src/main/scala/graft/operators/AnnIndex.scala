@@ -321,6 +321,81 @@ object AnnIndex {
       table: String, buckets: Int): Unit =
     Io.appendBucketedBy(lshBanded(batch, bandBits, nBands), table, Seq("bkey"), buckets)
 
+  // ---- streaming LSH ingest (exactly-once versioned band layout) ------
+
+  /** The banded rows WITH the embedding riding along — the streaming
+    * layout's row shape: a probe re-ranks candidates from the matched
+    * band row itself, no second fetch join. ×nBands storage vs the
+    * id-only band table — the IVF trade (writeIvf also stores vectors in
+    * the layout), accepted here because the streamed batches are the
+    * growing edge of the corpus and [[graft.sources.Versioned.optimize]]
+    * can fold them later. */
+  private def lshBandedKeepVec(e: DataFrame, bandBits: Int, nBands: Int): DataFrame = {
+    requireBandGeometry(bandBits, nBands)
+    e.withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
+      .select(col("vec_id"), col("sig"), col("embedding"),
+        explode(bandKeys(col("sig"), bandBits, nBands)).as("bkey"))
+  }
+
+  /** EXACTLY-ONCE streaming index maintenance — [[appendLsh]] composed
+    * with the transactional layer: each micro-batch's banded rows commit
+    * through [[graft.sources.Versioned.commitBatchAppend]] with the
+    * (appId, batchId) ledger, so a replayed batch (failure recovery
+    * re-runs the last epoch) is recognized and SKIPPED — the band index
+    * can never double-count a vector, which plain appendLsh cannot
+    * promise under replay (its bucketed append is not idempotent).
+    * The staged files are hive-partitioned by `bkey` INSIDE the txn
+    * directory, so a probe's `bkey IN (...)` is directory pruning
+    * through every commit — the same pruning story as the bucketed
+    * layout, delivered by layout instead of catalog metadata. Keep
+    * bandBits small enough that nBands·2^bandBits directories per
+    * commit stays sane (≤ ~1k; larger geometries would partition by a
+    * hash bucket of bkey instead). Use as:
+    * {{{
+    * embeds.writeStream.foreachBatch(
+    *   AnnIndex.streamingLshSink(path, "app", bandBits, nBands)).start()
+    * }}} */
+  def streamingLshSink(path: String, appId: String,
+      bandBits: Int, nBands: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.sources.Versioned.commitBatchAppend(batch.sparkSession, path,
+        appId, batchId, lshBandedKeepVec(batch, bandBits, nBands),
+        partitionCols = Seq("bkey"))
+      ()
+    }
+
+  /** Probe the versioned streaming band layout: resolve the current
+    * version (snapshot isolation — concurrent micro-batch commits
+    * cannot tear the read), prune to the query's nBands bkey
+    * directories, first-matching-band dedup, exact cosine re-rank from
+    * the embedding riding the band row. Pruning is asserted on executed
+    * plans in StreamingSpec. */
+  def probeLshVersioned(spark: SparkSession, path: String, qv: Array[Float],
+      bandBits: Int, nBands: Int, k: Int): DataFrame = {
+    requireBandGeometry(bandBits, nBands)
+    val qRow = spark.range(1)
+      .select(hyperplaneSig(lit(qv), bandBits * nBands).as("sig"))
+      .select(col("sig"), bandKeys(col("sig"), bandBits, nBands).as("bkeys"))
+      .head()
+    val qsig = qRow.getLong(0)
+    val qKeys = qRow.getSeq[Long](1)
+    // Per-commit-dir reads unioned (each txn dir is its own
+    // hive-partitioned root); the bkey filter pushes into every child
+    // scan, so each commit's directories prune independently. The IN
+    // list must carry the INFERRED partition type (int — hive discovery
+    // reads "bkey=52" as IntegerType): a long literal would wrap the
+    // partition column in a cast, which defeats partition pruning.
+    val v = graft.sources.Versioned.currentVersion(spark, path)
+    graft.sources.Versioned.dataDirs(spark, path, v)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .filter(col("bkey").isin(qKeys.map(_.toInt): _*))
+      .filter(shiftright(col("bkey").cast("long"), bandBits) ===
+        Lsh.firstMatchingBand(col("sig").bitwiseXOR(lit(qsig)), bandBits, nBands))
+      .select(col("vec_id"), cosine(col("embedding"), lit(qv)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Probe the bucketed band table: `bkey IN (query's nBands keys)` reads
     * only the matching buckets (bucket pruning — asserted in
     * AnnIndexSpec), first-matching-band drops duplicate candidates

@@ -222,9 +222,16 @@ object Versioned {
   /** Write rows into the transaction's staging directory. May be called
     * repeatedly (overwrite semantics — restaging replaces the stage, it
     * never double-appends). Distributed write; only metadata is held
-    * back for the commit. */
-  def stage(txn: Txn, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(txn.stagingDir)
+    * back for the commit. `partitionCols` lays the staged files out
+    * hive-partitioned INSIDE the txn directory — readers of any version
+    * then get directory pruning on those columns through every commit's
+    * dir (the streaming ANN ingest's probe path), with zero change to
+    * the commit protocol (the manifest still names one dir). */
+  def stage(txn: Txn, df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(txn.stagingDir)
+  }
 
   /** COMMIT of an INSERT: version base+1 = base's dirs + staged dir.
     * Racing committers target the SAME number — create-if-absent
@@ -264,9 +271,18 @@ object Versioned {
     * immutable and never deleted by commits), which is also what makes
     * "read after abort" trivially correct. */
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val dirs = readManifest(spark, path, version).map(d => s"$path/$d")
+    val dirs = dataDirs(spark, path, version)
     spark.read.parquet(dirs: _*)
   }
+
+  /** Data directories composing `version`, absolute. For readers that
+    * must plan per-directory — hive-partitioned staged layouts (see
+    * [[stage]]'s partitionCols), where Spark's multi-root partition
+    * discovery refuses conflicting structures; union the per-dir reads
+    * instead (filters still push into every child scan, so partition
+    * pruning survives the union). */
+  def dataDirs(spark: SparkSession, path: String, version: Long): Seq[String] =
+    readManifest(spark, path, version).map(d => s"$path/$d")
 
   // ---- streaming sink: exactly-once appends keyed by (appId, batchId) --
 
@@ -309,7 +325,7 @@ object Versioned {
     * df.writeStream.foreachBatch(Versioned.streamingSink(path, "app")).start()
     * }}} */
   def commitBatchAppend(spark: SparkSession, path: String, appId: String,
-      batchId: Long, df: DataFrame): Option[Long] = {
+      batchId: Long, df: DataFrame, partitionCols: Seq[String] = Nil): Option[Long] = {
     // Dedup-check AFTER begin(), never before: the ledger scan must see
     // at least everything committed up to the snapshotted base. A
     // zombie driver replaying this same batch that commits between a
@@ -321,7 +337,7 @@ object Versioned {
     // ConflictException → the handler below re-checks the ledger.
     var txn = begin(spark, path)
     if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId)) return None
-    stage(txn, df)
+    stage(txn, df, partitionCols)
     while (true) {
       try {
         // batch 0 of a fresh table CREATES it (base dirs empty).
