@@ -230,4 +230,61 @@ class DdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Ddl.probeIndex(spark, "emb_ivf", qv, 5) }
     Seq("emb_lsh_bands", "emb_lsh_vectors").foreach(Ddl.dropManagedTable(spark, _))
   }
+
+  test("graft.sql front door: index DDL, pruned probe, EXPLAIN and CHECKPOINT from statement text alone") {
+    // The reference's interaction shape — everything is SQL text through
+    // one entry point — end to end: CREATE INDEX ... USING ivf builds
+    // the layout, PROBE INDEX serves a pruned IndexScan, EXPLAIN works
+    // on the extended statement, all without touching the Scala API.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlfd").toString
+    Tables.embeddings(spark, TestSpark.sf).createOrReplaceTempView("emb_sqlfd")
+    val qv = Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+    val created = graft.sql(spark,
+      s"CREATE INDEX sqlfd_idx ON emb_sqlfd USING ivf (embedding) LOCATION '$tmp/ivf'")
+    assert(created.collect().head.getString(2) == "ivf")
+    assert(Ddl.describeIndex("sqlfd_idx").exists(_.using == "ivf"))
+
+    val probe = graft.sql(spark,
+      s"PROBE INDEX sqlfd_idx FOR (${qv.mkString(", ")}) LIMIT 10")
+    val plan = probe.queryExecution.executedPlan.treeString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "text-driven probe not directory-pruned: " + plan.take(500))
+    assert(probe.collect().head.getLong(0) == 7L,
+      "query vector's own embedding must rank top-1")
+
+    // EXPLAIN routes recursively — it can explain the PROBE statement
+    // Spark's own parser would reject.
+    val ex = graft.sql(spark,
+      s"EXPLAIN PROBE INDEX sqlfd_idx FOR (${qv.mkString(", ")}) LIMIT 10")
+    assert(ex.columns.toSeq == Seq("plan_line") && ex.count() > 3)
+
+    // B-tree-class methods return the layout recipe (the honest mapping
+    // on columnar storage), never a silent drop.
+    val bt = graft.sql(spark, "CREATE INDEX plain_idx ON emb_sqlfd (vec_id)")
+    assert(bt.collect().head.getString(3).contains("sortWithinPartitions"))
+
+    // CHECKPOINT (the reference's WAL-flush command) answers with the
+    // Spark seat of the durability point.
+    assert(graft.sql(spark, "CHECKPOINT").collect().head.getString(1) == "ok")
+
+    // Plain statements pass through the plan cache: same text, same
+    // session -> the SAME reusable plan object, and a cache hit.
+    val h0 = PlanCache.hits
+    val a = graft.sql(spark, "SELECT count(*) AS n FROM emb_sqlfd")
+    val b = graft.sql(spark, "SELECT count(*) AS n FROM emb_sqlfd")
+    assert(a eq b)
+    assert(PlanCache.hits == h0 + 1)
+    assert(a.collect().head.getLong(0) == Tables.embeddings(spark, TestSpark.sf).count())
+
+    // Parameterized text binds through Spark's native named parameters.
+    val p = graft.sql(spark,
+      "SELECT count(*) AS n FROM emb_sqlfd WHERE vec_id < :cap", Map("cap" -> 10))
+    assert(p.collect().head.getLong(0) == 10L)
+
+    assert(graft.sql(spark, "DROP INDEX sqlfd_idx").collect().head.getBoolean(1))
+    spark.catalog.dropTempView("emb_sqlfd")
+  }
 }
