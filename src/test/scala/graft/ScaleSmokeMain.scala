@@ -25,7 +25,12 @@ object ScaleSmokeMain {
       .master("local[8]")
       .appName("scale-smoke")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      // Default 32 matches every historical table; SMOKE_SHUFFLE_PARTITIONS
+      // exists for the spill-attribution experiments (does a superlinear
+      // doubling row linearize when partitions scale with the corpus, the
+      // way a real cluster would scale them?).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SMOKE_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
