@@ -1400,7 +1400,74 @@ object Ann {
                                             a.vec_id ASC LIMIT 20) g
                              JOIN exact x ON g.vec_id = x.vec_id)
                             / en.n * 1000000 + 0.5) / 1000000 AS recall_at_20
-               FROM depths p, tot, en"""))
+               FROM depths p, tot, en""")),
+
+    // ---- v26: kNN label classification (leave-group-out eval) ----------
+    // The EVAL harness for the embedding space itself: hold out every
+    // 10th vector, predict its label by majority vote over its k=10
+    // nearest neighbors in the remainder (cosine; vote ties to the
+    // SMALLEST label — integer rule, no float tie surface), report
+    // per-class accuracy. This is the label-consistency audit run before
+    // trusting embeddings for semantic dedup (v11/d05) or cluster-based
+    // mixing (v15) — low accuracy means the near-dup thresholds are
+    // operating on noise. Plan shape = v07's batch-kNN contract: the
+    // held-out set is small by construction (a fixed sampling rate of
+    // the corpus) and BROADCAST; one map-side cosine pass over the train
+    // scan; two-phase GroupedTopK keeps ≤ |test|·k rows per task, so no
+    // scored-corpus shuffle ever happens. The vote argmax is ONE
+    // max(struct) aggregate (g14's rule), the per-class rollup is tiny.
+    // At index scale the scoring pass swaps for v22's IVF probe — the
+    // eval rule (vote, tie-break, accuracy grid) is unchanged.
+    ("v26_knn_classify",
+      (s, d) => {
+        val k = 10
+        val e = Tables.embeddings(s, d)
+        val test = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label").as("true_label"))
+        val scored = e.filter(col("vec_id") % 10 =!= 0)
+          .crossJoin(broadcast(test))
+          .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+            cosine(col("embedding"), col("qv")).as("cos_sim"))
+        val top = org.apache.spark.sql.graft.GroupedTopKApi.topKPerGroup(
+          scored, Seq("q_id"), Seq("cos_sim" -> true, "vec_id" -> false), k)
+        top.groupBy(col("q_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("q_id"), col("true_label"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("q_id"), col("true_label"),
+            (-col("m.nl")).as("pred_label"))
+          .groupBy(col("true_label"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("true_label"), col("n_test"), col("n_correct"),
+            (floor(col("n_correct").cast("double") / col("n_test")
+              * 1000000 + 0.5) / 1000000).as("accuracy"))
+      },
+      Some("""WITH q AS MATERIALIZED (
+                SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS true_label
+                FROM embeddings WHERE vec_id % 10 = 0),
+              sc AS MATERIALIZED (
+                SELECT q.q_id, q.true_label, e.vec_id, e.label,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                                  e.vec_id ASC) AS rn
+                FROM embeddings e, q WHERE e.vec_id % 10 <> 0),
+              v AS (SELECT q_id, true_label, label, CAST(count(*) AS BIGINT) AS cnt
+                    FROM sc WHERE rn <= 10 GROUP BY 1, 2, 3),
+              p AS (SELECT q_id, true_label, label AS pred_label FROM (
+                      SELECT q_id, true_label, label,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY cnt DESC, label ASC) AS rn2
+                      FROM v) WHERE rn2 = 1)
+              SELECT true_label,
+                     CAST(count(*) AS BIGINT) AS n_test,
+                     CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_correct,
+                     FLOOR(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS accuracy
+              FROM p GROUP BY true_label"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

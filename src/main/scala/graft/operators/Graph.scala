@@ -56,6 +56,14 @@ object Graph {
     * [[KcoreRounds]]. */
   private val BfsRounds = 6
 
+  /** g14's fixed synchronous-sweep unroll — one constant for the Spark
+    * loop and the oracle CTE chain, declared before `defs` like
+    * [[KcoreRounds]]. Four sweeps settle the event graph's co-activity
+    * communities; the count is fixed (not run-to-convergence) because
+    * synchronous LPA can 2-cycle on bipartite substructures — a fixed
+    * unroll is deterministic AND oracle-replayable either way. */
+  private val LpaRounds = 4
+
   /** The 1e-9 grid used by every iterative float algorithm in the graph
     * family (and v14's drift metric) — one definition so the grid
     * discipline can't drift between operators. */
@@ -1071,6 +1079,79 @@ object Graph {
         }
         (head +: steps).mkString(",\n") +
           s"\nSELECT node AS user_id, dist FROM d$BfsRounds"
+      }),
+
+    // ---- g14: label-propagation communities (Raghavan et al. 2007) -----
+    // Community DETECTION — the missing rung between g03 (connected
+    // components = communities under pure reachability) and g12
+    // (modularity of labels someone else supplied): LPA finds
+    // denser-than-chance groups, splitting bridge-connected components
+    // and refining the co-activity structure. Runs over the SAME
+    // temporal-proximity graph as g03 ([[proximityEdges]], 5-minute
+    // gap), so the two labelings audit against each other (LPA can only
+    // refine g03's components — a community never spans components).
+    // Synchronous sweeps, [[LpaRounds]] fixed: every node adopts the
+    // most frequent label among its neighbors, ties to the SMALLEST
+    // label — both rules integer-only, so there is no float-drift
+    // surface at all and the DuckDB unroll replays bit-exactly. The
+    // argmax is ONE max(struct) aggregate (cnt, then -label), not a
+    // window: per-iteration work is labels⋈edges (hash-keyed on the
+    // node id, the g01 shape) + two map-side-combined aggregates,
+    // lineage cut per sweep (CC-loop discipline). Scale: state is one
+    // (node,label) row per node; the join shuffles only the label side
+    // once edges are bucketed by source ([[graft.sources.Io]] standing
+    // layout); counts never materialize more than (node, distinct
+    // neighbor label) rows, which the degree bound caps at |E|. Output:
+    // community label → size, the g03 output contract.
+    ("g14_label_propagation",
+      (s, d) => {
+        val und = proximityEdges(s, d, 300L * 1000000L)
+          .select(least(col("a_id"), col("b_id")).as("u"),
+            greatest(col("a_id"), col("b_id")).as("v"))
+          .distinct().localCheckpoint()
+        val sym = und.select(col("u").as("x"), col("v").as("y"))
+          .union(und.select(col("v").as("x"), col("u").as("y")))
+          .localCheckpoint()
+        var lbl = sym.select(col("x").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint()
+        for (_ <- 1 to LpaRounds) {
+          lbl = sym.join(lbl, sym("y") === lbl("node"))
+            .groupBy(col("x"), col("label")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("x"))
+            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+            .select(col("x").as("node"), (-col("m.nl")).as("label"))
+            .localCheckpoint()
+        }
+        lbl.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some {
+        val head =
+          s"""WITH ev AS MATERIALIZED (
+             |  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+             |  FROM events),
+             |${proximityCte(300000000L)},
+             |undp AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM prox),
+             |sym AS MATERIALIZED (
+             |  SELECT u AS x, v AS y FROM undp UNION ALL SELECT v, u FROM undp),
+             |l0 AS MATERIALIZED (
+             |  SELECT DISTINCT x AS node, x AS label FROM sym)""".stripMargin
+        val steps = (1 to LpaRounds).map { i =>
+          s"""c$i AS MATERIALIZED (
+             |  SELECT s.x, l.label, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM sym s JOIN l${i - 1} l ON l.node = s.y
+             |  GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT x AS node, label FROM (
+             |    SELECT x, label,
+             |           row_number() OVER (PARTITION BY x
+             |                              ORDER BY cnt DESC, label ASC) AS rn
+             |    FROM c$i) WHERE rn = 1)""".stripMargin
+        }
+        (head +: steps).mkString(",\n") +
+          s"""\nSELECT label AS community, CAST(count(*) AS BIGINT) AS n_users
+             |FROM l$LpaRounds GROUP BY label""".stripMargin
       })
   )
 

@@ -1044,7 +1044,67 @@ object Pipeline {
               FROM dcs d
               JOIN sc USING (doc_id)
               LEFT JOIN comp cp ON cp.doc_id = d.doc_id
-              GROUP BY 1, 2"""))
+              GROUP BY 1, 2""")),
+
+    // ---- p18: per-source token-budget sampling -------------------------
+    // The BUDGETED mixture shape (p03 samples by rate, p14 by
+    // temperature — production recipes are usually stated as "B tokens
+    // from each source"): within every source, docs are taken in
+    // md5(doc_id) order (deterministic uniform shuffle — p04/p05's
+    // membership discipline, growth-invariant: adding docs never reorders
+    // the survivors of the old prefix) until the running token total
+    // exceeds the budget; the first doc that would cross the line is cut
+    // (hard cap, bounded-above semantics). ONE exchange: the running sum
+    // is a window over (source | hash order), then the per-source audit
+    // row collapses map-side. At 100 TB the window is the same
+    // source-keyed exchange p05 already pays, and sources are few — skew
+    // inside one source is bounded because the window needs only a
+    // running SUM, which AQE splits fine. Output is the audit table
+    // (kept/total docs + tokens + fill fraction per source) a mixture
+    // builder reads before materializing the kept set; the kept set
+    // itself is `cum <= B` on the same frame, zero extra exchanges.
+    ("p18_token_budget",
+      (s, d) => {
+        val budget = 3000L
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_total"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_docs_kept"),
+            sum(when(col("cum") <= budget, col("n_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .select(col("source"), col("n_docs_total"), col("tokens_total"),
+            col("n_docs_kept"), col("tokens_kept"),
+            (floor(col("tokens_kept").cast("double") / budget * 1000000 + 0.5)
+              / 1000000).as("budget_fill"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+              c AS (
+                SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY h ASC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs_total,
+                     CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+                     CAST(sum(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_kept,
+                     CAST(sum(CASE WHEN cum <= 3000 THEN n_tokens ELSE 0 END)
+                       AS BIGINT) AS tokens_kept,
+                     FLOOR(CAST(sum(CASE WHEN cum <= 3000 THEN n_tokens ELSE 0 END)
+                       AS DOUBLE) / 3000 * 1000000 + 0.5) / 1000000 AS budget_fill
+              FROM c GROUP BY source"""))
   )
 
   /** p04's deterministic shuffle + token-budget sharding core —

@@ -1535,7 +1535,48 @@ object TextAnalysis {
                       FLOOR(CAST(count(*) FILTER (WHERE s.logit > t.thr) AS DOUBLE)
                             / tot.n_total * 1000000 + 0.5) / 1000000 AS kept_frac
                FROM thr t, sc s, tot
-               GROUP BY t.thr, tot.n_total"""))
+               GROUP BY t.thr, tot.n_total""")),
+
+    // ---- t35: overlapping token-window chunking ------------------------
+    // Context-window prep — the step between curation and packing: split
+    // every document into fixed-size token windows (32 tokens, stride
+    // 24 ⇒ 8-token overlap so no boundary-spanning n-gram is lost to
+    // retrieval/embedding). Pure per-row HOF arithmetic: `sequence`
+    // generates the stride grid, `posexplode` + `slice` cut the windows —
+    // all inside whole-stage codegen, ZERO shuffles (the explode fans out
+    // within the scan task), so at 100 TB this runs at parquet-scan speed
+    // and the output's natural partitioning (by input split) feeds the
+    // p02 packer or an embedding pass directly. Each chunk carries its
+    // provenance (doc_id, chunk_idx, start_word) and an md5 content hash
+    // — the join key a chunk-level dedup (d01 on chunks) or a
+    // chunk→embedding pipeline needs. The oracle re-derives every window
+    // from DuckDB's 1-based inclusive list slicing — stride grid, clamp
+    // at the tail (last window may be short, never empty), hash.
+    ("t35_chunking",
+      (s, d) => {
+        val size32 = 32; val stride = 24
+        Tables.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
+              .as(Seq("pos", "start")),
+            col("ws"))
+          .select(col("doc_id"),
+            col("pos").cast("long").as("chunk_idx"),
+            col("start").cast("long").as("start_word"),
+            slice(col("ws"), col("start") + 1, lit(size32)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start FROM w)
+              SELECT doc_id,
+                     CAST(start // 24 AS BIGINT) AS chunk_idx,
+                     CAST(start AS BIGINT) AS start_word,
+                     CAST(len(ws[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(ws[start + 1 : start + 32], ' ')) AS chunk_hash
+              FROM st"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

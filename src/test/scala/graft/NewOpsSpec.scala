@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-7 additions (t35 chunking, p18
+  * token budget, g14 LPA communities, v26 kNN classify) — the properties
+  * the DuckDB oracle's value-compare can't state directly (coverage,
+  * caps, refinement, baseline-beating). */
+class NewOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def run(name: String) = SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  test("t35 chunks tile every document: stride grid, exact tail coverage") {
+    val chunks = run("t35_chunking")
+    // Stride grid: every start is chunk_idx * 24.
+    assert(chunks.filter(col("start_word") =!= col("chunk_idx") * 24).count() == 0)
+    // No empty chunk, none longer than the window.
+    assert(chunks.filter(col("n_tokens") < 1 || col("n_tokens") > 32).count() == 0)
+    // Exact end coverage per doc: the furthest chunk ends AT the word
+    // count (never short of it, never past it), and the chunk count is
+    // the stride formula ⌈nw/24⌉ adjusted for the ≤32 window tail.
+    val perDoc = chunks.groupBy("doc_id").agg(
+      max(col("start_word") + col("n_tokens")).as("covered"),
+      count(lit(1)).as("n_chunks"))
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+    val joined = perDoc.join(docs, "doc_id")
+    assert(joined.filter(col("covered") =!= col("nw")).count() == 0)
+    assert(joined.filter(col("n_chunks") =!=
+      (floor((col("nw") - 1) / 24) + 1)).count() == 0)
+  }
+
+  test("p18 budget cap is hard and the kept set is a prefix") {
+    val audit = run("p18_token_budget").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val kept = r.getAs[Long]("tokens_kept")
+      val total = r.getAs[Long]("tokens_total")
+      assert(kept <= 3000L, s"budget overrun: $r")
+      assert(kept <= total && r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs_total"))
+      // If the budget didn't bind (everything kept), fill = total/3000;
+      // if it did, at least one more doc existed than was kept.
+      if (r.getAs[Long]("n_docs_kept") == r.getAs[Long]("n_docs_total"))
+        assert(kept == total)
+    }
+  }
+
+  test("g14 LPA refines g03's components: same nodes, never fewer groups") {
+    val comp = run("g03_components").agg(
+      sum("n_users").as("nodes"), count(lit(1)).as("groups")).head()
+    val lpa = run("g14_label_propagation").agg(
+      sum("n_users").as("nodes"), count(lit(1)).as("groups")).head()
+    // Same proximity graph ⇒ identical node universe.
+    assert(lpa.getAs[Long]("nodes") == comp.getAs[Long]("nodes"))
+    // A community never spans components, so LPA can only refine.
+    assert(lpa.getAs[Long]("groups") >= comp.getAs[Long]("groups"))
+  }
+
+  test("v26 kNN classify accounts for every held-out vector, deterministically") {
+    // The synthetic embeddings are nearly label-random (within-label mean
+    // cosine ≈ cross-label), so this is exactly the case the eval exists
+    // to EXPOSE: accuracy lands near the 1/|classes| floor, telling the
+    // pipeline not to trust label-based semantic thresholds. The spec
+    // therefore pins the harness contract, not a data property: every
+    // held-out vector is classified exactly once, correctness is bounded,
+    // and the vote is a pure function of the corpus.
+    val rows = run("v26_knn_classify").collect()
+    val nTest = rows.map(_.getAs[Long]("n_test")).sum
+    val holdout = Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(nTest == holdout, s"classified $nTest of $holdout held-out vectors")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") >= 0 &&
+        r.getAs[Long]("n_correct") <= r.getAs[Long]("n_test"))
+    }
+    val again = run("v26_knn_classify").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "vote must be deterministic run-to-run")
+  }
+}

@@ -42,6 +42,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected at most one exchange, got $exchanges")
   }
 
+  test("v26 kNN classify keeps v07's contract: partial top-k, broadcast test set") {
+    // The scored corpus must never shuffle: the only exchanges are the
+    // tiny vote/rollup aggregates AFTER GroupedTopK bounded the rows.
+    val p = planOf("v26_knn_classify")
+    assert(p.contains("PartialGroupedTopK"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the held-out set must broadcast, never shuffle-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t35 chunking is pure map-side fan-out: zero exchanges, zero joins") {
+    // The explode fans out inside the scan task; any exchange here would
+    // shuffle every chunk of a 100 TB corpus for nothing.
+    val p = planOf("t35_chunking")
+    assert(!p.contains("Join"), "chunking must be join-free")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(600)}")
+  }
+
+  test("p18 token budget: ONE source-keyed exchange serves window and rollup") {
+    val p = planOf("p18_token_budget")
+    assert(!p.contains("Join"), "budget sampling must be join-free")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"one source exchange only, got $exchanges")
+  }
+
+  test("g14 label propagation: hash equi-joins only, no cartesian") {
+    val p = planOf("g14_label_propagation")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t07 tf-idf never broadcasts the vocabulary-sized df table") {
     // At 100 TB the per-term df table is billions of rows: broadcasting it
     // is a guaranteed OOM. df must ride a term-keyed count window over tf
