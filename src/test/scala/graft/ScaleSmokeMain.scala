@@ -145,7 +145,14 @@ object ScaleSmokeMain {
       // Continuation-3 additions. Absent by construction: q73–q78 read
       // TPC-H tables (like q63); v23/v24 read embeddings (like v14).
       "s22_rolling_actives", "s23_ewma", "t32_vocab_coverage",
-      "t33_gram_novelty", "g13_bfs_layers", "p17_dataset_card")
+      "t33_gram_novelty", "g13_bfs_layers", "p17_dataset_card",
+      // Round-7 continuation additions. v26 reads embeddings (absent
+      // like v14). p18's growth model is the replica-prefixed source
+      // domain (×rep sources, constant per-source corpus — its window
+      // is per-source, so linear is the honest expectation); g14 runs
+      // on the proximity graph whose type domain scales ×rep with
+      // per-type density constant (the g03 model).
+      "t35_chunking", "p18_token_budget", "g14_label_propagation")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
