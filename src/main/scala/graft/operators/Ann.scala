@@ -1467,7 +1467,85 @@ object Ann {
                        AS BIGINT) AS n_correct,
                      FLOOR(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
                        AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS accuracy
-              FROM p GROUP BY true_label"""))
+              FROM p GROUP BY true_label""")),
+
+    // ---- v27: per-label centroid-margin audit (simplified silhouette) --
+    // The GEOMETRY complement to v26's vote eval: how far does each
+    // vector sit from its own label's centroid versus the nearest OTHER
+    // centroid, in cosine? margin = cos(v, c_own) − max_other cos(v, c_l);
+    // a label whose mean margin ≈ 0 contributes nothing to any
+    // label-conditioned operator. Centroids are grid9(avg) per
+    // (label, dim) — computed INDEPENDENTLY by both engines (no model
+    // export): the 1e-9 grid re-synchronizes the merge-order-dependent
+    // means (v14's discipline), and everything downstream is the proven
+    // sequential-fold kernel (the sq8 aggregate↔list_sum pair, identical
+    // op order: dot / (‖v‖ · ‖c‖)). Per-row margins are gridded to
+    // micro-integers BEFORE the per-label mean (p17's exact-long-sum
+    // rule — no order-dependent float sum survives). Plan: one
+    // 64×|labels|-key exploded aggregate (map-side combined), the
+    // |labels|-row centroid table broadcasts back, one map-side scoring
+    // pass, one |labels|-key rollup — at 100 TB the corpus is read
+    // twice and shuffles only micro-longs.
+    ("v27_label_margin",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(Graph.grid9(avg(col("col"))).as("m"))
+          .groupBy(col("label").as("lc"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("sm"))
+          .select(col("lc"), expr("transform(sm, x -> x.m)").as("c"))
+          .withColumn("cnorm", expr(
+            """sqrt(aggregate(transform(sequence(1, size(c)),
+              |  i -> element_at(c, i) * element_at(c, i)), 0D, (a, v) -> a + v))""".stripMargin))
+        e.crossJoin(broadcast(cent))
+          .withColumn("cs", expr(
+            """aggregate(transform(sequence(1, size(c)),
+              |  i -> CAST(element_at(embedding, i) AS DOUBLE) * element_at(c, i)),
+              |  0D, (a, v) -> a + v)""".stripMargin)
+            / (l2norm(col("embedding")) * col("cnorm")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(when(col("lc") === col("label"), col("cs"))).as("own"),
+            max(when(col("lc") =!= col("label"), col("cs"))).as("best_other"))
+          .select(col("label"),
+            floor((col("own") - col("best_other")) * 1000000 + 0.5)
+              .cast("long").as("mm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("mm") > 0, 1L).otherwise(0L)).as("n_consistent"),
+            (floor(sum(col("mm")).cast("double") / count(lit(1)) + 0.5)
+              / 1000000).as("mean_margin"))
+      },
+      Some(s"""WITH base AS MATERIALIZED (
+                 SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+               ex AS (SELECT label, vec_id, i - 1 AS pos, emb[i] AS v
+                      FROM base, range(1, ${SqDim + 1}) t(i)),
+               cg AS (SELECT label AS lc, pos,
+                             FLOOR(avg(v) * 1000000000 + 0.5) / 1000000000 AS m
+                      FROM ex GROUP BY 1, 2),
+               cent AS (SELECT lc, list(m ORDER BY pos) AS c FROM cg GROUP BY lc),
+               cn AS (SELECT lc, c,
+                             sqrt(list_sum(list_transform(range(1, ${SqDim + 1}),
+                               i -> c[i] * c[i]))) AS cnorm
+                      FROM cent),
+               sc AS MATERIALIZED (
+                 SELECT b.vec_id, b.label, n.lc,
+                        list_sum(list_transform(range(1, ${SqDim + 1}),
+                          i -> b.emb[i] * n.c[i]))
+                        / (sqrt(list_dot_product(b.emb, b.emb)) * n.cnorm) AS cs
+                 FROM base b, cn n),
+               pv AS (SELECT vec_id, label,
+                             max(CASE WHEN lc = label THEN cs END) AS own,
+                             max(CASE WHEN lc <> label THEN cs END) AS best_other
+                      FROM sc GROUP BY 1, 2),
+               m AS (SELECT label,
+                            CAST(FLOOR((own - best_other) * 1000000 + 0.5) AS BIGINT) AS mm
+                     FROM pv)
+               SELECT label,
+                      CAST(count(*) AS BIGINT) AS n_vecs,
+                      CAST(sum(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+                      FLOOR(CAST(sum(mm) AS DOUBLE) / count(*) + 0.5) / 1000000 AS mean_margin
+               FROM m GROUP BY label"""))
   )
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +

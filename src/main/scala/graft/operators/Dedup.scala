@@ -1239,7 +1239,32 @@ object Dedup {
                            ELSE FLOOR(CAST(coalesce(p.n_hits, 0) AS DOUBLE)
                                 / te.n * 1000000 + 0.5)
                                 / 1000000 END AS recall
-               FROM gd LEFT JOIN per p ON p.geom = gd.geom, te"""))
+               FROM gd LEFT JOIN per p ON p.geom = gd.geom, te""")),
+
+    // ---- d19: chunk-level exact dedup --------------------------------
+    // d01's content-hash grouping at CHUNK granularity — the dedup a
+    // RAG/pretraining corpus runs AFTER t35's windowing, where repeated
+    // boilerplate (headers, licenses, templated passages) duplicates at
+    // the window level even when whole documents differ. The chunk
+    // derivation IS t35's ([[TextAnalysis.chunked]] — one definition,
+    // so the dedup audits exactly the stream the pipeline emits), then
+    // ONE hash exchange of (chunk_hash) with map-side combine, the d01
+    // shape: at 100 TB nothing but 16-byte hashes + counters shuffle,
+    // and the fan-out (≤ nw/stride chunks per doc) is linear by
+    // construction. Output: every repeated window with its occurrence
+    // and distinct-doc counts — the excision/weighting input at chunk
+    // granularity (d14/d18's role one level down).
+    ("d19_chunk_dedup",
+      (s, d) => TextAnalysis.chunked(Tables.documents(s, d))
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occurrences") >= 2),
+      Some(s"""WITH ${TextAnalysis.chunkOracleCte}
+               SELECT chunk_hash,
+                      CAST(count(*) AS BIGINT) AS n_occurrences,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM ch GROUP BY chunk_hash HAVING count(*) >= 2"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -78,4 +78,46 @@ class NewOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
       "vote must be deterministic run-to-run")
   }
+
+  test("d19 chunk dedup is complete against doc-level duplicates") {
+    // Two identical documents chunk identically, so EVERY chunk hash of
+    // an exact-dup doc group must surface in d19 with n_occurrences ≥ 2
+    // — completeness of the chunk-level audit against the doc-level
+    // ground truth d01 already establishes.
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dupDocs = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("g"), min(col("doc_id")).as("doc_id"))
+      .filter(col("g") >= 2)
+    if (dupDocs.count() > 0) {
+      // sf0.01+ plants exact-dup docs; sf0.001's 50-doc slice may not.
+      val dupChunkHashes = operators.TextAnalysis
+        .chunked(docs.join(dupDocs.select("doc_id"), "doc_id"))
+        .select("chunk_hash").distinct()
+      val reported = run("d19_chunk_dedup").select("chunk_hash")
+      val missing = dupChunkHashes.except(reported).count()
+      assert(missing == 0, s"$missing dup-doc chunk hashes missing from d19")
+    }
+    // The reported set must equal an independent regrouping of the
+    // shared chunk stream (aggregation/threshold logic, hash-exact).
+    val expected = operators.TextAnalysis.chunked(docs)
+      .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(run("d19_chunk_dedup").count() == expected)
+    // Sanity on the counters: occurrences bound docs.
+    assert(run("d19_chunk_dedup")
+      .filter(col("n_docs") > col("n_occurrences") || col("n_occurrences") < 2)
+      .count() == 0)
+  }
+
+  test("v27 margin audit accounts for every vector with bounded margins") {
+    val rows = run("v27_label_margin").collect()
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(nVecs == Tables.embeddings(spark, TestSpark.sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_consistent") <= r.getAs[Long]("n_vecs"))
+      val m = r.getAs[Double]("mean_margin")
+      assert(m >= -2.0 && m <= 2.0, s"cosine margin out of range: $m")
+    }
+  }
 }

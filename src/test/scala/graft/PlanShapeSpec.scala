@@ -67,6 +67,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"one source exchange only, got $exchanges")
   }
 
+  test("d19 chunk dedup: join-free, only hash-and-counter exchanges") {
+    // The d01 shape at chunk granularity: nothing but 16-byte hashes +
+    // counters may shuffle (the distinct-doc count adds its keyed
+    // partial), and the chunk stream itself never joins.
+    val p = planOf("d19_chunk_dedup")
+    assert(!p.contains("Join"), "chunk dedup must be join-free")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"hash + distinct-doc exchanges only, got $exchanges")
+  }
+
+  test("v27 margin audit broadcasts the centroid table, never shuffle-joins") {
+    val p = planOf("v27_label_margin")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the |labels|-row centroid table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("g14 label propagation: hash equi-joins only, no cartesian") {
     val p = planOf("g14_label_propagation")
     assert(!p.contains("CartesianProduct"))

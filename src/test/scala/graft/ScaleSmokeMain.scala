@@ -152,7 +152,10 @@ object ScaleSmokeMain {
       // is per-source, so linear is the honest expectation); g14 runs
       // on the proximity graph whose type domain scales ×rep with
       // per-type density constant (the g03 model).
-      "t35_chunking", "p18_token_budget", "g14_label_propagation")
+      "t35_chunking", "p18_token_budget", "g14_label_propagation",
+      // d19 rides the same chunk stream as t35 (v27 reads embeddings,
+      // absent like v26).
+      "d19_chunk_dedup")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
