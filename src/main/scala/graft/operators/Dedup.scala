@@ -284,8 +284,19 @@ object Dedup {
       .withColumn("w", (floor((col("i") + 1) * col("ls") / kp1) - col("p")).cast("int"))
       .filter(col("w") > 0)
       .withColumn("delta", col("lb") - col("ls"))
-      .withColumn("lo", greatest(col("p") + col("delta") - (lit(k) - col("i")), lit(0)))
-      .withColumn("hi", least(col("p") + col("delta") + (lit(k) - col("i")),
+      // Multi-match-aware window (PassJoin §4.2): a true match is found
+      // via its FIRST untouched segment, which has ≤ i edits before it
+      // (each earlier segment absorbs ≥ 1) and ≤ k−i after — so the
+      // start shift is bounded BOTH by ±i and by Δ ± (k−i). The [p−i,
+      // p+i] intersection halves the summed window width (Σ 2min(i,k−i)
+      // vs Σ 2(k−i)) at zero recall cost; losslessness stays
+      // machine-checked (DedupSpec: equality with d11's independent
+      // length-band scheme on real data AND with brute force on planted
+      // boundary edit bursts; the all-pairs DP oracle gates every row).
+      .withColumn("lo", greatest(col("p") - col("i"),
+        col("p") + col("delta") - (lit(k) - col("i")), lit(0)))
+      .withColumn("hi", least(col("p") + col("i"),
+        col("p") + col("delta") + (lit(k) - col("i")),
         col("lb") - col("w")))
       .filter(col("lo") <= col("hi"))
       .select(col("b_id"), col("lb"), col("ls"), col("i"), col("tb"), col("w"),
