@@ -38,6 +38,15 @@ object Ann {
     * string interpolates it eagerly at object construction). */
   private val PowerIters = 6
 
+  /** v26's held-out-id ceiling: the eval sample is every 10th vector
+    * BELOW this id, so the broadcast test batch is bounded (≤ 5k
+    * vectors ≈ 1.3 MB) no matter how the corpus grows — an eval needs a
+    * fixed-size sample, not a corpus-proportional one. Never binds at
+    * the test SFs (max vec_id ≈ 5k at sf0.1), so the oracle rows are
+    * unchanged; at production scale it is the knob. (Declared before
+    * `defs` — eager oracle interpolation.) */
+  private val EvalIdCap = 50000
+
   private def queryVec(s: SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
@@ -1411,10 +1420,14 @@ object Ann {
     // trusting embeddings for semantic dedup (v11/d05) or cluster-based
     // mixing (v15) — low accuracy means the near-dup thresholds are
     // operating on noise. Plan shape = v07's batch-kNN contract: the
-    // held-out set is small by construction (a fixed sampling rate of
-    // the corpus) and BROADCAST; one map-side cosine pass over the train
-    // scan; two-phase GroupedTopK keeps ≤ |test|·k rows per task, so no
-    // scored-corpus shuffle ever happens. The vote argmax is ONE
+    // held-out set is BOUNDED — every 10th vector up to the
+    // [[EvalIdCap]] id ceiling (an eval needs a fixed-size sample, not
+    // a corpus-proportional one; without the cap the broadcast grows
+    // with the corpus and hits Spark's 8 GB broadcast limit) — and
+    // BROADCAST (≤ 5k×64 floats ≈ 1.3 MB); one map-side cosine pass
+    // over the train scan; two-phase GroupedTopK keeps ≤ |test|·k rows
+    // per task, so no scored-corpus shuffle ever happens. The vote
+    // argmax is ONE
     // max(struct) aggregate (g14's rule), the per-class rollup is tiny.
     // At index scale the scoring pass swaps for v22's IVF probe — the
     // eval rule (vote, tie-break, accuracy grid) is unchanged.
@@ -1422,7 +1435,7 @@ object Ann {
       (s, d) => {
         val k = 10
         val e = Tables.embeddings(s, d)
-        val test = e.filter(col("vec_id") % 10 === 0)
+        val test = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < EvalIdCap)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
             col("label").as("true_label"))
         val scored = e.filter(col("vec_id") % 10 =!= 0)
@@ -1445,9 +1458,9 @@ object Ann {
             (floor(col("n_correct").cast("double") / col("n_test")
               * 1000000 + 0.5) / 1000000).as("accuracy"))
       },
-      Some("""WITH q AS MATERIALIZED (
+      Some(s"""WITH q AS MATERIALIZED (
                 SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS true_label
-                FROM embeddings WHERE vec_id % 10 = 0),
+                FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < $EvalIdCap),
               sc AS MATERIALIZED (
                 SELECT q.q_id, q.true_label, e.vec_id, e.label,
                        row_number() OVER (PARTITION BY q.q_id

@@ -1257,7 +1257,9 @@ object Dedup {
     // RAG/pretraining corpus runs AFTER t35's windowing, where repeated
     // boilerplate (headers, licenses, templated passages) duplicates at
     // the window level even when whole documents differ. The chunk
-    // derivation IS t35's ([[TextAnalysis.chunked]] — one definition,
+    // derivation IS t35's ([[Chunking.chunked]] — one definition in a
+    // LEAF object, so this eager oracle interpolation cannot close a
+    // Dedup↔TextAnalysis object-init cycle,
     // so the dedup audits exactly the stream the pipeline emits), then
     // ONE hash exchange of (chunk_hash) with map-side combine, the d01
     // shape: at 100 TB nothing but 16-byte hashes + counters shuffle,
@@ -1266,12 +1268,12 @@ object Dedup {
     // and distinct-doc counts — the excision/weighting input at chunk
     // granularity (d14/d18's role one level down).
     ("d19_chunk_dedup",
-      (s, d) => TextAnalysis.chunked(Tables.documents(s, d))
+      (s, d) => Chunking.chunked(Tables.documents(s, d))
         .groupBy(col("chunk_hash"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_occurrences") >= 2),
-      Some(s"""WITH ${TextAnalysis.chunkOracleCte}
+      Some(s"""WITH ${Chunking.chunkOracleCte}
                SELECT chunk_hash,
                       CAST(count(*) AS BIGINT) AS n_occurrences,
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

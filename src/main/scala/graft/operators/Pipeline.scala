@@ -1054,26 +1054,39 @@ object Pipeline {
     // membership discipline, growth-invariant: adding docs never reorders
     // the survivors of the old prefix) until the running token total
     // exceeds the budget; the first doc that would cross the line is cut
-    // (hard cap, bounded-above semantics). ONE exchange: the running sum
-    // is a window over (source | hash order), then the per-source audit
-    // row collapses map-side. At 100 TB the window is the same
-    // source-keyed exchange p05 already pays, and sources are few — skew
-    // inside one source is bounded because the window needs only a
-    // running SUM, which AQE splits fine. Output is the audit table
-    // (kept/total docs + tokens + fill fraction per source) a mixture
-    // builder reads before materializing the kept set; the kept set
-    // itself is `cum <= B` on the same frame, zero extra exchanges.
+    // (hard cap, bounded-above semantics). The running sum is the
+    // p02/p04 SPLIT prefix sum, per source: a per-(source, md5-prefix
+    // bucket) local cumsum (parallel — a plain per-source window would
+    // put an entire source, multiple TB of one slice at 100 TB, through
+    // ONE task: window partitions don't AQE-split), bucket totals roll
+    // into per-source offsets through a window that sees only
+    // |sources|×256 aggregated rows, and offsets broadcast back. Bucket
+    // order is the md5-prefix order, so local+offset ≡ the global
+    // (h, doc_id) cumsum exactly (the p04 argument — the bucket IS a
+    // prefix of the sort key). Output is the audit table (kept/total
+    // docs + tokens + fill fraction per source) a mixture builder reads
+    // before materializing the kept set; the kept set itself is
+    // `cum <= B` on the same frame.
     ("p18_token_budget",
       (s, d) => {
         val budget = 3000L
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("h").asc, col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
+        val t = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
           .withColumn("h", md5(col("doc_id").cast("string")))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("bkt", substring(col("h"), 1, 2))
+        val wLocal = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("source"), col("bkt"))
+          .agg(sum(col("n_tokens")).as("btok"))
+          .withColumn("boff", coalesce(sum(col("btok")).over(wBkt), lit(0L)))
+          .select(col("source"), col("bkt"), col("boff"))
+        t.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+          .join(broadcast(offsets), Seq("source", "bkt"))
+          .withColumn("cum", col("local_cum") + col("boff"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs_total"),
             sum(col("n_tokens")).as("tokens_total"),

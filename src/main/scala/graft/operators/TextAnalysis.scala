@@ -95,27 +95,6 @@ object TextAnalysis {
     * default) when the defs Seq initializes. */
   private val TrIters = 10
 
-  /** t35/d19's window geometry — 32-token windows, stride 24 (8-token
-    * overlap). Declared BEFORE `defs` like [[TrIters]]: the oracle CTE
-    * interpolates them eagerly at object construction. */
-  private val ChunkSize = 32
-  private val ChunkStride = 24
-
-  /** Oracle twin of [[chunked]]: CTEs ending in
-    * `ch(doc_id, chunk_idx, start_word, n_tokens, chunk_hash)` —
-    * DuckDB's 1-based inclusive list slicing re-derives the stride grid,
-    * tail clamp and hashes. Declared BEFORE `defs` (eager
-    * interpolation, like [[TrIters]]). */
-  private[operators] val chunkOracleCte: String =
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), $ChunkStride)) AS start FROM w),
-       |ch AS (SELECT doc_id,
-       |              CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
-       |              CAST(start AS BIGINT) AS start_word,
-       |              CAST(len(ws[start + 1 : start + $ChunkSize]) AS BIGINT) AS n_tokens,
-       |              md5(array_to_string(ws[start + 1 : start + $ChunkSize], ' ')) AS chunk_hash
-       |       FROM st)""".stripMargin
-
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- t01: language ID by marker-word scoring ----------------------
@@ -1574,33 +1553,11 @@ object TextAnalysis {
     // from DuckDB's 1-based inclusive list slicing — stride grid, clamp
     // at the tail (last window may be short, never empty), hash.
     ("t35_chunking",
-      (s, d) => chunked(Tables.documents(s, d)),
-      Some(s"""WITH $chunkOracleCte
+      (s, d) => Chunking.chunked(Tables.documents(s, d)),
+      Some(s"""WITH ${Chunking.chunkOracleCte}
               SELECT doc_id, chunk_idx, start_word, n_tokens, chunk_hash
               FROM ch"""))
   )
-
-  /** t35's chunk derivation as a reusable frame — ONE definition of the
-    * window rule (size/stride/tail clamp/content hash) shared by t35
-    * (the chunk stream itself) and d19 (dedup over it), so the chunking
-    * a dedup audits can never drift from the chunking the pipeline
-    * emits. [[chunkOracleCte]] is its DuckDB twin under the same
-    * contract. Output: (doc_id, chunk_idx, start_word, n_tokens,
-    * chunk_hash). */
-  private[graft] def chunked(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"),
-        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(ChunkStride)))
-          .as(Seq("pos", "start")),
-        col("ws"))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("chunk_idx"),
-        col("start").cast("long").as("start_word"),
-        slice(col("ws"), col("start") + 1, lit(ChunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
-        size(col("chunk")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
 
   /** t13's BM25 search as a reusable frame: the top-20
     * (doc_id, dl, tf_spark, tf_join, tf_window, score) for the fixed

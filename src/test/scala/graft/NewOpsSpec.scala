@@ -44,6 +44,29 @@ class NewOpsSpec extends AnyFunSuite {
       if (r.getAs[Long]("n_docs_kept") == r.getAs[Long]("n_docs_total"))
         assert(kept == total)
     }
+    // PREFIX-ness: per source, the kept counters must equal the maximal
+    // md5-ordered prefix whose running token sum stays within budget —
+    // an arbitrary subset under the cap would pass the bounds above but
+    // break the growth-invariant ordering downstream mixers rely on.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val prefix = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .filter(col("cum") <= 3000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("p_docs"), sum(col("nt")).as("p_tokens"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("p_docs"), r.getAs[Long]("p_tokens"))).toMap
+    audit.foreach { r =>
+      val exp = prefix.getOrElse(r.getAs[String]("source"), (0L, 0L))
+      assert((r.getAs[Long]("n_docs_kept"), r.getAs[Long]("tokens_kept")) == exp,
+        s"kept set is not the md5-order prefix for ${r.getAs[String]("source")}")
+    }
   }
 
   test("g14 LPA refines g03's components: same nodes, never fewer groups") {
@@ -68,7 +91,7 @@ class NewOpsSpec extends AnyFunSuite {
     val rows = run("v26_knn_classify").collect()
     val nTest = rows.map(_.getAs[Long]("n_test")).sum
     val holdout = Tables.embeddings(spark, TestSpark.sf)
-      .filter(col("vec_id") % 10 === 0).count()
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 50000).count() // v26's EvalIdCap
     assert(nTest == holdout, s"classified $nTest of $holdout held-out vectors")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_correct") >= 0 &&
@@ -91,7 +114,7 @@ class NewOpsSpec extends AnyFunSuite {
       .filter(col("g") >= 2)
     if (dupDocs.count() > 0) {
       // sf0.01+ plants exact-dup docs; sf0.001's 50-doc slice may not.
-      val dupChunkHashes = operators.TextAnalysis
+      val dupChunkHashes = operators.Chunking
         .chunked(docs.join(dupDocs.select("doc_id"), "doc_id"))
         .select("chunk_hash").distinct()
       val reported = run("d19_chunk_dedup").select("chunk_hash")
@@ -100,7 +123,7 @@ class NewOpsSpec extends AnyFunSuite {
     }
     // The reported set must equal an independent regrouping of the
     // shared chunk stream (aggregation/threshold logic, hash-exact).
-    val expected = operators.TextAnalysis.chunked(docs)
+    val expected = operators.Chunking.chunked(docs)
       .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).count()
     assert(run("d19_chunk_dedup").count() == expected)

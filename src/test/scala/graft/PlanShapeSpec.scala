@@ -60,11 +60,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(600)}")
   }
 
-  test("p18 token budget: ONE source-keyed exchange serves window and rollup") {
-    val p = planOf("p18_token_budget")
-    assert(!p.contains("Join"), "budget sampling must be join-free")
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"one source exchange only, got $exchanges")
+  test("p18 token budget splits its per-source prefix sum like p02/p04") {
+    // The corpus cumsum must be (source, bucket)-partitioned — a plain
+    // per-source window puts an entire source through one task at
+    // scale; any coarser window may only see the bucket-total rows, and
+    // the offsets ride back as a broadcast, never a shuffle join.
+    val df = SparkEntry.queries("p18_token_budget")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local + bucket-offset windows, got ${wins.size}")
+    val (coarse, fine) = wins.partition(_.partitionSpec.size < 2)
+    assert(fine.nonEmpty, "corpus cumsum must be (source, bucket)-partitioned")
+    coarse.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"source-level window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+    val p = df.queryExecution.executedPlan.treeString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "bucket offsets must broadcast back")
   }
 
   test("d19 chunk dedup: join-free, only hash-and-counter exchanges") {
