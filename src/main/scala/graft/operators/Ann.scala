@@ -1558,8 +1558,130 @@ object Ann {
                       CAST(count(*) AS BIGINT) AS n_vecs,
                       CAST(sum(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
                       FLOOR(CAST(sum(mm) AS DOUBLE) / count(*) + 0.5) / 1000000 AS mean_margin
-               FROM m GROUP BY label"""))
+               FROM m GROUP BY label""")),
+
+    // ---- v28: spherical k-means (Lloyd) over the embedding corpus ------
+    // The TRAINING loop v15 only runs the assignment pass of: k=8 seeds
+    // (the deterministic lowest-vec_id prefix), two Lloyd updates, one
+    // final assignment. Spherical = assign by max cosine; the update is
+    // the plain per-dimension member mean WITHOUT renormalization —
+    // cosine is scale-invariant in the centroid, so the un-normalized
+    // mean assigns identically to the normalized one and costs one
+    // aggregate less. Cross-engine exactness composes three proven
+    // rules: the v27 sequential-fold dot/norm kernels, v15's packed-long
+    // argmax (cosine gridded to 1e-6 while scaled, cluster tie-break in
+    // the low 3 bits — argmin is max() over BIGINTs, never a float
+    // compare), and grid9 on the update means (v14's re-sync
+    // discipline), so three iterations cannot drift. Empty clusters die
+    // (standard Lloyd) — both engines drop them in the same GROUP BY.
+    // Plan shape per iteration: ONE corpus scan, assignment entirely
+    // map-side (all k centroids ride in a single collected row that
+    // BROADCASTS — k·dim doubles, not a join), and the only exchange is
+    // the k×dim-key update aggregate, map-side combined to ≤k·dim rows
+    // per task. At 100 TB: 3 scans, 3 tiny exchanges, zero corpus
+    // shuffles — the textbook distributed-k-means layout.
+    ("v28_kmeans", (s, d) => kmeansIters(s, d, iters = 2),
+      Some {
+        // one Lloyd pass as CTEs: assignment aN (packed-long argmax over
+        // the e × centroid cross join), member means uN (grid9), rebuilt
+        // centroid lists cN. MATERIALIZED per the g01 lesson — every cN
+        // feeds the next assignment twice (dot and norm).
+        def step(i: Int, prev: String): String =
+          s"""a$i AS MATERIALIZED (
+             |  SELECT e.vec_id,
+             |         max((CAST(FLOOR(list_sum(list_transform(range(1, ${SqDim + 1}),
+             |                j -> e.emb[j] * c.c[j])) / (e.vn * c.cnorm)
+             |                * 1000000 + 0.5) AS BIGINT)
+             |              + 1000000) * 8 + (7 - c.kc)) AS pk
+             |  FROM e, $prev c GROUP BY 1),
+             |u$i AS MATERIALIZED (
+             |  SELECT 7 - (a.pk % 8) AS kc, j - 1 AS pos,
+             |         FLOOR(avg(e.emb[j]) * 1000000000 + 0.5) / 1000000000 AS m
+             |  FROM a$i a JOIN e USING (vec_id), range(1, ${SqDim + 1}) t(j)
+             |  GROUP BY 1, 2),
+             |cl$i AS MATERIALIZED (
+             |  SELECT kc, list(m ORDER BY pos) AS c FROM u$i GROUP BY kc),
+             |c$i AS MATERIALIZED (
+             |  SELECT kc, c,
+             |         sqrt(list_sum(list_transform(range(1, ${SqDim + 1}),
+             |           j -> c[j] * c[j]))) AS cnorm
+             |  FROM cl$i)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+           |         sqrt(list_dot_product(embedding::DOUBLE[],
+           |                               embedding::DOUBLE[])) AS vn
+           |  FROM embeddings),
+           |c0 AS MATERIALIZED (
+           |  SELECT vec_id AS kc, emb AS c,
+           |         sqrt(list_sum(list_transform(range(1, ${SqDim + 1}),
+           |           j -> emb[j] * emb[j]))) AS cnorm
+           |  FROM e WHERE vec_id < 8),
+           |${step(1, "c0")},
+           |${step(2, "c1")},
+           |a3 AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |         max((CAST(FLOOR(list_sum(list_transform(range(1, ${SqDim + 1}),
+           |                j -> e.emb[j] * c.c[j])) / (e.vn * c.cnorm)
+           |                * 1000000 + 0.5) AS BIGINT)
+           |              + 1000000) * 8 + (7 - c.kc)) AS pk
+           |  FROM e, c2 c GROUP BY 1),
+           |f AS (SELECT 7 - (pk % 8) AS cluster, (pk // 8) - 1000000 AS g
+           |      FROM a3)
+           |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       FLOOR(CAST(sum(g) AS DOUBLE) / count(*) + 0.5) / 1000000
+           |         AS mean_sim,
+           |       CAST(min(g) AS DOUBLE) / 1000000 AS min_sim,
+           |       CAST(max(g) AS DOUBLE) / 1000000 AS max_sim
+           |FROM f GROUP BY cluster""".stripMargin
+      })
   )
+
+  /** v28's Lloyd loop with a parameterized update count (`iters`
+    * updates, then one final assignment + per-cluster rollup) — the
+    * NewOpsSpec monotonicity check runs it at 0 and 2 updates and compares
+    * the weighted objective. See the v28 defs entry for the contract. */
+  private[graft] def kmeansIters(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("vn"))
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("kc"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c"))
+    // all centroids in ONE row → assignment is a pure map pass
+    def packCents(cent: DataFrame): DataFrame = cent
+      .withColumn("cnorm", expr(
+        """sqrt(aggregate(transform(sequence(1, size(c)),
+          |  i -> element_at(c, i) * element_at(c, i)), 0D, (a, v) -> a + v))""".stripMargin))
+      .agg(sort_array(collect_list(struct(col("kc"), col("c"), col("cnorm"))))
+        .as("cents"))
+    def assigned(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(packCents(cent)))
+        .withColumn("pk", expr(
+          """aggregate(cents, CAST(-1 AS BIGINT), (best, s) ->
+            |  greatest(best,
+            |    (CAST(FLOOR(aggregate(transform(sequence(1, size(s.c)),
+            |       i -> CAST(element_at(embedding, i) AS DOUBLE) * element_at(s.c, i)),
+            |       0D, (a, v) -> a + v) / (vn * s.cnorm) * 1000000 + 0.5) AS BIGINT)
+            |     + CAST(1000000 AS BIGINT)) * CAST(8 AS BIGINT)
+            |     + (CAST(7 AS BIGINT) - s.kc)))""".stripMargin))
+    def updated(asg: DataFrame): DataFrame = asg
+      .select((lit(7L) - col("pk") % 8).as("kc"), posexplode(col("embedding")))
+      .groupBy(col("kc"), col("pos"))
+      .agg(Graph.grid9(avg(col("col"))).as("m"))
+      .groupBy(col("kc"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("sm"))
+      .select(col("kc"), expr("transform(sm, x -> x.m)").as("c"))
+    val cFinal = (1 to iters).foldLeft(seed) { (c, _) => updated(assigned(c)) }
+    assigned(cFinal)
+      .select((lit(7L) - col("pk") % 8).as("cluster"),
+        (expr("pk div 8") - 1000000L).as("g"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (floor(sum(col("g")).cast("double") / count(lit(1)) + 0.5) / 1000000)
+          .as("mean_sim"),
+        (min(col("g")).cast("double") / 1000000).as("min_sim"),
+        (max(col("g")).cast("double") / 1000000).as("max_sim"))
+  }
 
   /** The identical greedy unrolled as DuckDB CTEs (one anti-join +
     * redundancy-max + argmax per step), every CTE MATERIALIZED — each

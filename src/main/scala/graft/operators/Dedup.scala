@@ -145,6 +145,29 @@ object Dedup {
     (hs, cold, hotCnt)
   }
 
+  /** d23's winnowing fingerprint selection (k=4-token grams, window
+    * w=4 over the md5 gram-hash stream, keep each window's minimum) —
+    * `(doc_id, fps)` with fps the per-doc DISTINCT selected set. The
+    * gram array g and token array w are bound as LAMBDA variables
+    * (one-element-array transform) instead of projection aliases:
+    * CollapseProject substitutes an alias's defining expression into
+    * every lambda-body use, re-evaluating the md5 gram pass once PER
+    * WINDOW POSITION — O(m²) md5s per doc (v11's triple-eval disease;
+    * measured 93.5 s vs 1.5 s at sf0.1). A lambda variable is evaluated
+    * once per element = once per row, by construction. */
+  private[graft] def winnowSelect(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), expr(
+      """array_distinct(flatten(transform(
+        |  transform(array(split(text, ' ')), w ->
+        |    CASE WHEN size(w) >= 4
+        |      THEN transform(sequence(1, size(w) - 3),
+        |             i -> md5(concat_ws(' ', slice(w, i, 4))))
+        |      ELSE array(md5(concat_ws(' ', w))) END),
+        |  g -> CASE WHEN size(g) >= 4
+        |    THEN transform(sequence(1, size(g) - 3),
+        |           p -> array_min(slice(g, p, 4)))
+        |    ELSE array(array_min(g)) END)))""".stripMargin).as("fps"))
+
   private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
     val minJac = jacNum.toDouble / jacDen
     val (hs, cold, hotCnt) = gramIndex(s, d)
@@ -1277,7 +1300,91 @@ object Dedup {
                SELECT chunk_hash,
                       CAST(count(*) AS BIGINT) AS n_occurrences,
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-               FROM ch GROUP BY chunk_hash HAVING count(*) >= 2"""))
+               FROM ch GROUP BY chunk_hash HAVING count(*) >= 2""")),
+
+    // ---- d23: winnowing fingerprint overlap (MOSS) ---------------------
+    // (selection rule in [[winnowSelect]] — shared with the DedupSpec
+    // guarantee check so the k/w contract can't drift)
+    // Schleimer/Wilkerson/Aiken's winnowing (SIGMOD'03 — the MOSS
+    // algorithm) as a first-class overlap screen, the LOCAL-window
+    // completion of t04 (which runs window = whole doc): hash every
+    // 4-token gram, slide a window of 4 gram hashes, keep each window's
+    // minimum — the selected set is a deterministic ~2/(w+1) sample of
+    // the gram stream with the paper's guarantee that any shared token
+    // run of length ≥ k+w−1 = 7 contributes at least one shared
+    // fingerprint (no d02-style probabilistic miss). Docs with <4 grams
+    // degrade to t04's global-min rule; <4 tokens to the whole-text
+    // gram. Overlap is exact Jaccard on the selected sets after the
+    // GramDfCap rule (a fingerprint every boilerplate page shares
+    // generates df² candidate pairs and measures template reuse, not
+    // content overlap — the d04 contract one level up), thresholded at
+    // 1/2 by integer cross-multiplication (3·c ≥ na+nb — d04's no-
+    // false-drop rule; 0.5 is exact in binary but the integer form keeps
+    // the contract uniform). Plan: selection is ONE map-side HOF pass
+    // (array_distinct before explode — no distinct exchange ever);
+    // df rides the self-join's own fp exchange as a count window; the
+    // selected stream is localCheckpoint'd once and feeds candidates,
+    // both join sides, and the per-doc sizes. At 100 TB the shuffled
+    // stream is the ~w-fold-sparsified fingerprint sample, not the gram
+    // stream — winnowing's whole point, and why MOSS screens giant
+    // corpora: candidate work is (df ≤ cap)² per FINGERPRINT, on 1/(w+1)
+    // as many keys as d04 pays.
+    ("d23_winnowing",
+      (s, d) => {
+        val ex = winnowSelect(Tables.documents(s, d))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        val cold = ex.withColumn("df", count(lit(1)).over(wFp))
+          .filter(col("df") <= 1000).drop("df")
+          .localCheckpoint()
+        val nc = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        cold.as("a")
+          .join(cold.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(nc.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+          .join(nc.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+          .filter(col("n_shared") * 3 >= col("n_a") + col("n_b"))
+          .select(col("a_id"), col("b_id"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            (col("n_shared").cast("double")
+              / (col("n_a") + col("n_b") - col("n_shared"))).as("overlap"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              g AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 4
+                        THEN list_transform(range(1, len(w) - 2),
+                               i -> md5(array_to_string(w[i:i+3], ' ')))
+                        ELSE [md5(array_to_string(w, ' '))] END AS gr
+                    FROM toks),
+              sel AS (SELECT doc_id,
+                        CASE WHEN len(gr) >= 4
+                          THEN list_distinct(list_transform(range(1, len(gr) - 2),
+                                 p -> list_min(gr[p:p+3])))
+                          ELSE [list_min(gr)] END AS fps
+                      FROM g),
+              ex AS MATERIALIZED (
+                SELECT doc_id, unnest(fps) AS fp FROM sel),
+              cold AS MATERIALIZED (
+                SELECT * FROM ex WHERE fp IN (
+                  SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 1000)),
+              nc AS MATERIALIZED (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM cold GROUP BY doc_id),
+              pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                            CAST(count(*) AS BIGINT) AS n_shared
+                     FROM cold a JOIN cold b
+                       ON a.fp = b.fp AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+              SELECT pr.a_id, pr.b_id, pr.n_shared,
+                     na.n AS n_a, nb.n AS n_b,
+                     CAST(pr.n_shared AS DOUBLE)
+                       / (na.n + nb.n - pr.n_shared) AS overlap
+              FROM pr JOIN nc na ON na.doc_id = pr.a_id
+                      JOIN nc nb ON nb.doc_id = pr.b_id
+              WHERE pr.n_shared * 3 >= na.n + nb.n"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

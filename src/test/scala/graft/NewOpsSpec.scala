@@ -133,6 +133,84 @@ class NewOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("v28 k-means partitions the corpus; Lloyd updates don't lower the objective") {
+    val rows = run("v28_kmeans").collect()
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n,
+      "every vector must land in exactly one cluster")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      assert(c >= 0 && c < 8)
+      assert(r.getAs[Double]("min_sim") <= r.getAs[Double]("max_sim"))
+      assert(r.getAs[Double]("max_sim") <= 1.000001 &&
+        r.getAs[Double]("min_sim") >= -1.000001)
+    }
+    // Weighted objective (mean assigned cosine) after two Lloyd updates
+    // vs the raw seed assignment. The un-normalized mean update is not
+    // the exact cosine-objective maximizer when vector norms vary, so
+    // allow a small tolerance — but a sign/argmax wiring bug would
+    // CRATER this, not shave it.
+    def obj(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(r => r.getAs[Long]("n_vecs") * r.getAs[Double]("mean_sim")).sum / n
+    val it0 = operators.Ann.kmeansIters(spark, TestSpark.sf, iters = 0).collect()
+    assert(obj(rows) >= obj(it0) - 1e-3,
+      s"objective fell: seed=${obj(it0)} after-2-updates=${obj(rows)}")
+    val again = run("v28_kmeans").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "k-means must be deterministic run-to-run")
+  }
+
+  test("d23 winnowing guarantee: pairs sharing a 7-token run share a fingerprint") {
+    // The paper's guarantee, machine-checked on real data: any two docs
+    // sharing a contiguous run of ≥ k+w−1 = 7 tokens must share at least
+    // one SELECTED fingerprint (pre-cap, pre-threshold). The 7-gram
+    // truth is derived independently of the selection code.
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val g7 = docs.select(col("doc_id"), explode(expr(
+        """flatten(transform(array(split(text, ' ')), w ->
+          |  CASE WHEN size(w) >= 7
+          |    THEN transform(sequence(1, size(w) - 6),
+          |           i -> md5(concat_ws(' ', slice(w, i, 7))))
+          |    ELSE array() END))""".stripMargin)).as("h")).distinct()
+    val runPairs = g7.as("a").join(g7.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(runPairs.nonEmpty, "fixture must contain shared 7-token runs")
+    val fp = operators.Dedup.winnowSelect(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fpPairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = runPairs -- fpPairs
+    assert(missed.isEmpty, s"winnowing guarantee violated for: ${missed.take(5)}")
+  }
+
+  test("d23 selection is sparse and the overlap report is internally consistent") {
+    // Winnowing keeps an expected ~2/(w+1) = 0.4 of the gram stream;
+    // assert the per-corpus selected fraction lands in a generous band
+    // (a selection bug that keeps everything, or window-min gone wrong
+    // keeping one per doc, both fall outside it on 40+-gram docs).
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val stats = operators.Dedup.winnowSelect(docs)
+      .join(docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 3, lit(1)).as("m")), "doc_id")
+      .filter(col("m") >= 40)
+      .agg(sum(size(col("fps"))).cast("double").as("sel"), sum(col("m")).cast("double").as("grams"))
+      .head()
+    val frac = stats.getAs[Double]("sel") / stats.getAs[Double]("grams")
+    assert(frac > 0.15 && frac < 0.55, s"selected fraction $frac outside winnowing band")
+    val rep = run("d23_winnowing").collect()
+    assert(rep.nonEmpty, "planted exact dups must surface as overlap pairs")
+    rep.foreach { r =>
+      val (c, na, nb) = (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(c <= math.min(na, nb) && c * 3 >= na + nb)
+      val ov = r.getAs[Double]("overlap")
+      assert(ov >= 0.5 - 1e-12 && ov <= 1.0)
+    }
+  }
+
   test("v27 margin audit accounts for every vector with bounded margins") {
     val rows = run("v27_label_margin").collect()
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum

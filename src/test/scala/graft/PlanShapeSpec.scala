@@ -104,6 +104,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("v28 k-means: centroids broadcast, corpus never shuffle-joins") {
+    // Each Lloyd pass must be one map-side assignment (all k centroids in
+    // a single broadcast row) + tiny k×dim aggregates; a shuffle join or
+    // a per-centroid join row-explosion here multiplies the corpus scan.
+    val p = planOf("v28_kmeans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "centroids must broadcast, never shuffle-join")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 5, s"3 assignment scans + seed reads only, got $scans")
+  }
+
+  test("d23 winnowing: fp equi-joins only, fingerprint stream stays sparse") {
+    // Candidate generation must stay the fingerprint-keyed equi-join;
+    // an all-pairs rewrite (cartesian / nested-loop between doc frames)
+    // would defeat winnowing's whole sparsification point.
+    val p = planOf("d23_winnowing")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t07 tf-idf never broadcasts the vocabulary-sized df table") {
     // At 100 TB the per-term df table is billions of rows: broadcasting it
     // is a guaranteed OOM. df must ride a term-keyed count window over tf

@@ -155,7 +155,10 @@ object ScaleSmokeMain {
       "t35_chunking", "p18_token_budget", "g14_label_propagation",
       // d19 rides the same chunk stream as t35 (v27 reads embeddings,
       // absent like v26).
-      "d19_chunk_dedup")
+      "d19_chunk_dedup",
+      // d23's fingerprint space is replica-disjoint like every gram
+      // family (v28 reads embeddings, absent like v14).
+      "d23_winnowing")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
