@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants over GENERATED inputs (ScalaCheck Gen with
+  * fixed seeds — deterministic run-to-run, no flaky CI surface). The
+  * planted-fixture specs pin behavior on the shipped corpus; these pin
+  * it on adversarially random shapes the corpus doesn't contain (odd
+  * lengths, tie storms, skew, boundary insertions). Each property
+  * evaluates as ONE Spark job over a generated frame, not a job per
+  * case — scalacheck generates the data, Spark checks the invariant
+  * column-wise. */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("chunking tiles any word count exactly: chunk i holds min(32, nw - 24i) tokens") {
+    val nws = sample(Gen.chooseNum(1, 200), 300, seed = 11L)
+    val docs = nws.zipWithIndex
+      .map { case (nw, id) => (id.toLong, (1 to nw).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val bad = operators.Chunking.chunked(docs)
+      .join(nws.zipWithIndex.map { case (nw, id) => (id.toLong, nw.toLong) }
+        .toDF("doc_id", "nw"), "doc_id")
+      .filter(col("start_word") =!= col("chunk_idx") * 24 ||
+        col("n_tokens") =!= least(lit(32L), col("nw") - col("chunk_idx") * 24))
+      .count()
+    assert(bad == 0, s"$bad chunks off the stride/clamp grid")
+    // Chunk count is ⌈nw/24⌉ for every generated length, incl. nw < 32.
+    val counts = operators.Chunking.chunked(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(nws.zipWithIndex.map { case (nw, id) => (id.toLong, nw.toLong) }
+        .toDF("doc_id", "nw"), "doc_id")
+      .filter(col("n_chunks") =!= floor((col("nw") - 1) / 24) + 1)
+      .count()
+    assert(counts == 0)
+  }
+
+  test("winnowing guarantee holds on random docs with planted 7-token shared runs") {
+    // Random token soup from a 30-word vocab (natural repeats included),
+    // with doc B receiving a random 7-token slice of doc A at a random
+    // insertion point — every generated pair MUST share a fingerprint.
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docGen = for {
+      n <- Gen.chooseNum(20, 80)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ts
+    val pairGen = for {
+      a <- docGen
+      b <- docGen
+      runStart <- Gen.chooseNum(0, a.length - 7)
+      insAt <- Gen.chooseNum(0, b.length)
+    } yield (a, b.take(insAt) ++ a.slice(runStart, runStart + 7) ++ b.drop(insAt))
+    val pairs = sample(pairGen, 150, seed = 23L)
+    val docs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a.mkString(" ")), (2L * i + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val fp = operators.Dedup.winnowSelect(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sharing = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") + 1 === col("y.doc_id") &&
+          col("x.doc_id") % 2 === 0)
+      .select((col("x.doc_id") / 2).cast("long").as("pair")).distinct().count()
+    assert(sharing == pairs.size,
+      s"only $sharing of ${pairs.size} planted-run pairs share a fingerprint")
+  }
+
+  test("GroupedTopK equals the window-rank truth under tie storms") {
+    // Scores drawn from 4 values force heavy ties; the (score desc,
+    // id asc) order must resolve them identically in the custom operator
+    // and the window form, for every generated group size.
+    val rowGen = for {
+      grp <- Gen.chooseNum(0, 12)
+      score <- Gen.oneOf(0.0, 1.0, 2.0, 3.0)
+    } yield (grp, score)
+    val rows = sample(rowGen, 800, seed = 37L).zipWithIndex
+      .map { case ((g, s), id) => (g, s, id.toLong) }
+    val df = rows.toDF("grp", "score", "id")
+    val got = org.apache.spark.sql.graft.GroupedTopKApi
+      .topKPerGroup(df, Seq("grp"), Seq("score" -> true, "id" -> false), 3)
+      .select("grp", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("grp", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("saltedCount equals plain groupBy count under generated skew") {
+    // 10:3:1 frequency skew — the shape the salt exists for.
+    val keyGen = Gen.frequency(
+      (10, Gen.const(0L)), (3, Gen.const(1L)), (1, Gen.chooseNum(2L, 20L)))
+    val keys = sample(keyGen, 2000, seed = 41L).toDF("k")
+    val got = operators.Skew.saltedCount(keys, col("k"), buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = keys.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("bloom prefilter never false-negatives on generated members") {
+    val members = sample(Gen.chooseNum(Long.MinValue, Long.MaxValue), 500, seed = 53L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(500, 0.01)
+    members.foreach(bf.putLong)
+    val missed = members.toDF("v")
+      .filter(!org.apache.spark.sql.graft.BloomExpressions
+        .mightContainLong(col("v"), bf))
+      .count()
+    assert(missed == 0, s"$missed true members rejected — false negatives")
+  }
+}
