@@ -25,7 +25,7 @@ import org.apache.spark.sql.graft.TextHash.{qualityFeaturesCol, shingleHashSet}
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  val defs: Seq[(String, Q, Option[String])] = Seq(
+  val defs: Seq[(String, Q, Option[String])] = (Seq(
     ("p01_curation_pipeline",
       (s, d) => {
         val stop = Seq("the", "a", "of", "and", "is")
@@ -1118,7 +1118,93 @@ object Pipeline {
                      FLOOR(CAST(sum(CASE WHEN cum <= 3000 THEN n_tokens ELSE 0 END)
                        AS DOUBLE) / 3000 * 1000000 + 0.5) / 1000000 AS budget_fill
               FROM c GROUP BY source"""))
-  )
+  ): Seq[(String, Q, Option[String])]) ++ Seq(dsirDef)
+
+  // ---- p19: DSIR importance weights (hashed n-gram features) -----------
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score
+    * every document by how target-like its hashed n-gram profile is —
+    * logw(doc) = Σ_g [ln p̂_target(bucket(g)) − ln p̂_raw(bucket(g))],
+    * the log importance ratio under bag-of-hashed-grams unigram models.
+    * The target here is the lang='en' slice (standing in for "quality
+    * domain sample" — the mechanism, hashed features + smoothed count
+    * ratio + per-doc sum, is the production path). Features are
+    * unigrams + bigrams hashed to 8192 buckets via the house md5-prefix
+    * u32 (p05's recipe), counts Laplace-smoothed (+0.5 per bucket).
+    *
+    * Scale shape at 100 TB: the MODEL is fixed-size — 8192 buckets
+    * regardless of corpus or vocabulary (that is the point of hashed
+    * features), built by one gram-stream aggregate whose exchange
+    * carries ≤ 8192 rows per task after map-side combine. The learned
+    * log-ratios are then collected (64 KB — bounded like Pq's 4096-row
+    * sample and Bpe's vocab) and scoring is a map-side array lookup +
+    * integer fold INSIDE the scan projection: the scored corpus never
+    * shuffles (PlanShapeSpec gates zero exchanges on the returned
+    * plan). Per-bucket log-ratios are micro-gridded to integer
+    * micronats BEFORE the per-doc sum, so the fold is an exact integer
+    * sum — order-free, oracle-exact (the t19 grid argument: ln is
+    * libm-owned, per-term ulp ≪ grid slack). */
+  private lazy val dsirDef: (String, Q, Option[String]) = {
+    val B = 8192
+    def bucket(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % B).cast("int")
+    def withGrams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("ws"),
+          when(size(col("ws")) >= 2, expr(
+            "transform(sequence(0, size(ws) - 2), " +
+              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+            .otherwise(slice(col("ws"), 1, 0))).as("gs"))
+    ("p19_dsir_weights",
+      (s, d) => {
+        val g = withGrams(Tables.documents(s, d))
+        val model = g.select(col("lang"), explode(col("gs")).as("gram"))
+          .select(col("lang"), bucket(col("gram")).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cr"),
+            count(when(col("lang") === "en", 1)).as("ct"))
+        val tot = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+        val lrm = model.crossJoin(broadcast(tot))
+          .select(col("bucket"),
+            floor((log((col("ct") + 0.5) / (col("nt") + 4096.0)) -
+              log((col("cr") + 0.5) / (col("nr") + 4096.0))) * 1000000 + 0.5)
+              .cast("long").as("lrm"))
+        val table = Array.fill[Long](B)(0L)
+        lrm.collect().foreach(r => table(r.getInt(0)) = r.getLong(1))
+        val lut = typedLit(table.toSeq)
+        g.select(col("doc_id"),
+            size(col("gs")).cast("long").as("n_grams"),
+            aggregate(
+              transform(col("gs"), gm => element_at(lut, bucket(gm) + 1)),
+              lit(0L), (a, v) => a + v).as("logw_micro"))
+          .withColumn("logw", col("logw_micro").cast("double") / 1000000)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+              g AS (SELECT doc_id, lang,
+                      list_concat(ws, CASE WHEN len(ws) >= 2
+                        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                        ELSE []::VARCHAR[] END) AS gs FROM w),
+              b AS (SELECT doc_id, lang,
+                      CAST(CAST(list_sum(list_transform(range(1, 9),
+                        i -> (strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1)
+                             * 16.0 ** (8 - i))) AS BIGINT) % $B AS INT) AS bucket
+                    FROM (SELECT doc_id, lang, unnest(gs) AS gram FROM g)),
+              m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+                      CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+                    FROM b GROUP BY 1),
+              tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                             CAST(sum(ct) AS BIGINT) AS nt FROM m),
+              lr AS (SELECT bucket,
+                      CAST(FLOOR((ln((ct + 0.5) / (nt + 4096.0))
+                                  - ln((cr + 0.5) / (nr + 4096.0)))
+                        * 1000000 + 0.5) AS BIGINT) AS lrm
+                    FROM m, tot),
+              sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                      CAST(sum(lrm) AS BIGINT) AS logw_micro
+                    FROM b JOIN lr USING (bucket) GROUP BY 1)
+              SELECT doc_id, n_grams, logw_micro,
+                     CAST(logw_micro AS DOUBLE) / 1000000 AS logw FROM sc"""))
+  }
 
   /** p04's deterministic shuffle + token-budget sharding core —
     * (doc_id, skey, n_tokens, tok_start, shard_id) for every doc. ONE

@@ -1556,7 +1556,84 @@ object TextAnalysis {
       (s, d) => Chunking.chunked(Tables.documents(s, d)),
       Some(s"""WITH ${Chunking.chunkOracleCte}
               SELECT doc_id, chunk_idx, start_word, n_tokens, chunk_hash
-              FROM ch"""))
+              FROM ch""")),
+
+    // ---- t36: rule-based quality gate (Gopher-style) -------------------
+    // The published transparent alternative to t18's learned classifier:
+    // the Gopher repetition/format rule family (Rae et al. 2021, App. A)
+    // as per-rule boolean flags plus the conjunction — auditable PER
+    // RULE, which is why production curation stacks run both (a learned
+    // score for ranking, hard rules for floor guarantees). Rules, with
+    // thresholds calibrated to this corpus where the published number
+    // sits outside its range (mechanism unchanged): word count in
+    // [20, 100000]; mean word length in [4, 10]; '#'- and '...'-to-word
+    // ratios < 0.1; fraction of words containing an alphabetic char
+    // > 0.8; ≥ 2 stop words (the t01 marker union — the published rule's
+    // list swap). Every feature is integer counting; the ratios are
+    // single rational divisions compared against exactly-representable
+    // constants — IEEE-exact cross-engine, no gridding. ZERO exchanges
+    // (one scan, one kernel pass): the gate runs at parquet-scan speed
+    // at any corpus size, exactly like t18 — PlanShapeSpec gates both.
+    ("t36_gopher_rules",
+      (s, d) => {
+        val stop = markers.flatMap(_._2).distinct
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), words(col("text")).as("w"),
+            (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+              .cast("long").as("n_hash"),
+            ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+              .cast("long").as("n_ellipsis"))
+          .select(col("doc_id"), col("source"),
+            size(col("w")).cast("long").as("n_words"),
+            aggregate(transform(col("w"), x => length(x).cast("long")),
+              lit(0L), (a, v) => a + v).as("sum_wl"),
+            size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+            countIn(col("w"), stop).as("n_stop"),
+            col("n_hash"), col("n_ellipsis"))
+          .select(col("doc_id"), col("source"), col("n_words"),
+            (col("sum_wl").cast("double") / col("n_words")).as("mean_wl"),
+            (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+            col("n_stop"),
+            (col("n_words") >= 20 && col("n_words") <= 100000).as("r_wordcount"),
+            (col("sum_wl").cast("double") / col("n_words") >= 4.0 &&
+              col("sum_wl").cast("double") / col("n_words") <= 10.0).as("r_meanwl"),
+            (col("n_hash").cast("double") / col("n_words") < 0.1 &&
+              col("n_ellipsis").cast("double") / col("n_words") < 0.1).as("r_symbol"),
+            (col("n_alpha").cast("double") / col("n_words") > 0.8).as("r_alpha"),
+            (col("n_stop") >= 2).as("r_stop"))
+          .withColumn("keep",
+            col("r_wordcount") && col("r_meanwl") && col("r_symbol") &&
+              col("r_alpha") && col("r_stop"))
+      },
+      Some(s"""WITH f AS (
+                 SELECT doc_id, source, string_split(text, ' ') AS w,
+                        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                        CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis
+                 FROM documents),
+               c AS (
+                 SELECT doc_id, source,
+                        CAST(len(w) AS BIGINT) AS n_words,
+                        CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_wl,
+                        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                        CAST(${sqlCountIn(markers.flatMap(_._2).distinct)} AS BIGINT) AS n_stop,
+                        n_hash, n_ellipsis
+                 FROM f),
+               r AS (
+                 SELECT doc_id, source, n_words,
+                        CAST(sum_wl AS DOUBLE) / n_words AS mean_wl,
+                        CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+                        n_stop,
+                        n_words >= 20 AND n_words <= 100000 AS r_wordcount,
+                        CAST(sum_wl AS DOUBLE) / n_words >= 4.0
+                          AND CAST(sum_wl AS DOUBLE) / n_words <= 10.0 AS r_meanwl,
+                        CAST(n_hash AS DOUBLE) / n_words < 0.1
+                          AND CAST(n_ellipsis AS DOUBLE) / n_words < 0.1 AS r_symbol,
+                        CAST(n_alpha AS DOUBLE) / n_words > 0.8 AS r_alpha,
+                        n_stop >= 2 AS r_stop
+                 FROM c)
+               SELECT *,
+                      r_wordcount AND r_meanwl AND r_symbol AND r_alpha AND r_stop AS keep
+               FROM r"""))
   )
 
   /** t13's BM25 search as a reusable frame: the top-20

@@ -211,6 +211,50 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t36 gopher rules discriminate and the keep bit is the exact conjunction") {
+    val rules = run("t36_gopher_rules")
+    val n = rules.count()
+    assert(n == Tables.documents(spark, TestSpark.sf).count(), "one row per doc")
+    // keep must equal the AND of the five flags on every row.
+    assert(rules.filter(col("keep") =!=
+      (col("r_wordcount") && col("r_meanwl") && col("r_symbol") &&
+        col("r_alpha") && col("r_stop"))).count() == 0)
+    // The gate must actually GATE on this corpus: the word-count and
+    // stop-word rules each fail somewhere, and the conjunction sits
+    // strictly between 0 and 1 (an all-pass or all-fail rule set means
+    // the thresholds are mis-calibrated and the oracle proves nothing).
+    assert(rules.filter(!col("r_wordcount")).count() > 0)
+    assert(rules.filter(!col("r_stop")).count() > 0)
+    val kept = rules.filter(col("keep")).count()
+    assert(kept > 0 && kept < n, s"degenerate keep rate $kept/$n")
+    // Flag↔feature consistency spot: r_stop ⇔ n_stop >= 2.
+    assert(rules.filter(col("r_stop") =!= (col("n_stop") >= 2)).count() == 0)
+  }
+
+  test("p19 DSIR weights separate target-like docs and stay deterministic") {
+    val w1 = run("p19_dsir_weights")
+    // The whole point of the importance weight: documents FROM the
+    // target slice (lang='en') must average a higher log-ratio than
+    // documents outside it — if they don't, the model learned nothing
+    // and the operator is mis-wired.
+    val byLang = w1.join(
+        Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("logw")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getAs[Double]("m")).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} must exceed non-en ${byLang(false)}")
+    // n_grams is exactly 2·nw − 1 (unigrams + bigrams) for nw ≥ 2, 1 for nw = 1.
+    val nw = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+    assert(w1.join(nw, "doc_id")
+      .filter(col("n_grams") =!=
+        when(col("nw") >= 2, col("nw") * 2 - 1).otherwise(1L)).count() == 0)
+    // Model re-derivation is deterministic: a second build bit-matches.
+    val w2 = run("p19_dsir_weights")
+    assert(w1.exceptAll(w2).count() == 0 && w2.exceptAll(w1).count() == 0)
+  }
+
   test("v27 margin audit accounts for every vector with bounded margins") {
     val rows = run("v27_label_margin").collect()
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum

@@ -115,6 +115,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 5, s"3 assignment scans + seed reads only, got $scans")
   }
 
+  test("t36 gopher rules are pure map work: zero exchanges of any kind") {
+    // The t18 contract for the rule gate: every feature is per-row
+    // counting, so the whole rule family must fuse into the scan
+    // projection — an exchange here would shuffle a 100 TB corpus to
+    // evaluate row-local booleans.
+    val p = planOf("t36_gopher_rules")
+    assert(!p.contains("Exchange"), s"rule gate must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), "rule gate must be join-free")
+  }
+
+  test("p19 DSIR scoring is map-side: the scored corpus never shuffles") {
+    // The model is collected into an 8192-slot literal lookup table at
+    // build time; the returned scoring plan must be scan + projection
+    // only. Any exchange/join here means the corpus is being shuffled
+    // to apply a fixed-size model — the exact failure hashed features
+    // exist to prevent.
+    val p = planOf("p19_dsir_weights")
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), "scoring must be join-free")
+  }
+
   test("d23 winnowing: fp equi-joins only, fingerprint stream stays sparse") {
     // Candidate generation must stay the fingerprint-keyed equi-join;
     // an all-pairs rewrite (cartesian / nested-loop between doc frames)
