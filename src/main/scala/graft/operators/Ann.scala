@@ -1633,7 +1633,80 @@ object Ann {
            |       CAST(min(g) AS DOUBLE) / 1000000 AS min_sim,
            |       CAST(max(g) AS DOUBLE) / 1000000 AS max_sim
            |FROM f GROUP BY cluster""".stripMargin
-      })
+      }),
+
+    // ---- v29: cluster-balanced sampling (diversity flattening) ---------
+    // The SemDeDup/DataComp-style diversity step AFTER clustering: keep
+    // an equal quota from every embedding cluster so head topics stop
+    // dominating the training mix (the cluster-level complement of
+    // p03's per-source budgets). Assignment is v15's packed-long argmax
+    // against the 8 broadcast seed centroids (map-side combinable,
+    // integer-exact cross-engine); the within-cluster keep order is the
+    // house md5(vec_id) shuffle key, ranked by the p18/p20 SPLIT form —
+    // (cluster, md5-prefix bucket) local row_number + broadcast bucket
+    // offsets — so no cluster funnels through one task (a plain
+    // 8-partition window is the textbook skew bug at 100 TB). The quota
+    // is all-integer: keep ⌈n/4⌉ vectors total, ⌈that/8⌉ per cluster —
+    // the global count rides in as a broadcast 1-row aggregate. Plan:
+    // one vec_id-keyed exchange (argmax), one (cluster, bucket)-keyed
+    // exchange (rank), everything else broadcast — 2 corpus exchanges.
+    ("v29_balanced_sample",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("semb"))
+        val gInt = floor(cosine(col("embedding"), col("semb")) * 1000000 + 0.5)
+          .cast("long")
+        val packed = (gInt + 1000000L) * 8L + (lit(7L) - col("seed_id"))
+        val assigned = e.filter(col("vec_id") >= 8)
+          .crossJoin(broadcast(seeds))
+          .select(col("vec_id"), packed.as("pk"))
+          .groupBy(col("vec_id")).agg(max(col("pk")).as("pk"))
+          .select(col("vec_id"), (lit(7L) - col("pk") % 8).as("cluster"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .withColumn("bkt", substring(col("h"), 1, 2))
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"), col("bkt"))
+          .orderBy(col("h").asc, col("vec_id").asc)
+        val wBkt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("bkt"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offsets = assigned.groupBy(col("cluster"), col("bkt"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
+          .select(col("cluster"), col("bkt"), col("boff"))
+        val tot = assigned.agg(count(lit(1)).as("n_total"))
+        assigned
+          .withColumn("lrk", row_number().over(wLocal).cast("long"))
+          .join(broadcast(offsets), Seq("cluster", "bkt"))
+          .withColumn("rk", col("lrk") - 1 + col("boff"))
+          .crossJoin(broadcast(tot))
+          .select(col("vec_id"), col("cluster"), col("rk"),
+            (col("rk") < expr("((n_total + 3) div 4 + 7) div 8")).as("kept"))
+      },
+      Some("""WITH seeds AS (
+                SELECT vec_id AS seed_id, embedding::DOUBLE[] AS semb
+                FROM embeddings WHERE vec_id < 8),
+              sims AS (
+                SELECT v.vec_id,
+                       (CAST(FLOOR(list_cosine_similarity(v.embedding::DOUBLE[],
+                                                          s.semb) * 1000000 + 0.5)
+                             AS BIGINT) + 1000000) * 8 + (7 - s.seed_id) AS pk
+                FROM embeddings v CROSS JOIN seeds s
+                WHERE v.vec_id >= 8),
+              best AS (
+                SELECT vec_id, 7 - (max(pk) % 8) AS cluster FROM sims GROUP BY 1),
+              r AS (
+                SELECT vec_id, cluster,
+                       CAST(row_number() OVER (
+                         PARTITION BY cluster
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                         AS BIGINT) AS rk,
+                       CAST(count(*) OVER () AS BIGINT) AS n_total
+                FROM best)
+              SELECT vec_id, cluster, rk,
+                     rk < ((n_total + 3) // 4 + 7) // 8 AS kept
+              FROM r"""))
   )
 
   /** v28's Lloyd loop with a parameterized update count (`iters`

@@ -61,6 +61,7 @@ object OracleExport {
   val SpectralPath = s"$Root/spectral_feats.parquet"
   val PatchPath = s"$Root/patch_feats.parquet"
   val SketchPath = s"$Root/q33_sketches.parquet"
+  val PackAllocPath = s"$Root/pack_alloc.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 

@@ -255,6 +255,94 @@ class NewOpsSpec extends AnyFunSuite {
     assert(w1.exceptAll(w2).count() == 0 && w2.exceptAll(w1).count() == 0)
   }
 
+  test("p20 SPFHP packing: exact cover, capacity respected, beats one-doc packs") {
+    val a = run("p20_histogram_packing")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    // Exact cover: one row per doc, no doc in two slots.
+    assert(a.count() == n && a.select("doc_id").distinct().count() == n)
+    // No two docs share a (pack_id, slot_idx) slot.
+    assert(a.groupBy("pack_id", "slot_idx").count().filter(col("count") > 1).count() == 0)
+    // Per-pack fill: the docs actually assigned to a pack sum to its
+    // pattern's declared fill, and never exceed L=128.
+    val perPack = a.groupBy("pack_id").agg(
+      sum(col("n_tokens")).as("fill"), first(col("pack_fill")).as("declared"),
+      count(lit(1)).as("slots"), first(col("n_slots")).as("declared_slots"))
+    assert(perPack.filter(col("fill") =!= col("declared") || col("fill") > 128).count() == 0)
+    assert(perPack.filter(col("slots") =!= col("declared_slots")).count() == 0)
+    // Packing must actually pack: strictly fewer packs than docs, and
+    // padding strictly better than the one-doc-per-pack baseline.
+    val packs = a.select("pack_id").distinct().count()
+    assert(packs < n, s"$packs packs for $n docs — nothing packed")
+    val tok = a.agg(sum(col("n_tokens"))).head().getLong(0)
+    val waste = 128.0 * packs - tok
+    val naive = 128.0 * n - tok
+    assert(waste < naive / 2, f"padding $waste%.0f not < half of naive $naive%.0f")
+    // Deterministic: a rebuild bit-matches.
+    val b = run("p20_histogram_packing")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("p20 SPFHP solver invariants hold on adversarial histograms") {
+    val L = 128
+    val hists = Seq(
+      Map(128 -> 10L),                       // exact-fit only
+      Map(1 -> 1000L),                       // tiny docs, deep packs
+      Map(127 -> 5L, 1 -> 5L),               // perfect complements
+      Map(65 -> 100L),                       // >L/2: can never pair
+      (10 to 100).map(l => l -> (l % 7 + 1).toLong).toMap)
+    for (h <- hists) {
+      val pats = graft.operators.Pipeline.spfhp(h, L)
+      // capacity respected
+      assert(pats.forall(_._1.sum <= L), s"overfull pack for $h")
+      // exact cover is require()d inside; >L/2 lengths get 1 slot per pack
+      if (h.keySet == Set(65)) assert(pats.forall(_._1 == List(65)))
+      // allocation unrolls consistently: per-length interval counts
+      // cover the histogram exactly
+      val alloc = graft.operators.Pipeline.spfhpAlloc(h, L)
+      val byLen = alloc.groupBy(_._1).map { case (l, g) => l -> g.map(_._5).sum }
+      assert(byLen == h, s"allocation cover mismatch for $h")
+      // rank intervals are disjoint and contiguous from 0 per length
+      for ((l, g) <- alloc.groupBy(_._1)) {
+        val iv = g.map(r => (r._4, r._4 + r._5)).sortBy(_._1)
+        assert(iv.head._1 == 0L && iv.sliding(2).forall {
+          case Seq((_, e), (s2, _)) => e == s2
+          case _ => true
+        }, s"rank gaps for len $l in $h")
+      }
+    }
+  }
+
+  test("v29 balanced sample: quota flattens clusters, every vector accounted") {
+    val a = run("v29_balanced_sample")
+    val nVecs = Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") >= 8).count()
+    // Every non-seed vector gets exactly one row.
+    assert(a.count() == nVecs && a.select("vec_id").distinct().count() == nVecs)
+    val q = (((nVecs + 3) / 4) + 7) / 8
+    // Per cluster: kept = min(quota, cluster size), and the kept set is
+    // exactly the lowest-rank prefix (rank < q ⇔ kept).
+    assert(a.filter(col("kept") =!= (col("rk") < q)).count() == 0)
+    val per = a.groupBy("cluster").agg(
+      count(lit(1)).as("n"), sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      .collect()
+    assert(per.forall(r => r.getAs[Long]("k") == math.min(q, r.getAs[Long]("n"))))
+    // The sample must actually flatten: no cluster exceeds the quota,
+    // so the kept distribution's max/min ratio is bounded by q/(smallest
+    // full cluster) — in particular strictly tighter than the raw one
+    // whenever clusters are skewed.
+    val raw = per.map(_.getAs[Long]("n"))
+    val kept = per.map(_.getAs[Long]("k"))
+    assert(kept.max <= q)
+    assert(kept.sum <= (nVecs + 3) / 4 + 8, "total stays near the 25% target")
+    // Ranks are a within-cluster permutation: 0..n-1 per cluster.
+    val rkOk = a.groupBy("cluster").agg(
+      min(col("rk")).as("lo"), max(col("rk")).as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
+    assert(rkOk.count() == 0, "split rank must be a contiguous 0-based permutation")
+    assert(raw.max >= kept.max, "flattening never amplifies a cluster")
+  }
+
   test("v27 margin audit accounts for every vector with bounded margins") {
     val rows = run("v27_label_margin").collect()
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum

@@ -136,6 +136,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "scoring must be join-free")
   }
 
+  test("p20 packing: split rank window, allocation broadcast, one corpus exchange") {
+    // The rank must be (len, md5-bucket)-partitioned (p18's split form —
+    // a plain per-length window funnels each length class through one
+    // task), the solver's allocation table must ride back as a
+    // broadcast, and only the rank window may touch corpus-scale rows.
+    val df = SparkEntry.queries("p20_histogram_packing")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local-rank + bucket-offset windows, got ${wins.size}")
+    val (coarse, fine) = wins.partition(_.partitionSpec.size < 2)
+    assert(fine.nonEmpty, "corpus rank must be (len, bucket)-partitioned")
+    coarse.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"length-level window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+    val p = df.queryExecution.executedPlan.treeString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "offsets and allocation must broadcast, never shuffle-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("v29 balanced sample: split rank window, broadcast-only joins") {
+    // Assignment is the v15 packed-argmax (map-side combinable); the
+    // within-cluster rank must be (cluster, bucket)-partitioned — a
+    // plain 8-partition window funnels each cluster through one task.
+    val df = SparkEntry.queries("v29_balanced_sample")(spark, TestSpark.sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected local-rank + bucket-offset windows, got ${wins.size}")
+    val (coarse, fine) = wins.partition(_.partitionSpec.size < 2)
+    assert(fine.nonEmpty, "rank must be (cluster, bucket)-partitioned")
+    coarse.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"cluster-level window over non-aggregated data:\n${w.treeString.take(400)}")
+    }
+    val p = df.queryExecution.executedPlan.treeString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "seeds/offsets/total must broadcast, never shuffle-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d23 winnowing: fp equi-joins only, fingerprint stream stays sparse") {
     // Candidate generation must stay the fingerprint-keyed equi-join;
     // an all-pairs rewrite (cartesian / nested-loop between doc frames)

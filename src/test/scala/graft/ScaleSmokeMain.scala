@@ -158,7 +158,17 @@ object ScaleSmokeMain {
       "d19_chunk_dedup",
       // d23's fingerprint space is replica-disjoint like every gram
       // family (v28 reads embeddings, absent like v14).
-      "d23_winnowing")
+      "d23_winnowing",
+      // Continuation-3 additions: t36 is a pure map gate (linear by
+      // construction — the smoke row is the proof); p19's model stays
+      // 8192 buckets at ANY corpus size (hashed features), so both its
+      // gram aggregate and its map-side scoring must double linearly.
+      // lang is NOT replica-prefixed, so p19's en-target slice scales
+      // with the corpus — the right growth model for the model build.
+      "t36_gopher_rules", "p19_dsir_weights",
+      // p20's solver input is the length histogram — ≤128 rows at any
+      // rep, so its doubling row isolates the corpus-side rank+join.
+      "p20_histogram_packing")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
