@@ -1322,7 +1322,20 @@ object Pipeline {
             open.getOrElseUpdate(rem - len, mutable.Queue.empty) += ((len :: pat, moved))
             c -= moved
           case None =>
-            open.getOrElseUpdate(L - len, mutable.Queue.empty) += ((List(len), c))
+            // Nothing open admits this length: open new packs and fill
+            // them with the length class ITSELF, histogram-style — m
+            // same-length docs per pack (the per-doc SPFHP inner loop
+            // collapsed to arithmetic, so counts in the billions cost
+            // O(1) here). A lone remainder pack keeps its residual open.
+            val m = L / len
+            val fullPacks = c / m
+            if (fullPacks > 0)
+              open.getOrElseUpdate(L - m * len, mutable.Queue.empty) +=
+                ((List.fill(m)(len), fullPacks))
+            val tail = (c % m).toInt
+            if (tail > 0)
+              open.getOrElseUpdate(L - tail * len, mutable.Queue.empty) +=
+                ((List.fill(tail)(len), 1L))
             c = 0L
         }
       }

@@ -297,6 +297,12 @@ class NewOpsSpec extends AnyFunSuite {
       assert(pats.forall(_._1.sum <= L), s"overfull pack for $h")
       // exact cover is require()d inside; >L/2 lengths get 1 slot per pack
       if (h.keySet == Set(65)) assert(pats.forall(_._1 == List(65)))
+      // same-length docs DO pack together: 1000 one-token docs give
+      // 128-deep packs, not 1000 singletons.
+      if (h == Map(1 -> 1000L)) {
+        assert(pats.exists(_._1.length == 128))
+        assert(pats.map(_._2).sum == 8, s"1000/128 → 8 packs, got $pats")
+      }
       // allocation unrolls consistently: per-length interval counts
       // cover the histogram exactly
       val alloc = graft.operators.Pipeline.spfhpAlloc(h, L)

@@ -116,4 +116,39 @@ class PropertySpec extends AnyFunSuite {
       .count()
     assert(missed == 0, s"$missed true members rejected — false negatives")
   }
+
+  test("SPFHP solves any generated histogram: exact cover, capacity, tight tail") {
+    // Driver-only property (the solver is the one piece the oracle
+    // can't check): random histograms over random length supports,
+    // including lengths equal to L, 1, and clustered near L/2 where
+    // pairing decisions are hardest.
+    val L = 128
+    val histGen = for {
+      nLens <- Gen.chooseNum(1, 40)
+      lens <- Gen.listOfN(nLens, Gen.chooseNum(1, L))
+      counts <- Gen.listOfN(nLens, Gen.chooseNum(1L, 5000L))
+    } yield lens.zip(counts).groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+    for ((hist, i) <- sample(histGen, 60, seed = 47L).zipWithIndex) {
+      val pats = operators.Pipeline.spfhp(hist, L)
+      assert(pats.forall(_._1.sum <= L), s"case $i: overfull pack")
+      assert(pats.forall(_._2 > 0), s"case $i: empty pattern group")
+      // exact cover (also require()d inside — this asserts the public view)
+      val covered = pats.flatMap { case (p, n) => p.map(_ -> n) }
+        .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+      assert(covered == hist, s"case $i: cover mismatch")
+      // SPFHP's structural quality guarantee: at most ONE pack ends at
+      // most half-full. (Any second light pack's first length would
+      // have fit the first light pack's ≥ L/2 residual — greedy
+      // admission makes two final light packs impossible.)
+      assert(pats.filter(_._1.sum <= L / 2).map(_._2).sum <= 1,
+        s"case $i: two half-empty packs — greedy admission broken")
+      // Allocation unroll stays consistent on every generated case, and
+      // pack-id blocks tile 0..totalPacks exactly.
+      val alloc = operators.Pipeline.spfhpAlloc(hist, L)
+      val byLen = alloc.groupBy(_._1).map { case (l, g) => l -> g.map(_._5).sum }
+      assert(byLen == hist, s"case $i: allocation cover mismatch")
+      val packTotal = pats.map(_._2).sum
+      assert(alloc.map(r => r._6 + r._5).max <= packTotal, s"case $i: pack ids overflow")
+    }
+  }
 }
