@@ -1706,7 +1706,61 @@ object Ann {
                 FROM best)
               SELECT vec_id, cluster, rk,
                      rk < ((n_total + 3) // 4 + 7) // 8 AS kept
-              FROM r"""))
+              FROM r""")),
+
+    // ---- v30: Matryoshka truncation recall curve ------------------------
+    // The MRL question (Kusupati et al. 2022): how much retrieval
+    // quality survives truncating embeddings to their prefix dims?
+    // Production systems store 64-d vectors but search the first 8/16/32
+    // dims for the cheap first pass — this curve is the dial that
+    // decides the cut. For each d ∈ {8,16,32,64}: exact top-10 by
+    // cosine over the FIRST d dims (renormalized by construction —
+    // cosine of the slices) vs the full-dim top-10 truth; recall@10 per
+    // d, with d=64 pinning the 1.0 endpoint. Same eval-harness cost
+    // class as v19/v21: 4 TakeOrdered corpus passes (map-side partial
+    // top-k, 10 rows to the driver each), the 10-row truth broadcast;
+    // nothing corpus-sized shuffles at any scale. Ranking compares the
+    // bit-identical cosine kernel both engines compute (v01-proven; a
+    // slice is the same kernel on a shorter array), ties broken by
+    // vec_id — integer hits, no float aggregation.
+    ("v30_mrl_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        val q = queryVec(s, d)
+        def top10(dim: Int): DataFrame = e.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosine(slice(col("embedding"), 1, dim), slice(col("qv"), 1, dim))
+              .as("cs"))
+          .orderBy(col("cs").desc, col("vec_id").asc).limit(10)
+          .select(lit(dim.toLong).as("dim"), col("vec_id"))
+        val truth = top10(64).select(col("vec_id").as("tid"))
+        Seq(8, 16, 32, 64).map(top10).reduce(_ unionAll _)
+          .join(broadcast(truth), col("vec_id") === col("tid"), "left")
+          .groupBy(col("dim"))
+          .agg(count(col("tid")).as("hits"))
+          .select(col("dim"), col("hits"),
+            (col("hits").cast("double") / 10).as("recall"))
+      },
+      Some("""WITH base AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+              q AS MATERIALIZED (SELECT emb AS qv FROM base WHERE vec_id = 0),
+              tops AS MATERIALIZED (
+                SELECT d.dim, t.vec_id
+                FROM (SELECT unnest([8, 16, 32, 64]) AS dim) d,
+                     LATERAL (
+                       SELECT b.vec_id FROM base b, q
+                       WHERE b.vec_id <> 0
+                       ORDER BY list_cosine_similarity(
+                                  list_slice(b.emb, 1, d.dim),
+                                  list_slice(q.qv, 1, d.dim)) DESC,
+                                b.vec_id ASC
+                       LIMIT 10) t),
+              truth AS MATERIALIZED (SELECT vec_id FROM tops WHERE dim = 64)
+              SELECT CAST(t.dim AS BIGINT) AS dim,
+                     CAST(count(tr.vec_id) AS BIGINT) AS hits,
+                     CAST(count(tr.vec_id) AS DOUBLE) / 10 AS recall
+              FROM tops t LEFT JOIN truth tr ON t.vec_id = tr.vec_id
+              GROUP BY t.dim"""))
   )
 
   /** v28's Lloyd loop with a parameterized update count (`iters`

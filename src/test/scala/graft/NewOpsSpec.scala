@@ -349,6 +349,15 @@ class NewOpsSpec extends AnyFunSuite {
     assert(raw.max >= kept.max, "flattening never amplifies a cluster")
   }
 
+  test("v30 MRL curve: exact 1.0 endpoint at full dim, bounded hits") {
+    val c = run("v30_mrl_recall").collect().map(r =>
+      r.getAs[Long]("dim") -> r.getAs[Long]("hits")).toMap
+    assert(c.keySet == Set(8L, 16L, 32L, 64L))
+    // Full-dim truncation IS the truth: recall must be exactly 1.
+    assert(c(64L) == 10L, s"full-dim recall endpoint broken: ${c(64L)}")
+    assert(c.values.forall(h => h >= 0 && h <= 10))
+  }
+
   test("v27 margin audit accounts for every vector with bounded margins") {
     val rows = run("v27_label_margin").collect()
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum

@@ -179,6 +179,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("v30 MRL curve: distributed top-k per dim, truth broadcast") {
+    // Each truncation pass must be a TakeOrdered (map-side partial
+    // top-10), and the 10-row truth must broadcast back — a shuffle
+    // join or window-rank here would exchange the corpus 4 times.
+    val p = planOf("v30_mrl_recall")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 10-row truth must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d23 winnowing: fp equi-joins only, fingerprint stream stays sparse") {
     // Candidate generation must stay the fingerprint-keyed equi-join;
     // an all-pairs rewrite (cartesian / nested-loop between doc frames)
