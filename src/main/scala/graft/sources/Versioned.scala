@@ -154,8 +154,10 @@ object Versioned {
     * (or a crash) can never observe a torn/empty manifest as the
     * current version. Put-if-absent serializes racing committers:
     * FileContext.rename without the OVERWRITE option refuses an
-    * existing destination (atomically on HDFS-class filesystems;
-    * check-enforced on the local FS) — only that refusal is a
+    * existing destination atomically on HDFS-class filesystems; on the
+    * LOCAL FS that refusal is only check-then-rename, so the commit
+    * point there is a POSIX hard link instead (link(2) fails EEXIST
+    * atomically — see inline). Only a lost race maps to
     * [[ConflictException]]; any other I/O failure propagates as
     * itself, because treating "disk full" as "lost a race" would send
     * retry loops spinning forever. */
@@ -178,11 +180,29 @@ object Versioned {
       try out.write(((meta ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          target.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
-        renamed = true
+        if ("file" == f.makeQualified(target).toUri.getScheme) {
+          // Local FS: FileContext.rename's no-overwrite mode is only
+          // CHECK-then-rename — two racing committers can both pass the
+          // check and POSIX rename(2) silently replaces the winner's
+          // manifest, losing its commit (caught live by VersionedSpec's
+          // racing-committer stress test). A hard link IS atomic
+          // put-if-absent on POSIX: link(2) fails with EEXIST, so
+          // exactly one committer publishes. tmp is unlinked by the
+          // finally below (renamed stays false — the target is its own
+          // directory entry to the same inode).
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(target).toUri),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+        } else {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            target.toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
+          renamed = true
+        }
       } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new ConflictException(
+            s"version $v at $path was committed concurrently: $e")
         // Stores differ in how they surface a put-if-absent collision
         // (RawLocal/HDFS: FileAlreadyExistsException; object-store
         // adapters: PathExistsException) — both mean "lost the race",
