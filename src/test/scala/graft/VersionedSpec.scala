@@ -318,4 +318,35 @@ class VersionedSpec extends AnyFunSuite {
     assert(vdir.listFiles().forall(!_.getName.startsWith(".tmp-")),
       "racing commits leaked .tmp- manifests")
   }
+
+  test("stress: zombie drivers replaying the same batches commit exactly once") {
+    // The exactly-once claim under its REAL threat model: 5 concurrent
+    // "drivers" with the same appId each replay batches 0..5 in order
+    // (a zombie storm — every batch raced by up to 5 identical
+    // committers). The ledger check runs after begin(), and the commit
+    // point is atomic, so each batch must land exactly once no matter
+    // which replica wins which race.
+    val path = freshTable()
+    val nDrivers = 5; val nBatches = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nDrivers)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(nDrivers)
+    for (_ <- 0 until nDrivers) pool.submit(new Runnable {
+      def run(): Unit = try {
+        for (b <- 0 until nBatches)
+          Versioned.commitBatchAppend(spark, path, "zombieapp", b.toLong,
+            Seq((b, s"batch$b")).toDF("a", "b"))
+      } catch { case e: Throwable => failures.add(e) } finally latch.countDown()
+    })
+    assert(latch.await(180, java.util.concurrent.TimeUnit.SECONDS), "stress timed out")
+    pool.shutdown()
+    assert(failures.isEmpty, s"driver failures: ${failures.peek()}")
+    // Exactly-once: one row per batch, each batch value exactly once.
+    val got = Versioned.read(spark, path).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(got == (0 until nBatches).map(b => (b, s"batch$b")),
+      s"replayed batches lost or doubled: $got")
+    // One manifest per batch: no replica published a duplicate version.
+    assert(Versioned.versions(spark, path).size == nBatches)
+  }
 }
