@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
-/** The relational block (q01–q43) as executable Spark SQL TEXT — the
+/** The relational block (q01–q80) as executable Spark SQL TEXT — the
   * interface a user of the reference actually writes first, since AnDB's
   * entire user surface is SQL strings through its parser
   * (andb/sql/parser/lexer.py:11-131). Each entry produces the same result

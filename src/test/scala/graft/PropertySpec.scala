@@ -117,6 +117,66 @@ class PropertySpec extends AnyFunSuite {
     assert(missed == 0, s"$missed true members rejected — false negatives")
   }
 
+  test("PassJoin equals all-pairs DP on random 2-letter strings with planted edits") {
+    // The harshest regime for segment blocking: a 2-letter alphabet
+    // makes segments collide constantly (candidate storms) while short
+    // strings exercise the tiny stratum, empty-segment filters and the
+    // multi-match window bounds all at once. Truth is a driver-side DP
+    // over ALL pairs; the operator must equal it exactly — pair set AND
+    // distances — so both losslessness (nothing missed) and soundness
+    // (nothing invented, thresholded DP correct) are pinned together.
+    val k = 3
+    val strGen = for {
+      n <- Gen.chooseNum(1, 20)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val bases = sample(strGen, 120, seed = 93L)
+    // Planted near-duplicates: j ≤ k+1 random edits (insert/delete/sub)
+    // — j = k+1 plants pairs just OUTSIDE the threshold too.
+    val editGen = Gen.chooseNum(0, 2)
+    val edited = bases.zipWithIndex.map { case (s, i) =>
+      var t = s
+      val nEdits = (i % (k + 2))
+      for (e <- 0 until nEdits) {
+        val pos = math.abs((i * 31 + e * 7) % (t.length + 1))
+        val op = sample(editGen, 1, seed = i * 1000L + e).head
+        t = op match {
+          case 0 => t.substring(0, pos) + "a" + t.substring(pos) // insert
+          case 1 if t.nonEmpty => val p = math.min(pos, t.length - 1)
+            t.substring(0, p) + t.substring(p + 1) // delete
+          case _ if t.nonEmpty => val p = math.min(pos, t.length - 1)
+            t.substring(0, p) + (if (t(p) == 'a') "b" else "a") + t.substring(p + 1)
+          case _ => t + "b"
+        }
+      }
+      t
+    }
+    val all = (bases ++ edited).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.filter(_._2.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val truth = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      dist = lev(sa, sb) if dist <= k
+    } yield (ia, ib, dist.toLong)).toSet
+    val got = operators.Dedup.passJoinPairs(all.toDF("doc_id", "text"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth,
+      s"missed=${(truth -- got).take(5)} invented=${(got -- truth).take(5)} " +
+        s"(truth=${truth.size}, got=${got.size})")
+  }
+
   test("SPFHP solves any generated histogram: exact cover, capacity, tight tail") {
     // Driver-only property (the solver is the one piece the oracle
     // can't check): random histograms over random length supports,
