@@ -177,6 +177,72 @@ class PropertySpec extends AnyFunSuite {
         s"(truth=${truth.size}, got=${got.size})")
   }
 
+  test("span excision drops exactly the planted duplicated spans, nothing else") {
+    // Globally-unique filler words make the duplicated-gram set fully
+    // predictable: only grams INSIDE a planted shared span (length ≥ 5)
+    // repeat, so excision must drop exactly the planted span's words —
+    // boundary grams mix unique fillers and occur once, 4-word plants
+    // sit below the gram width, and a within-doc double plant must
+    // excise BOTH occurrences.
+    val lenGen = Gen.chooseNum(10, 30)
+    val spanLenGen = Gen.chooseNum(5, 9)
+    case class Doc(id: Long, words: Vector[String], planted: Set[Int])
+    var docs = Vector.empty[Doc]
+    var id = 0L
+    def fillers(n: Int): Vector[String] = {
+      val base = id
+      (0 until n).map(j => s"u${base}_$j").toVector
+    }
+    // 15 cross-doc pairs sharing a span at random offsets.
+    for (p <- 0 until 15) {
+      val sl = sample(spanLenGen, 1, seed = 500L + p).head
+      val span = (0 until sl).map(j => s"s${p}_$j").toVector
+      for (_ <- 0 until 2) {
+        val n = sample(lenGen, 1, seed = 900L + id).head
+        val w = fillers(n)
+        val off = (id * 13 % (n - sl + 1)).toInt
+        docs :+= Doc(id, w.patch(off, span, sl), (off until off + sl).toSet)
+        id += 1
+      }
+    }
+    // 5 docs with the same span planted twice INTERNALLY.
+    for (p <- 0 until 5) {
+      val sl = sample(spanLenGen, 1, seed = 700L + p).head
+      val span = (0 until sl).map(j => s"r${p}_$j").toVector
+      val w = fillers(30)
+      val off2 = 15 + (p % (30 - sl - 14))
+      val planted = w.patch(0, span, sl).patch(off2, span, sl)
+      docs :+= Doc(id, planted, (0 until sl).toSet ++ (off2 until off2 + sl).toSet)
+      id += 1
+    }
+    // 5 pairs sharing only a 4-word span — BELOW the gram width, kept.
+    for (p <- 0 until 5) {
+      val span = (0 until 4).map(j => s"k${p}_$j").toVector
+      for (_ <- 0 until 2) {
+        val w = fillers(20)
+        docs :+= Doc(id, w.patch(8, span, 4), Set.empty)
+        id += 1
+      }
+    }
+    // 20 plain unique docs — untouched.
+    for (_ <- 0 until 20) {
+      val n = sample(lenGen, 1, seed = 1300L + id).head
+      docs :+= Doc(id, fillers(n), Set.empty)
+      id += 1
+    }
+    val df = docs.map(d => (d.id, d.words.mkString(" "))).toDF("doc_id", "text")
+    val out = operators.Dedup.exciseSpans(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    for (d <- docs) {
+      val (clean, kept, dropped) = out(d.id)
+      val expect = d.words.zipWithIndex.collect {
+        case (w, j) if !d.planted(j) => w
+      }.mkString(" ")
+      assert(clean == expect, s"doc ${d.id}: got '$clean' want '$expect'")
+      assert(dropped == d.planted.size.toLong && kept == d.words.size - d.planted.size)
+    }
+  }
+
   test("SPFHP solves any generated histogram: exact cover, capacity, tight tail") {
     // Driver-only property (the solver is the one piece the oracle
     // can't check): random histograms over random length supports,
