@@ -1384,7 +1384,89 @@ object Dedup {
                        / (na.n + nb.n - pr.n_shared) AS overlap
               FROM pr JOIN nc na ON na.doc_id = pr.a_id
                       JOIN nc nb ON nb.doc_id = pr.b_id
-              WHERE pr.n_shared * 3 >= na.n + nb.n"""))
+              WHERE pr.n_shared * 3 >= na.n + nb.n""")),
+
+    // ---- d24: multi-benchmark decontamination report --------------------
+    // The report shape model releases actually publish (GPT-3 App. C,
+    // Llama 2 A.6): overlap against EVERY held-out benchmark at once,
+    // attributed per (benchmark, source) — which source leaks which
+    // eval, at what rate. Mechanism is d08's exactly (5-token shingle
+    // sets, corpus-df cap against boilerplate grams, broadcast bench
+    // set, zero corpus shuffle), run for 3 benchmarks in ONE corpus
+    // pass: the bench gram table carries a benchmark tag, so the
+    // per-benchmark attribution rides the same single gram-stream join
+    // rather than 3 passes. A doc counts contaminated against bench b
+    // when it shares ≥ 2 capped grams with b. Zero-contamination
+    // (benchmark, source) cells are kept via the tiny grid join — a
+    // report with silently missing rows reads as "clean" when it is
+    // actually "unmeasured". Exchanges: the per-(doc, b) distinct-gram
+    // aggregate (corpus-keyed, map-side combinable) + two bench-sized
+    // aggregates; the corpus never shuffles its text.
+    ("d24_decontam_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isBench = (col("doc_id") % 100).between(1, 3)
+        val g = docs
+          .select(col("doc_id"), col("source"),
+            explode(shingleHashSet(col("text"), 5)).as("h"))
+        val benchG = g.filter(isBench)
+          .select((col("doc_id") % 100 - 1).as("b"), col("h")).distinct()
+        val dfc = g.join(broadcast(benchG.select(col("h")).distinct()), "h")
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= GramDfCap).select(col("h"))
+        val benchCapped = benchG.join(dfc, "h")
+        val perDoc = g.filter(!isBench)
+          .join(broadcast(benchCapped), "h")
+          .groupBy(col("b"), col("source"), col("doc_id"))
+          .agg(countDistinct(col("h")).as("sg"))
+        val agg = perDoc.groupBy(col("b"), col("source"))
+          .agg(count(when(col("sg") >= 2, 1)).as("nc"), sum(col("sg")).as("shg"))
+        val bySrc = docs.filter(!isBench)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        bySrc.crossJoin(broadcast(s.range(3).select(col("id").as("b"))))
+          .join(broadcast(agg), Seq("b", "source"), "left")
+          .select(col("b").as("benchmark"), col("source"), col("n_docs"),
+            coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("nc"), lit(0L)).cast("double") / col("n_docs"))
+              .as("contam_rate"),
+            coalesce(col("shg"), lit(0L)).as("shared_grams"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                      FROM toks WHERE len(w) >= 5),
+              sh5 AS (SELECT DISTINCT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sg
+                      FROM idx
+                      UNION ALL
+                      SELECT doc_id, text AS sg FROM documents
+                      WHERE len(string_split(text, ' ')) < 5),
+              bench AS (SELECT DISTINCT (doc_id % 100) - 1 AS b, sg FROM sh5
+                        WHERE (doc_id % 100) BETWEEN 1 AND 3),
+              dfc AS (SELECT s.sg FROM sh5 s
+                      JOIN (SELECT DISTINCT sg FROM bench) bs USING (sg)
+                      GROUP BY s.sg HAVING count(*) <= $GramDfCap),
+              bc AS (SELECT b.b, b.sg FROM bench b JOIN dfc USING (sg)),
+              perdoc AS (SELECT bc.b, d.source, s.doc_id,
+                                count(DISTINCT s.sg) AS sg
+                         FROM sh5 s
+                         JOIN documents d USING (doc_id)
+                         JOIN bc ON s.sg = bc.sg
+                         WHERE (s.doc_id % 100) NOT BETWEEN 1 AND 3
+                         GROUP BY 1, 2, 3),
+              agg AS (SELECT b, source,
+                             count(*) FILTER (WHERE sg >= 2) AS nc,
+                             sum(sg) AS shg
+                      FROM perdoc GROUP BY 1, 2),
+              nsrc AS (SELECT source, count(*) AS n_docs FROM documents
+                       WHERE (doc_id % 100) NOT BETWEEN 1 AND 3 GROUP BY 1),
+              grid AS (SELECT b, source, n_docs
+                       FROM (SELECT unnest([0, 1, 2]) AS b), nsrc)
+              SELECT CAST(g.b AS BIGINT) AS benchmark, g.source,
+                     CAST(g.n_docs AS BIGINT) AS n_docs,
+                     CAST(COALESCE(a.nc, 0) AS BIGINT) AS n_contaminated,
+                     CAST(COALESCE(a.nc, 0) AS DOUBLE) / g.n_docs AS contam_rate,
+                     CAST(COALESCE(a.shg, 0) AS BIGINT) AS shared_grams
+              FROM grid g LEFT JOIN agg a ON g.b = a.b AND g.source = a.source"""))
   )
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------

@@ -358,6 +358,30 @@ class NewOpsSpec extends AnyFunSuite {
     assert(c.values.forall(h => h >= 0 && h <= 10))
   }
 
+  test("d24 report covers the full benchmark x source grid with sane rates") {
+    val r = run("d24_decontam_report")
+    val srcs = Tables.documents(spark, TestSpark.sf)
+      .filter(!(col("doc_id") % 100).between(1, 3))
+      .select("source").distinct().count()
+    // Zero-contamination cells must exist as rows, not be missing.
+    assert(r.count() == 3 * srcs, s"grid incomplete: ${r.count()} vs ${3 * srcs}")
+    assert(r.groupBy("benchmark").count().count() == 3)
+    // Rates are exact ratios in [0, 1]; flagged never exceeds the pool.
+    assert(r.filter(col("n_contaminated") > col("n_docs") ||
+      col("contam_rate") < 0 || col("contam_rate") > 1).count() == 0)
+    // Discrimination is pinned by the sf0.01 DuckDB oracle (1
+    // contaminated doc, 89 shared grams there); THIS corpus (sf0.001)
+    // legitimately reports all-clean, and the point of the grid join is
+    // that all-clean still shows as 60 explicit zero rows (asserted
+    // above), never as missing rows. Benchmark docs are excluded from
+    // every denominator:
+    val nonBench = Tables.documents(spark, TestSpark.sf)
+      .filter(!(col("doc_id") % 100).between(1, 3)).count()
+    val pool = r.select("source", "n_docs").distinct()
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(pool == nonBench, "denominators must exclude benchmark docs")
+  }
+
   test("v27 margin audit accounts for every vector with bounded margins") {
     val rows = run("v27_label_margin").collect()
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum

@@ -231,6 +231,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("d24 multi-benchmark report keeps d08's contract: corpus meets bench via broadcast") {
+    // Three benchmarks ride ONE corpus gram pass: the tagged bench set
+    // broadcasts, and every hash exchange is bench-set- or match-sized
+    // (bench distinct, df cap, per-(doc, b) countDistinct two-phase,
+    // (b, source) rollup, per-source denominators) — the raw corpus
+    // gram stream itself never shuffles.
+    val p = planOf("d24_decontam_report")
+    assert(p.contains("BroadcastHashJoin"), "bench table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no corpus-side shuffle join")
+  }
+
   test("q44 correlated subquery decorrelates to ONE exchange (the window)") {
     // The aggregate+join-back spelling costs two shuffles of orders on
     // o_custkey; the window form must keep it to one.
