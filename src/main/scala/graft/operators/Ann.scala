@@ -1664,22 +1664,8 @@ object Ann {
           .groupBy(col("vec_id")).agg(max(col("pk")).as("pk"))
           .select(col("vec_id"), (lit(7L) - col("pk") % 8).as("cluster"),
             md5(col("vec_id").cast("string")).as("h"))
-          .withColumn("bkt", substring(col("h"), 1, 2))
-        val wLocal = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster"), col("bkt"))
-          .orderBy(col("h").asc, col("vec_id").asc)
-        val wBkt = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster")).orderBy(col("bkt"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val offsets = assigned.groupBy(col("cluster"), col("bkt"))
-          .agg(count(lit(1)).as("bn"))
-          .withColumn("boff", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
-          .select(col("cluster"), col("bkt"), col("boff"))
         val tot = assigned.agg(count(lit(1)).as("n_total"))
-        assigned
-          .withColumn("lrk", row_number().over(wLocal).cast("long"))
-          .join(broadcast(offsets), Seq("cluster", "bkt"))
-          .withColumn("rk", col("lrk") - 1 + col("boff"))
+        Pipeline.splitRank(assigned, Seq("cluster"), "vec_id")
           .crossJoin(broadcast(tot))
           .select(col("vec_id"), col("cluster"), col("rk"),
             (col("rk") < expr("((n_total + 3) div 4 + 7) div 8")).as("kept"))
@@ -1717,8 +1703,9 @@ object Ann {
     // cosine over the FIRST d dims (renormalized by construction —
     // cosine of the slices) vs the full-dim top-10 truth; recall@10 per
     // d, with d=64 pinning the 1.0 endpoint. Same eval-harness cost
-    // class as v19/v21: 4 TakeOrdered corpus passes (map-side partial
-    // top-k, 10 rows to the driver each), the 10-row truth broadcast;
+    // class as v19/v21: exactly 4 TakeOrdered corpus passes (map-side
+    // partial top-k, 10 rows each, materialized once), truth read off
+    // the materialized union's own 64-branch — no 5th pass, no join;
     // nothing corpus-sized shuffles at any scale. Ranking compares the
     // bit-identical cosine kernel both engines compute (v01-proven; a
     // slice is the same kernel on a shorter array), ties broken by
@@ -1733,11 +1720,18 @@ object Ann {
               .as("cs"))
           .orderBy(col("cs").desc, col("vec_id").asc).limit(10)
           .select(lit(dim.toLong).as("dim"), col("vec_id"))
-        val truth = top10(64).select(col("vec_id").as("tid"))
-        Seq(8, 16, 32, 64).map(top10).reduce(_ unionAll _)
-          .join(broadcast(truth), col("vec_id") === col("tid"), "left")
-          .groupBy(col("dim"))
-          .agg(count(col("tid")).as("hits"))
+        // The dim=64 branch IS the truth: the 40-row union materializes
+        // ONCE (localCheckpoint — the v21 eval-harness pattern), its 64
+        // rows collect as the truth ids (bounded like p19's LUT), and
+        // hit-marking is a literal isin over the checkpointed rows — so
+        // the corpus is scanned exactly 4 times total, with no 5th
+        // truth pass and no join.
+        val tops = Seq(8, 16, 32, 64).map(top10).reduce(_ unionAll _)
+          .localCheckpoint()
+        val truthIds = tops.filter(col("dim") === 64)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+        tops.groupBy(col("dim"))
+          .agg(count(when(col("vec_id").isInCollection(truthIds), 1)).as("hits"))
           .select(col("dim"), col("hits"),
             (col("hits").cast("double") / 10).as("recall"))
       },

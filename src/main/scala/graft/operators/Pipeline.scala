@@ -1243,7 +1243,6 @@ object Pipeline {
           .select(col("doc_id"),
             least(size(split(col("text"), " ")), lit(L)).as("len"))
           .withColumn("h", md5(col("doc_id").cast("string")))
-          .withColumn("bkt", substring(col("h"), 1, 2))
         val hist = t.groupBy(col("len")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val alloc = spfhpAlloc(hist, L)
@@ -1252,18 +1251,7 @@ object Pipeline {
           "pack_offset", "pack_fill", "n_slots")
         OracleExport.writeOnce(allocDf,
           OracleExport.PackAllocPath, OracleExport.docKeyFor(docs, d))
-        val wLocal = Window.partitionBy(col("len"), col("bkt"))
-          .orderBy(col("h").asc, col("doc_id").asc)
-        val wBkt = Window.partitionBy(col("len")).orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = t.groupBy(col("len"), col("bkt"))
-          .agg(count(lit(1)).as("bn"))
-          .withColumn("boff", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
-          .select(col("len"), col("bkt"), col("boff"))
-        val ranked = t
-          .withColumn("lrk", row_number().over(wLocal).cast("long"))
-          .join(broadcast(offsets), Seq("len", "bkt"))
-          .withColumn("rk", col("lrk") - 1 + col("boff"))
+        val ranked = splitRank(t, Seq("len"), "doc_id")
         ranked.join(broadcast(allocDf),
             col("len") === col("alen") &&
               col("rk") >= col("rank_lo") &&
@@ -1298,6 +1286,35 @@ object Pipeline {
                    CAST(a.n_slots AS BIGINT) AS n_slots
             FROM r JOIN a ON r.len = a.alen
                          AND r.rk >= a.rank_lo AND r.rk < a.rank_lo + a.cnt"""))
+  }
+
+  /** The house SPLIT rank, stated once: a 0-based rank in md5 order
+    * within each `partCols` group WITHOUT funneling a group through one
+    * task. The invariant every caller's oracle equality rests on: the
+    * 2-hex bucket is a PREFIX of the sort key `h`, so ordering by
+    * (bucket, h, id) equals ordering by (h, id) — the bucket-local
+    * row_number plus the broadcast per-bucket offsets therefore equals
+    * the global per-group rank a plain window would compute, while the
+    * corpus-scale exchange is keyed by group × 256 buckets (no skew
+    * funnel) and only the ≤256-per-group offset rows see a group-level
+    * window (over aggregated data). Requires columns `h` (md5 hex) and
+    * `idCol` (tie-break); adds `rk`. */
+  private[operators] def splitRank(df: DataFrame, partCols: Seq[String],
+      idCol: String): DataFrame = {
+    val withB = df.withColumn("bkt", substring(col("h"), 1, 2))
+    val pc = partCols.map(col)
+    val wLocal = Window.partitionBy(pc :+ col("bkt"): _*)
+      .orderBy(col("h").asc, col(idCol).asc)
+    val wBkt = Window.partitionBy(pc: _*).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(pc :+ col("bkt"): _*)
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
+      .select((partCols :+ "bkt").map(col) :+ col("boff"): _*)
+    withB.withColumn("lrk", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), partCols :+ "bkt")
+      .withColumn("rk", col("lrk") - 1 + col("boff"))
+      .drop("bkt", "lrk", "boff")
   }
 
   /** The SPFHP solver loop (driver-side, input ≤ L histogram rows):

@@ -161,6 +161,19 @@ object Versioned {
     * [[ConflictException]]; any other I/O failure propagates as
     * itself, because treating "disk full" as "lost a race" would send
     * retry loops spinning forever. */
+  /** Tables whose _versions dir refused link(2) — the commit point
+    * falls back to the no-overwrite rename there (a permanent property
+    * of the underlying mount, so one memo per manifest dir). */
+  private val linkUnsupportedFs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The HDFS-class commit point: no-overwrite rename (atomic there). */
+  private def renameCommit(spark: SparkSession, tmp: Path, target: Path): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
+  }
+
   private def writeManifest(spark: SparkSession, path: String, v: Long,
       dirs: Seq[String], meta: Seq[String] = Nil): Unit = {
     val f = fs(spark, path)
@@ -180,7 +193,8 @@ object Versioned {
       try out.write(((meta ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       try {
-        if ("file" == f.makeQualified(target).toUri.getScheme) {
+        if ("file" == f.makeQualified(target).toUri.getScheme &&
+            !linkUnsupportedFs.contains(manifestDir(path).toString)) {
           // Local FS: FileContext.rename's no-overwrite mode is only
           // CHECK-then-rename — two racing committers can both pass the
           // check and POSIX rename(2) silently replaces the winner's
@@ -190,13 +204,23 @@ object Versioned {
           // exactly one committer publishes. tmp is unlinked by the
           // finally below (renamed stays false — the target is its own
           // directory entry to the same inode).
-          java.nio.file.Files.createLink(
+          try java.nio.file.Files.createLink(
             java.nio.file.Paths.get(f.makeQualified(target).toUri),
             java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+          catch {
+            // A file: mount without link(2) (exFAT/VFAT, some NFS/SMB/
+            // FUSE): remember the incapacity and fall through to the
+            // rename path below — commits keep working there with the
+            // pre-link behavior (the narrow check-then-rename window)
+            // instead of failing permanently. EEXIST is NOT this case —
+            // it propagates to the conflict mapping below.
+            case _: UnsupportedOperationException =>
+              linkUnsupportedFs.add(manifestDir(path).toString)
+              renameCommit(spark, tmp, target)
+              renamed = true
+          }
         } else {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            target.toUri, spark.sparkContext.hadoopConfiguration)
-          fc.rename(tmp, target) // no Rename.OVERWRITE -> refuses existing dst
+          renameCommit(spark, tmp, target)
           renamed = true
         }
       } catch {
