@@ -168,7 +168,12 @@ object ScaleSmokeMain {
       "t36_gopher_rules", "p19_dsir_weights",
       // p20's solver input is the length histogram — ≤128 rows at any
       // rep, so its doubling row isolates the corpus-side rank+join.
-      "p20_histogram_packing")
+      "p20_histogram_packing",
+      // d24's bench slices (doc_id % 100 ∈ {1,2,3}) scale ×rep with the
+      // corpus (replica-shifted ids keep the residues), so the bench
+      // gram set and the corpus side both double — the honest growth
+      // model for a decontam pass over a growing crawl.
+      "d24_decontam_report")
     for (name <- if (only.nonEmpty) only.toSeq else family) {
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to materialize —
