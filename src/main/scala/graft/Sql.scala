@@ -35,8 +35,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
+  // USING may precede the column list (this library's DdlSpec form) or
+  // follow it (the reference grammar's form — tests/unit/
+  // test_sql_parser.py:101-106 puts `using btree|lsmtree` AFTER the
+  // parens); both are accepted, whichever group matched wins.
   private val CreateIndexRe =
-    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)(?:\s+USING\s+(\w+))?\s*\(\s*([\w\s,]+?)\s*\)(?:\s+LOCATION\s+'([^']*)')?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)(?:\s+USING\s+(\w+))?\s*\(\s*([\w\s,]+?)\s*\)(?:\s+USING\s+(\w+))?(?:\s+LOCATION\s+'([^']*)')?\s*;?\s*$""".r
   private val DropIndexRe = """(?is)^\s*DROP\s+INDEX\s+(\w+)\s*;?\s*$""".r
   private val ProbeIndexRe =
     """(?is)^\s*PROBE\s+INDEX\s+(\w+)\s+FOR\s*\(([^)]*)\)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
@@ -48,8 +52,9 @@ object GraftSql {
       params: Map[String, Any] = Map.empty): DataFrame = {
     import spark.implicits._
     text match {
-      case CreateIndexRe(name, table, using, cols, loc) =>
-        val method = Option(using).map(_.toLowerCase).getOrElse("btree")
+      case CreateIndexRe(name, table, usingPre, cols, usingPost, loc) =>
+        val method = Option(usingPre).orElse(Option(usingPost))
+          .map(_.toLowerCase).getOrElse("btree")
         if (method == "ivf" || method == "lsh" || method == "ivfpq") {
           val location = Option(loc).getOrElse(
             new org.apache.hadoop.fs.Path(
