@@ -53,6 +53,8 @@ object GraftSql {
     import spark.implicits._
     text match {
       case CreateIndexRe(name, table, usingPre, cols, usingPost, loc) =>
+        require(usingPre == null || usingPost == null,
+          s"two USING clauses in CREATE INDEX $name — malformed in both grammars")
         val method = Option(usingPre).orElse(Option(usingPost))
           .map(_.toLowerCase).getOrElse("btree")
         if (method == "ivf" || method == "lsh" || method == "ivfpq") {

@@ -187,7 +187,17 @@ class ReferenceParitySpec extends AnyFunSuite {
       val out = GraftSql.run(spark, stmt).collect()
       assert(out.length == 1 && out.head.getString(3).nonEmpty, stmt)
     }
-    assert(GraftSql.run(spark, "DROP INDEX idx_rp").collect().length == 1)
+    // The btree-class forms above return the layout recipe WITHOUT
+    // registering anything, so this drop must report dropped=false —
+    // asserting the column, not just the row, keeps the check
+    // non-vacuous (dropped=true after a real ANN registration is
+    // DdlSpec-owned). A double-USING statement is malformed in both
+    // grammars and must be rejected, not silently resolved.
+    assert(GraftSql.run(spark, "DROP INDEX idx_rp").collect()
+      .head.getBoolean(1) == false)
+    assert(intercept[IllegalArgumentException](
+      GraftSql.run(spark, "CREATE INDEX i2 ON t1x USING ivf (a) USING lsh"))
+      .getMessage.contains("two USING"))
     // CHECKPOINT (parser.py:113): a Command in the reference; the front
     // door maps it to the documented durability analog.
     assert(GraftSql.run(spark, "CHECKPOINT").collect().head.getString(1) == "ok")
