@@ -1392,10 +1392,11 @@ object Dedup {
     // attributed per (benchmark, source) — which source leaks which
     // eval, at what rate. Mechanism is d08's exactly (5-token shingle
     // sets, corpus-df cap against boilerplate grams, broadcast bench
-    // set, zero corpus shuffle), run for 3 benchmarks in ONE corpus
-    // pass: the bench gram table carries a benchmark tag, so the
-    // per-benchmark attribution rides the same single gram-stream join
-    // rather than 3 passes. A doc counts contaminated against bench b
+    // set, zero corpus shuffle), with the same two-gram-pass cost
+    // class as d08 itself (one pass computes the df cap, one scores) —
+    // the win over naive multi-benchmark decontam is that the bench
+    // gram table carries a benchmark tag, so all 3 benchmarks ride the
+    // SAME two passes instead of 3× them. A doc counts contaminated against bench b
     // when it shares ≥ 2 capped grams with b. Zero-contamination
     // (benchmark, source) cells are kept via the tiny grid join — a
     // report with silently missing rows reads as "clean" when it is
