@@ -319,6 +319,26 @@ class VersionedSpec extends AnyFunSuite {
       "racing commits leaked .tmp- manifests")
   }
 
+  test("a crash-leftover tmp manifest is inert: ignored by reads, commits proceed") {
+    // The finally-delete covers every in-process failure, but a
+    // kill -9 between create and rename still strands one tmp file.
+    // The protocol's safety does not depend on cleaning it: tmp names
+    // never parse as versions, so reads, time travel and later commits
+    // are all unaffected by the orphan.
+    val path = freshTable()
+    Versioned.create(spark, path, baseDf)
+    val orphan = new java.io.File(s"$path/_versions/.tmp-deadbeef")
+    java.nio.file.Files.write(orphan.toPath,
+      "data/txn-crashed\n".getBytes("UTF-8"))
+    assert(Versioned.versions(spark, path) == Seq(1L), "orphan parsed as a version")
+    val t = Versioned.begin(spark, path)
+    Versioned.stage(t, Seq((9, "z")).toDF("a", "b"))
+    assert(Versioned.commitAppend(spark, t) == 2L)
+    assert(Versioned.read(spark, path).count() == base.size + 1)
+    assert(Versioned.readAsOf(spark, path, 1).count() == base.size)
+    assert(orphan.exists(), "the orphan is garbage, not a hazard — still there")
+  }
+
   test("stress: zombie drivers replaying the same batches commit exactly once") {
     // The exactly-once claim under its REAL threat model: 5 concurrent
     // "drivers" with the same appId each replay batches 0..5 in order
