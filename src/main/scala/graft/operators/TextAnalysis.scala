@@ -1575,9 +1575,18 @@ object TextAnalysis {
     // (one scan, one kernel pass): the gate runs at parquet-scan speed
     // at any corpus size, exactly like t18 — PlanShapeSpec gates both.
     ("t36_gopher_rules",
-      (s, d) => {
+      (s, d) => gopherRules(Tables.documents(s, d)),
+      gopherOracle)
+  )
+
+  /** t36's rule projection as a reusable frame over any (doc_id,
+    * source, text) input — one map-side pass, zero exchanges, which is
+    * also what makes it directly streamable (the
+    * EventPipeline.qualityGateStream twin applies THIS function to a
+    * stream; StreamingSpec pins stream ≡ batch row-for-row). */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
         val stop = markers.flatMap(_._2).distinct
-        Tables.documents(s, d)
+        docs
           .select(col("doc_id"), col("source"), words(col("text")).as("w"),
             (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
               .cast("long").as("n_hash"),
@@ -1604,7 +1613,11 @@ object TextAnalysis {
           .withColumn("keep",
             col("r_wordcount") && col("r_meanwl") && col("r_symbol") &&
               col("r_alpha") && col("r_stop"))
-      },
+  }
+
+  /** t36's DuckDB oracle (a def so the `defs` val above can reference
+    * it without object-initialization-order hazards). */
+  private def gopherOracle: Option[String] =
       Some(s"""WITH f AS (
                  SELECT doc_id, source, string_split(text, ' ') AS w,
                         CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
@@ -1633,8 +1646,7 @@ object TextAnalysis {
                  FROM c)
                SELECT *,
                       r_wordcount AND r_meanwl AND r_symbol AND r_alpha AND r_stop AS keep
-               FROM r"""))
-  )
+               FROM r""")
 
   /** t13's BM25 search as a reusable frame: the top-20
     * (doc_id, dl, tf_spark, tf_join, tf_window, score) for the fixed

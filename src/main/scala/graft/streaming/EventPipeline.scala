@@ -169,6 +169,17 @@ object EventPipeline {
       h => mightContainLong(h, benchBloom)), lit(false)))
   }
 
+  /** t36's streaming twin: the Gopher rule gate at ingest. The batch
+    * operator is a single map-side projection (zero exchanges —
+    * PlanShapeSpec), which is exactly the class of computation
+    * Structured Streaming runs unchanged: stateless, no watermark, no
+    * state store, O(1) memory at any rate. Literally the SAME function
+    * as the batch path (TextAnalysis.gopherRules), so stream-vs-batch
+    * divergence is impossible by construction; StreamingSpec still pins
+    * row-level equality end-to-end through a real MemoryStream. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs)
+
   /** s03's streaming twin: stream-stream interval join. Each click pairs
     * with same-user errors from the preceding 30 minutes. The watermarks
     * + the interval bound are what make unbounded stream-stream join

@@ -19,6 +19,48 @@ class StreamingSpec extends AnyFunSuite {
   private val baseUs: Long = baseMin * 60000000L
   private def ts(minutes: Long): Timestamp = new Timestamp((baseMin + minutes) * 60000L)
 
+  test("qualityGateStream equals batch t36 row-for-row on streamed docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // Docs spanning every rule's pass/fail boundary: too short, healthy,
+    // symbol-heavy, no stop words, long-word salad.
+    val docs = Seq(
+      (1L, "web", "the quick brown horses gallop across wide green fields while " +
+        "the farmer watches quietly from wooden fences nearby during sunny " +
+        "afternoon hours yesterday evening"),
+      (2L, "web", "short text here"),
+      (3L, "forum", "### ### ### the quick brown fox jumps over the lazy dog and " +
+        "keeps running far away from home ### ### ### ### ### more hashes ### ###"),
+      (4L, "crawl", "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " +
+        "mmmm nnnn oooo pppp qqqq rrrr ssss tttt uuuu vvvv wwww xxxx yyyy zzzz"),
+      (5L, "web", "incomprehensibilities antidisestablishmentarianism the and " +
+        "floccinaucinihilipilification pseudopseudohypoparathyroidism of words " +
+        "supercalifragilisticexpialidocious otorhinolaryngological immunoelectrophoresis " +
+        "hepaticocholangiocholecystenterostomies psychoneuroendocrinological " +
+        "thyroparathyroidectomized pneumonoultramicroscopicsilicovolcanoconiosis " +
+        "antiestablishmentarianisms electroencephalographically spectrophotofluorometrically"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventPipeline.qualityGateStream(
+        in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(2))
+      q.processAllAvailable()
+      in.addData(docs.drop(2)) // a second micro-batch — same gate, no state
+      q.processAllAvailable()
+      val streamed = spark.table("qgate").collect()
+        .map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+      val batch = graft.operators.TextAnalysis.gopherRules(
+          docs.toDF("doc_id", "source", "text")).collect()
+        .map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+      assert(streamed == batch, "stream and batch gate disagree")
+      // The fixture really exercises the gate: some kept, some dropped.
+      val kept = spark.table("qgate").filter(col("keep")).count()
+      assert(kept > 0 && kept < docs.size)
+    } finally q.stop()
+  }
+
   test("decontaminateStream drops every contaminated doc at ingest, statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
