@@ -1143,18 +1143,45 @@ object Pipeline {
     * micronats BEFORE the per-doc sum, so the fold is an exact integer
     * sum — order-free, oracle-exact (the t19 grid argument: ln is
     * libm-owned, per-term ulp ≪ grid slack). */
+  // final val without a type ascription = a compile-time constant,
+  // inlined at use sites — `defs` forces dsirDef during object init,
+  // BEFORE later vals would initialize, so this must not be a field.
+  private final val DsirBuckets = 8192
+
+  private def dsirBucket(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % DsirBuckets).cast("int")
+
+  /** The unigram+bigram gram array per doc — the shared feature stream
+    * of the DSIR model build and scoring. */
+  private def dsirGrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    .select(col("doc_id"), col("lang"),
+      concat(col("ws"),
+        when(size(col("ws")) >= 2, expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+          .otherwise(slice(col("ws"), 1, 0))).as("gs"))
+
+  /** p19's scoring pass against a FROZEN micronat table: a pure
+    * map-side integer fold, so it applies unchanged to a stream
+    * (EventPipeline.dsirScoreStream — score documents at ingest against
+    * the offline-trained importance model; StreamingSpec pins stream ≡
+    * batch). `table` must have [[DsirBuckets]] entries. */
+  private[graft] def dsirScore(docs: DataFrame, table: Array[Long]): DataFrame = {
+    require(table.length == DsirBuckets, s"model must have $DsirBuckets buckets")
+    val lut = typedLit(table.toSeq)
+    dsirGrams(docs).select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        aggregate(
+          transform(col("gs"), gm => element_at(lut, dsirBucket(gm) + 1)),
+          lit(0L), (a, v) => a + v).as("logw_micro"))
+      .withColumn("logw", col("logw_micro").cast("double") / 1000000)
+  }
+
   private lazy val dsirDef: (String, Q, Option[String]) = {
-    val B = 8192
-    def bucket(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % B).cast("int")
-    def withGrams(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("lang"),
-        concat(col("ws"),
-          when(size(col("ws")) >= 2, expr(
-            "transform(sequence(0, size(ws) - 2), " +
-              "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
-            .otherwise(slice(col("ws"), 1, 0))).as("gs"))
+    val B = DsirBuckets
+    def bucket(g: org.apache.spark.sql.Column) = dsirBucket(g)
+    def withGrams(docs: DataFrame) = dsirGrams(docs)
     ("p19_dsir_weights",
       (s, d) => {
         val g = withGrams(Tables.documents(s, d))
@@ -1171,13 +1198,7 @@ object Pipeline {
               .cast("long").as("lrm"))
         val table = Array.fill[Long](B)(0L)
         lrm.collect().foreach(r => table(r.getInt(0)) = r.getLong(1))
-        val lut = typedLit(table.toSeq)
-        g.select(col("doc_id"),
-            size(col("gs")).cast("long").as("n_grams"),
-            aggregate(
-              transform(col("gs"), gm => element_at(lut, bucket(gm) + 1)),
-              lit(0L), (a, v) => a + v).as("logw_micro"))
-          .withColumn("logw", col("logw_micro").cast("double") / 1000000)
+        dsirScore(Tables.documents(s, d), table)
       },
       Some(s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
               g AS (SELECT doc_id, lang,

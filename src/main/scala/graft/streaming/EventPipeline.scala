@@ -180,6 +180,16 @@ object EventPipeline {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.gopherRules(docs)
 
+  /** p19's streaming twin: DSIR importance scoring at ingest against
+    * the OFFLINE-trained model (the train-on-history / score-live
+    * deployment, same shape as the streaming CUSUM's offline (T, H)).
+    * The frozen 8192-entry micronat table rides as a literal into a
+    * stateless map-side fold — identical code to the batch scoring
+    * pass (Pipeline.dsirScore), so stream-vs-batch divergence is
+    * impossible by construction; StreamingSpec pins it anyway. */
+  def dsirScoreStream(docs: DataFrame, table: Array[Long]): DataFrame =
+    graft.operators.Pipeline.dsirScore(docs, table)
+
   /** s03's streaming twin: stream-stream interval join. Each click pairs
     * with same-user errors from the preceding 30 minutes. The watermarks
     * + the interval bound are what make unbounded stream-stream join

@@ -61,6 +61,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsirScoreStream scores ingested docs identically to batch with a frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // A deterministic non-trivial "trained" table: bucket i scores
+    // (i % 7 − 3) millinats — every doc hits several distinct buckets.
+    val table = Array.tabulate[Long](8192)(i => (i % 7 - 3) * 1000L)
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "de", "eins zwei drei vier fünf sechs sieben acht"),
+      (3L, "en", "single"),
+      (4L, "fr", "un deux trois un deux trois un deux trois"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventPipeline.dsirScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), table)
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(2)); q.processAllAvailable()
+      in.addData(docs.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("dsir").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.operators.Pipeline.dsirScore(
+          docs.toDF("doc_id", "lang", "text"), table).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch, "stream and batch scoring disagree")
+      // n_grams = 2·nw − 1; scores are non-trivial (some doc ≠ 0).
+      assert(streamed(1L)._1 == 7 && streamed(3L)._1 == 1)
+      assert(streamed.values.exists(_._2 != 0L))
+    } finally q.stop()
+  }
+
   test("decontaminateStream drops every contaminated doc at ingest, statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
