@@ -1152,15 +1152,21 @@ object Pipeline {
     (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % DsirBuckets).cast("int")
 
   /** The unigram+bigram gram array per doc — the shared feature stream
-    * of the DSIR model build and scoring. */
+    * of the DSIR model build and scoring. Input columns other than
+    * `text` pass through untouched, so the scoring path needs only
+    * (doc_id, text) while the model build keeps its lang tag. A null
+    * text coalesces to "" (one empty-string gram — deterministic,
+    * never null-propagating) so an ingest stream with missing text
+    * still scores every row. */
   private def dsirGrams(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
-    .select(col("doc_id"), col("lang"),
+    .withColumn("ws", split(coalesce(col("text"), lit("")), " "))
+    .withColumn("gs",
       concat(col("ws"),
         when(size(col("ws")) >= 2, expr(
           "transform(sequence(0, size(ws) - 2), " +
             "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
-          .otherwise(slice(col("ws"), 1, 0))).as("gs"))
+          .otherwise(slice(col("ws"), 1, 0))))
+    .drop("ws", "text")
 
   /** p19's scoring pass against a FROZEN micronat table: a pure
     * map-side integer fold, so it applies unchanged to a stream

@@ -1586,7 +1586,12 @@ object TextAnalysis {
     * stream; StreamingSpec pins stream ≡ batch row-for-row). */
   private[graft] def gopherRules(docs: DataFrame): DataFrame = {
         val stop = markers.flatMap(_._2).distinct
-        docs
+        // Null text coalesces to "" BEFORE the features: an ingest
+        // stream with a missing text must gate to keep=false (1 empty
+        // "word" fails r_wordcount), never to null flags that
+        // null-propagate through downstream keep logic. The curated
+        // batch tables have no nulls, so the oracle is unaffected.
+        docs.withColumn("text", coalesce(col("text"), lit("")))
           .select(col("doc_id"), col("source"), words(col("text")).as("w"),
             (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
               .cast("long").as("n_hash"),

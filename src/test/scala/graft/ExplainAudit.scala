@@ -11,10 +11,13 @@ object ExplainAudit {
     for (n <- args) {
       val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
       val p = df.queryExecution.executedPlan.treeString
-      val wsc = p.linesIterator.count(l => l.contains("WholeStageCodegen") || l.trim.startsWith("*("))
+      // Distinct codegen-span IDS, not operator lines: every operator
+      // inside span N prints a "*(N)" prefix, so counting lines would
+      // report operators and mis-grade "one kernel pass" claims.
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
       val ex = p.linesIterator.count(_.contains("Exchange"))
       val scans = p.linesIterator.count(_.contains("Scan parquet"))
-      println(s"[audit] $n codegen_nodes=$wsc exchanges=$ex parquet_scans=$scans")
+      println(s"[audit] $n codegen_spans=$wsc exchanges=$ex parquet_scans=$scans")
       println(p.linesIterator.take(12).mkString("\n"))
       println("----")
     }

@@ -33,6 +33,7 @@ class StreamingSpec extends AnyFunSuite {
         "keeps running far away from home ### ### ### ### ### more hashes ### ###"),
       (4L, "crawl", "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " +
         "mmmm nnnn oooo pppp qqqq rrrr ssss tttt uuuu vvvv wwww xxxx yyyy zzzz"),
+      (6L, "feed", null),
       (5L, "web", "incomprehensibilities antidisestablishmentarianism the and " +
         "floccinaucinihilipilification pseudopseudohypoparathyroidism of words " +
         "supercalifragilisticexpialidocious otorhinolaryngological immunoelectrophoresis " +
@@ -58,6 +59,9 @@ class StreamingSpec extends AnyFunSuite {
       // The fixture really exercises the gate: some kept, some dropped.
       val kept = spark.table("qgate").filter(col("keep")).count()
       assert(kept > 0 && kept < docs.size)
+      // Null text gates to an explicit keep=false — never null flags.
+      val nullRow = spark.table("qgate").filter(col("doc_id") === 6L).head()
+      assert(!nullRow.getAs[Boolean]("keep") && !nullRow.anyNull)
     } finally q.stop()
   }
 
@@ -71,7 +75,8 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "en", "alpha beta gamma delta"),
       (2L, "de", "eins zwei drei vier fünf sechs sieben acht"),
       (3L, "en", "single"),
-      (4L, "fr", "un deux trois un deux trois un deux trois"))
+      (4L, "fr", "un deux trois un deux trois un deux trois"),
+      (5L, "xx", null))
     val in = MemoryStream[(Long, String, String)]
     val q = EventPipeline.dsirScoreStream(
         in.toDF().toDF("doc_id", "lang", "text"), table)
@@ -89,6 +94,8 @@ class StreamingSpec extends AnyFunSuite {
       // n_grams = 2·nw − 1; scores are non-trivial (some doc ≠ 0).
       assert(streamed(1L)._1 == 7 && streamed(3L)._1 == 1)
       assert(streamed.values.exists(_._2 != 0L))
+      // Null text scores deterministically (1 empty gram), never null.
+      assert(streamed(5L)._1 == 1)
     } finally q.stop()
   }
 
