@@ -1648,8 +1648,10 @@ object Ann {
     // 8-partition window is the textbook skew bug at 100 TB). The quota
     // is all-integer: keep ⌈n/4⌉ vectors total, ⌈that/8⌉ per cluster —
     // the global count rides in as a broadcast 1-row aggregate. Plan:
-    // one vec_id-keyed exchange (argmax), one (cluster, bucket)-keyed
-    // exchange (rank), everything else broadcast — 2 corpus exchanges.
+    // ONE vec_id-keyed argmax exchange, materialized once
+    // (localCheckpoint — three downstream consumers would otherwise
+    // re-run the assignment pass each), then one (cluster,
+    // bucket)-keyed rank exchange; everything else broadcast.
     ("v29_balanced_sample",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -1658,12 +1660,18 @@ object Ann {
         val gInt = floor(cosine(col("embedding"), col("semb")) * 1000000 + 0.5)
           .cast("long")
         val packed = (gInt + 1000000L) * 8L + (lit(7L) - col("seed_id"))
+        // localCheckpoint: the argmax aggregate feeds THREE consumers
+        // (bucket offsets, the global count, the rank pass) and Spark
+        // re-plans shared subtrees per consumer — without the cut the
+        // corpus-scale assignment pass runs 3× (caught by ExplainAudit:
+        // 5 scans / 12 exchanges; 1 assignment pass after).
         val assigned = e.filter(col("vec_id") >= 8)
           .crossJoin(broadcast(seeds))
           .select(col("vec_id"), packed.as("pk"))
           .groupBy(col("vec_id")).agg(max(col("pk")).as("pk"))
           .select(col("vec_id"), (lit(7L) - col("pk") % 8).as("cluster"),
             md5(col("vec_id").cast("string")).as("h"))
+          .localCheckpoint()
         val tot = assigned.agg(count(lit(1)).as("n_total"))
         Pipeline.splitRank(assigned, Seq("cluster"), "vec_id")
           .crossJoin(broadcast(tot))

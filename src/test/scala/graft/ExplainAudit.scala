@@ -10,7 +10,14 @@ object ExplainAudit {
     val spark = TestSpark.spark
     for (n <- args) {
       val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      // Execute first: an AQE plan prints no codegen stars (and may
+      // re-plan joins) until it is final — auditing the pre-execution
+      // tree under-reports spans and shows never-taken join choices.
+      df.queryExecution.toRdd.count()
+      // Final plan only — the AQE treeString appends an "== Initial
+      // Plan ==" section that would double every count.
       val p = df.queryExecution.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
       // Distinct codegen-span IDS, not operator lines: every operator
       // inside span N prints a "*(N)" prefix, so counting lines would
       // report operators and mis-grade "one kernel pass" claims.
