@@ -62,6 +62,7 @@ object OracleExport {
   val PatchPath = s"$Root/patch_feats.parquet"
   val SketchPath = s"$Root/q33_sketches.parquet"
   val PackAllocPath = s"$Root/pack_alloc.parquet"
+  val QuantSketchPath = s"$Root/quant_sketch.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 

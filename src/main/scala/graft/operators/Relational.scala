@@ -1895,6 +1895,82 @@ object Relational {
                        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
                      FROM orders),
               r AS (SELECT *, rank() OVER (ORDER BY price_band DESC) AS rnk FROM b)
-              SELECT o_orderkey, o_custkey, price_band FROM r WHERE rnk <= 10"""))
+              SELECT o_orderkey, o_custkey, price_band FROM r WHERE rnk <= 10""")),
+
+    // ---- q81: quantile sketch accuracy (the percentile scale path) -----
+    // q58's exact percentile is a full-sort operation — the one shape
+    // that cannot survive 100 TB. The production path is a mergeable
+    // sketch (Spark's Greenwald-Khanna approx_percentile: bounded
+    // memory, map-side partials, one tiny merge), and the deployment
+    // question is the accuracy dial. This operator measures it: for
+    // accuracy ∈ {100, 1000, 10000} × p ∈ {0.5, 0.9, 0.99} over
+    // l_extendedprice, the sketch value, the exact value, the relative
+    // error, and — the actual GK contract — the RANK error bound
+    // |rank(approx) − p·n| ≤ n/accuracy (+1 tie slack), checked
+    // exactly. Sketch values are engine-specific, so they export under
+    // the corpus fingerprint (the q33/t17 pattern) and DuckDB
+    // re-derives EVERYTHING else independently: exact quantiles
+    // (quantile_cont — bit-identical to Spark's percentile, q58-proven),
+    // ranks by direct count, the error columns, and the bound verdicts.
+    // Corpus cost: two aggregate scans (sketch+exact together, then the
+    // 9 rank counts in one conditional aggregate) — no sort, no
+    // shuffle beyond map-side-combined partials, at any scale.
+    ("q81_approx_quantiles",
+      (s, d) => {
+        val accs = Seq(100, 1000, 10000)
+        val ps = Seq(0.5, 0.9, 0.99)
+        val psSql = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+        val li = Tables.lineitem(s, d)
+        val v = li.select(col("l_extendedprice").as("v"))
+        val aggCols = Seq(expr(s"percentile(v, $psSql)").as("ex")) ++
+          accs.map(a => expr(s"approx_percentile(v, $psSql, $a)").as(s"apx$a"))
+        val head = v.agg(count(lit(1)).as("n"), aggCols: _*).head()
+        val n = head.getLong(0)
+        val exact = head.getSeq[Double](1)
+        val cells = for ((a, ai) <- accs.zipWithIndex; (p, pi) <- ps.zipWithIndex)
+          yield (a.toLong, p, head.getSeq[Double](2 + ai)(pi), exact(pi))
+        import s.implicits._
+        OracleExport.writeOnce(
+          cells.map { case (a, p, apx, _) => (a, p, apx) }
+            .toDF("accuracy", "p", "approx"),
+          OracleExport.QuantSketchPath, OracleExport.lineKeyFor(li, d))
+        val rkRow = v.agg(
+          count(when(col("v") <= cells.head._3, 1)).as("rk0"),
+          cells.tail.zipWithIndex.map { case ((_, _, apx, _), i) =>
+            count(when(col("v") <= apx, 1)).as(s"rk${i + 1}") }: _*).head()
+        val rows = cells.zipWithIndex.map { case ((a, p, apx, ex), i) =>
+          val rk = rkRow.getLong(i)
+          (a, p, apx, ex, math.abs(apx - ex) / ex, rk, n,
+            math.abs(rk.toDouble - p * n) <= n.toDouble / a + 1)
+        }
+        rows.toDF("accuracy", "p", "approx", "exact", "rel_err",
+          "rk", "n", "within_bound")
+      },
+      Some(s"""WITH a AS (
+                SELECT accuracy, p, approx
+                FROM ${OracleExport.readSql(OracleExport.QuantSketchPath)}
+                WHERE corpus_key = ${OracleExport.lineKeySql}),
+              ex AS (
+                SELECT quantile_cont(l_extendedprice, 0.5) AS e50,
+                       quantile_cont(l_extendedprice, 0.9) AS e90,
+                       quantile_cont(l_extendedprice, 0.99) AS e99,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem),
+              j AS (
+                SELECT a.accuracy, a.p, a.approx,
+                       CASE a.p WHEN 0.5 THEN e50 WHEN 0.9 THEN e90
+                                ELSE e99 END AS exact, n
+                FROM a, ex),
+              r AS (
+                SELECT j.*,
+                       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                        WHERE l_extendedprice <= j.approx) AS rk
+                FROM j)
+              SELECT accuracy, p, approx, exact,
+                     abs(approx - exact) / exact AS rel_err,
+                     rk, n,
+                     abs(CAST(rk AS DOUBLE) - p * n)
+                       <= CAST(n AS DOUBLE) / accuracy + 1 AS within_bound
+              FROM r"""))
   )
 }

@@ -382,6 +382,24 @@ class NewOpsSpec extends AnyFunSuite {
     assert(pool == nonBench, "denominators must exclude benchmark docs")
   }
 
+  test("q81 sketch accuracy: every GK rank bound holds, accuracy dial works") {
+    val rows = run("q81_approx_quantiles").collect()
+    assert(rows.length == 9, "3 accuracies x 3 percentiles")
+    // The GK contract must hold on every cell (also DuckDB-verified).
+    assert(rows.forall(_.getAs[Boolean]("within_bound")))
+    // The dial is real: the worst absolute rank error at accuracy 10000
+    // is strictly smaller than at accuracy 100.
+    def worstRankErr(acc: Long) = rows.filter(_.getAs[Long]("accuracy") == acc)
+      .map(r => math.abs(r.getAs[Long]("rk").toDouble -
+        r.getAs[Double]("p") * r.getAs[Long]("n"))).max
+    assert(worstRankErr(10000L) < worstRankErr(100L),
+      s"accuracy dial inert: ${worstRankErr(10000L)} !< ${worstRankErr(100L)}")
+    // Approx values live inside the data's range (sanity on the export).
+    assert(rows.forall { r =>
+      val a = r.getAs[Double]("approx"); a > 0 && a.isFinite
+    })
+  }
+
   test("v27 margin audit accounts for every vector with bounded margins") {
     val rows = run("v27_label_margin").collect()
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum

@@ -197,6 +197,16 @@ class PlanShapeSpec extends AnyFunSuite {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("q81 sketch eval: no corpus sort, result is bounded literals") {
+    // The operator exists BECAUSE exact percentile is a sort — its own
+    // plan must never contain one: corpus work happens in two bounded
+    // aggregate jobs at build (sketch+exact, then rank counts), and the
+    // returned frame is 9 literal rows.
+    val p = planOf("q81_approx_quantiles")
+    assert(!p.contains("Scan parquet"), s"corpus leaked into the result plan:\n${p.take(400)}")
+    assert(!p.contains("Sort "), "quantile eval must not sort")
+  }
+
   test("d23 winnowing: fp equi-joins only, fingerprint stream stays sparse") {
     // Candidate generation must stay the fingerprint-keyed equi-join;
     // an all-pairs rewrite (cartesian / nested-loop between doc frames)
