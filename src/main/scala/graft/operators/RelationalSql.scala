@@ -793,6 +793,42 @@ object RelationalSql {
         |t AS (SELECT min(price_band) AS thr
         |      FROM (SELECT price_band FROM b ORDER BY price_band DESC LIMIT 10))
         |SELECT o_orderkey, o_custkey, price_band FROM b, t
-        |WHERE price_band >= thr""".stripMargin
+        |WHERE price_band >= thr""".stripMargin,
+
+    // The q37-class exception: the DataFrame form collects the 9
+    // sketch/exact scalars and computes ranks in ONE conditional
+    // aggregate; the SQL twin expresses the same semantics with a
+    // grouped 9×n cross join for the ranks. Same values (GK is
+    // deterministic for a fixed layout), different physical plan.
+    "q81_approx_quantiles" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D)) AS ex,
+        |         approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 100) AS a1,
+        |         approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000) AS a2,
+        |         approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000) AS a3
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT t.acc AS accuracy, pz.p,
+        |         element_at(CASE t.acc WHEN 100L THEN s.a1
+        |                    WHEN 1000L THEN s.a2 ELSE s.a3 END, pz.i) AS approx,
+        |         element_at(s.ex, pz.i) AS exact, s.n
+        |  FROM s
+        |  LATERAL VIEW explode(array(100L, 1000L, 10000L)) t AS acc
+        |  LATERAL VIEW explode(array(struct(1 AS i, 0.5D AS p),
+        |                             struct(2 AS i, 0.9D AS p),
+        |                             struct(3 AS i, 0.99D AS p))) pp AS pz),
+        |r AS (
+        |  SELECT c.accuracy, c.p, c.approx, c.exact, c.n,
+        |         CAST(sum(CASE WHEN l.l_extendedprice <= c.approx
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS rk
+        |  FROM c CROSS JOIN lineitem l
+        |  GROUP BY c.accuracy, c.p, c.approx, c.exact, c.n)
+        |SELECT accuracy, p, approx, exact,
+        |       abs(approx - exact) / exact AS rel_err,
+        |       rk, n,
+        |       abs(CAST(rk AS DOUBLE) - p * n)
+        |         <= CAST(n AS DOUBLE) / accuracy + 1 AS within_bound
+        |FROM r""".stripMargin
   )
 }
