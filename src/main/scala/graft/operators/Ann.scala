@@ -45,7 +45,7 @@ object Ann {
     * the test SFs (max vec_id ≈ 5k at sf0.1), so the oracle rows are
     * unchanged; at production scale it is the knob. (Declared before
     * `defs` — eager oracle interpolation.) */
-  private val EvalIdCap = 50000
+  private[graft] val EvalIdCap = 50000
 
   private def queryVec(s: SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)

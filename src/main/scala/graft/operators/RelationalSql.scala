@@ -796,37 +796,46 @@ object RelationalSql {
         |WHERE price_band >= thr""".stripMargin,
 
     // The q37-class exception: the DataFrame form collects the 9
-    // sketch/exact scalars and computes ranks in ONE conditional
-    // aggregate; the SQL twin expresses the same semantics with a
-    // grouped 9×n cross join for the ranks. Same values (GK is
-    // deterministic for a fixed layout), different physical plan.
+    // frozen sketch scalars and computes ranks in ONE conditional
+    // aggregate; the SQL twin reads the SAME frozen export (so sketch
+    // merge-order nondeterminism cannot split the pair) and expresses
+    // the ranks as a grouped 9×n cross join. Same values, different
+    // physical plan. The twin runs AFTER the DataFrame form in
+    // SqlParitySpec, so the export partition for the corpus exists.
     "q81_approx_quantiles" ->
-      """WITH s AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D)) AS ex,
-        |         approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 100) AS a1,
-        |         approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000) AS a2,
-        |         approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000) AS a3
-        |  FROM lineitem),
-        |c AS (
-        |  SELECT t.acc AS accuracy, pz.p,
-        |         element_at(CASE t.acc WHEN 100L THEN s.a1
-        |                    WHEN 1000L THEN s.a2 ELSE s.a3 END, pz.i) AS approx,
-        |         element_at(s.ex, pz.i) AS exact, s.n
-        |  FROM s
-        |  LATERAL VIEW explode(array(100L, 1000L, 10000L)) t AS acc
-        |  LATERAL VIEW explode(array(struct(1 AS i, 0.5D AS p),
-        |                             struct(2 AS i, 0.9D AS p),
-        |                             struct(3 AS i, 0.99D AS p))) pp AS pz),
+      s"""WITH a AS (
+        |  SELECT accuracy, p, approx
+        |  FROM parquet.`${graft.operators.OracleExport.QuantSketchPath}`
+        |  WHERE corpus_key = (
+        |    SELECT CAST(count(*) AS STRING) || '_' ||
+        |           CAST(CAST(sum(l_orderkey) AS BIGINT) AS STRING) || '_' ||
+        |           CAST(CAST(sum(l_partkey) AS BIGINT) AS STRING)
+        |    FROM lineitem)),
+        |samp AS (
+        |  SELECT l_extendedprice AS v FROM lineitem
+        |  ORDER BY md5(CAST(l_orderkey AS STRING) || '#' ||
+        |               CAST(l_linenumber AS STRING))
+        |  LIMIT ${graft.operators.Relational.QuantSampleK}),
+        |sx AS (
+        |  SELECT percentile(v, array(0.5D, 0.9D, 0.99D)) AS sex,
+        |         CAST(count(*) AS BIGINT) AS sample_n
+        |  FROM samp),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |j AS (
+        |  SELECT a.accuracy, a.p, a.approx,
+        |         element_at(sx.sex, CASE a.p WHEN 0.5D THEN 1
+        |                            WHEN 0.9D THEN 2 ELSE 3 END) AS sample_exact,
+        |         nn.n, sx.sample_n
+        |  FROM a CROSS JOIN sx CROSS JOIN nn),
         |r AS (
-        |  SELECT c.accuracy, c.p, c.approx, c.exact, c.n,
-        |         CAST(sum(CASE WHEN l.l_extendedprice <= c.approx
+        |  SELECT j.accuracy, j.p, j.approx, j.sample_exact, j.n, j.sample_n,
+        |         CAST(sum(CASE WHEN l.l_extendedprice <= j.approx
         |                       THEN 1 ELSE 0 END) AS BIGINT) AS rk
-        |  FROM c CROSS JOIN lineitem l
-        |  GROUP BY c.accuracy, c.p, c.approx, c.exact, c.n)
-        |SELECT accuracy, p, approx, exact,
-        |       abs(approx - exact) / exact AS rel_err,
-        |       rk, n,
+        |  FROM j CROSS JOIN lineitem l
+        |  GROUP BY j.accuracy, j.p, j.approx, j.sample_exact, j.n, j.sample_n)
+        |SELECT accuracy, p, approx, sample_exact,
+        |       abs(approx - sample_exact) / sample_exact AS rel_err,
+        |       rk, n, sample_n,
         |       abs(CAST(rk AS DOUBLE) - p * n)
         |         <= CAST(n AS DOUBLE) / accuracy + 1 AS within_bound
         |FROM r""".stripMargin

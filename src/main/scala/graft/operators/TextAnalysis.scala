@@ -1601,7 +1601,10 @@ object TextAnalysis {
             size(col("w")).cast("long").as("n_words"),
             aggregate(transform(col("w"), x => length(x).cast("long")),
               lit(0L), (a, v) => a + v).as("sum_wl"),
-            size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+            // [a-zA-Z]: the Gopher rule is "contains an alphabetic
+            // character" — capitalized/acronym words ("Hello", "NASA")
+            // must count as alphabetic (round-7 advice).
+            size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
             countIn(col("w"), stop).as("n_stop"),
             col("n_hash"), col("n_ellipsis"))
           .select(col("doc_id"), col("source"), col("n_words"),
@@ -1632,7 +1635,7 @@ object TextAnalysis {
                  SELECT doc_id, source,
                         CAST(len(w) AS BIGINT) AS n_words,
                         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_wl,
-                        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
                         CAST(${sqlCountIn(markers.flatMap(_._2).distinct)} AS BIGINT) AS n_stop,
                         n_hash, n_ellipsis
                  FROM f),

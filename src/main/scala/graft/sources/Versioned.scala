@@ -213,8 +213,15 @@ object Versioned {
             // rename path below — commits keep working there with the
             // pre-link behavior (the narrow check-then-rename window)
             // instead of failing permanently. EEXIST is NOT this case —
-            // it propagates to the conflict mapping below.
-            case _: UnsupportedOperationException =>
+            // FileAlreadyExistsException must be matched BEFORE its
+            // FileSystemException superclass so it propagates to the
+            // conflict mapping below. The default JDK provider reports
+            // link-incapable mounts as FileSystemException (EPERM /
+            // ENOTSUP), not UnsupportedOperationException — the latter
+            // only comes from providers with no createLink at all.
+            case e: java.nio.file.FileAlreadyExistsException => throw e
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
               linkUnsupportedFs.add(manifestDir(path).toString)
               renameCommit(spark, tmp, target)
               renamed = true

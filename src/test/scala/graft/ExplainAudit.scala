@@ -4,12 +4,15 @@ package graft
   * exchange / parquet-scan counts plus the plan head for each name
   * passed on the command line — the quick loop for checking a new
   * operator's executed shape against its scaladoc claims.
-  * Run: sbt "Test/runMain graft.ExplainAudit t36_gopher_rules ..." */
+  * Run: sbt "Test/runMain graft.ExplainAudit t36_gopher_rules ..."
+  * An argument containing '/' overrides the corpus dir (default:
+  * TestSpark.sf — the same data every spec runs against). */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    for (n <- args) {
-      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+    val dir = args.find(_.contains("/")).getOrElse(TestSpark.sf)
+    for (n <- args if !n.contains("/")) {
+      val df = SparkEntry.queries(n)(spark, dir)
       // Execute first: an AQE plan prints no codegen stars (and may
       // re-plan joins) until it is final — auditing the pre-execution
       // tree under-reports spans and shows never-taken join choices.

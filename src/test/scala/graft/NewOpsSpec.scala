@@ -91,7 +91,8 @@ class NewOpsSpec extends AnyFunSuite {
     val rows = run("v26_knn_classify").collect()
     val nTest = rows.map(_.getAs[Long]("n_test")).sum
     val holdout = Tables.embeddings(spark, TestSpark.sf)
-      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 50000).count() // v26's EvalIdCap
+      .filter(col("vec_id") % 10 === 0 &&
+        col("vec_id") < graft.operators.Ann.EvalIdCap).count()
     assert(nTest == holdout, s"classified $nTest of $holdout held-out vectors")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_correct") >= 0 &&
