@@ -2006,7 +2006,259 @@ object Relational {
                      rk, n, sample_n,
                      abs(CAST(rk AS DOUBLE) - p * n)
                        <= CAST(n AS DOUBLE) / accuracy + 1 AS within_bound
-              FROM r"""))
+              FROM r""")),
+
+    // ---- q82–q88: the canonical TPC-H stress battery -------------------
+    // The queries a relational user hits first, adapted to the driver
+    // schema (no partsupp / commitdate / shippriority), chosen to
+    // jointly exercise join-order + AQE paths no single earlier entry
+    // stresses: selective-dim star topk (Q3/Q10), disjunctive cross-
+    // nation join predicates (Q7), conditional-share two-level agg
+    // (Q8), LIKE-dim multi-join profit rollup (Q9), HAVING-subquery
+    // semi join (Q18), and the double-correlated EXISTS battery (Q21).
+    // Money sums round to cents (q24's discipline) so engine-order
+    // ulp drift cannot flip a compare; every LIMIT carries a full
+    // deterministic tie-break key.
+
+    // Q3: shipping-priority revenue top-10. The segment filter lands
+    // on the customer dim BEFORE the join (broadcast at any scale:
+    // 1/5 of customers, but the JOIN ORDER is the point — AQE sees a
+    // shrunken build side), and both fact filters push to the scans.
+    ("q82_tpch_q3",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+                AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1999-01-01'
+                AND l_shipdate > TIMESTAMP '1999-01-01'
+              GROUP BY 1, 2, 3
+              ORDER BY revenue DESC, o_orderdate, l_orderkey
+              LIMIT 10""")),
+
+    // Q7: volume shipping between two nations — the disjunctive
+    // nation-pair predicate cannot become a join key, so it must ride
+    // as a post-join filter on two BROADCAST nation dims (25 rows
+    // forever); the fact-side joins stay key-partitioned.
+    ("q83_tpch_q7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.supplier(s, d)
+          .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+                  (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("volume"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS volume
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+                AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2, 3""")),
+
+    // Q8: national market share — conditional share inside a grouped
+    // aggregate over a 7-table join; the share nation rides as a
+    // CASE, never a second pass over the join.
+    ("q87_tpch_q8",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_type") === "STANDARD"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("c_rk") === col("r_regionkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(micro(
+            sum(when(col("nation") === "NATION_5",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0d)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("mkt_share"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     FLOOR(sum(CASE WHEN n2.n_name = 'NATION_5'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END)
+                           / sum(l_extendedprice * (1 - l_discount))
+                           * 1000000 + 0.5) / 1000000 AS mkt_share
+              FROM lineitem, part, supplier, orders, customer,
+                   nation n1, nation n2, region
+              WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+                AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+                AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1""")),
+
+    // Q9: product-type profit rollup. No partsupp in the driver
+    // schema, so cost is the 0.6·retailprice·qty proxy — the SHAPE
+    // (LIKE-filtered part dim driving a 5-table join into a
+    // nation×year rollup) is what's being stressed.
+    ("q84_tpch_q9",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").like("%widget%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(cents(sum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity"))).as("sum_profit")),
+      Some("""SELECT n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     FLOOR(sum(l_extendedprice * (1 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity) * 100 + 0.5) / 100
+                       AS sum_profit
+              FROM lineitem, part, supplier, nation, orders
+              WHERE l_partkey = p_partkey AND p_name LIKE '%widget%'
+                AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND l_orderkey = o_orderkey
+              GROUP BY 1, 2""")),
+
+    // Q18: large-volume customers — the HAVING-subquery IN becomes a
+    // LEFT SEMI against the per-order quantity aggregate, applied to
+    // ORDERS (the small side) before the fact join, so the lineitem
+    // re-join only sees surviving orders.
+    ("q85_tpch_q18",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sq")).filter(col("sq") > 300)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice, sum(l_quantity) AS sum_qty
+              FROM customer, orders, lineitem
+              WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                   GROUP BY l_orderkey
+                                   HAVING sum(l_quantity) > 300)
+                AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              GROUP BY 1, 2, 3, 4, 5
+              ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+              LIMIT 100""")),
+
+    // Q21: suppliers solely at fault in multi-supplier failed orders.
+    // The canonical form is a double-correlated EXISTS / NOT EXISTS
+    // battery (the oracle and the SQL twin keep it — DuckDB and
+    // Spark's correlated-subquery planner both prove the rewrite);
+    // the DataFrame form is the one-shuffle scalable rewrite: a
+    // per-order aggregate (distinct suppliers, distinct at-fault
+    // suppliers) replaces BOTH lineitem self-joins — EXISTS(other
+    // supplier) ⟺ n_supp ≥ 2, NOT EXISTS(other at-fault) ⟺ the
+    // at-fault set is exactly {this supplier}, i.e. n_fault = 1
+    // (l1 itself is at fault, so its supplier is always counted).
+    ("q86_tpch_q21",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("n_fault"))
+        li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+          .join(perOrder, col("l_orderkey") === col("ok"))
+          .filter(col("n_supp") >= 2 && col("n_fault") === 1)
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(100)
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+              FROM supplier, lineitem l1, orders
+              WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+                AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_returnflag = 'R')
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name
+              LIMIT 100""")),
+
+    // Q10: returned-item customer revenue top-20 — star topk whose
+    // quarter window lands on the orders scan and whose returnflag
+    // filter lands on the lineitem scan before either join.
+    ("q88_tpch_q10",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+                     FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+              FROM customer, orders, lineitem, nation
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-07-01'
+                AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              GROUP BY 1, 2, 3, 4
+              ORDER BY revenue DESC, c_custkey
+              LIMIT 20"""))
   )
 
   /** q81's reference-quantile sample size: bounds BOTH the TakeOrdered

@@ -838,6 +838,107 @@ object RelationalSql {
         |       rk, n, sample_n,
         |       abs(CAST(rk AS DOUBLE) - p * n)
         |         <= CAST(n AS DOUBLE) / accuracy + 1 AS within_bound
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // ---- TPC-H battery twins: the text a reference user would type.
+    // q86's twin keeps the canonical double-correlated EXISTS / NOT
+    // EXISTS form — SqlParitySpec then machine-checks the DataFrame
+    // side's one-shuffle aggregate rewrite against Spark's own
+    // correlated-subquery planner output.
+    "q82_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q83_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS volume
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q84_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       FLOOR(sum(l_extendedprice * (1 - l_discount)
+        |                 - 0.6 * p_retailprice * l_quantity) * 100 + 0.5) / 100
+        |         AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q85_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       o_totalprice, sum(l_quantity) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q86_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q87_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       FLOOR(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |                      THEN l_extendedprice * (1 - l_discount)
+        |                      ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount))
+        |             * 1000000 + 0.5) / 1000000 AS mkt_share
+        |FROM lineitem, part, supplier, orders, customer,
+        |     nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND s_nationkey = n2.n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q88_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
   )
 }

@@ -411,4 +411,35 @@ class NewOpsSpec extends AnyFunSuite {
       assert(m >= -2.0 && m <= 2.0, s"cosine margin out of range: $m")
     }
   }
+
+  test("TPC-H battery: structural invariants hold on every query") {
+    // q82/q88: capped topk, strictly ordered by the rounded revenue.
+    for ((n, cap) <- Seq(("q82_tpch_q3", 10), ("q88_tpch_q10", 20))) {
+      val r = run(n).collect()
+      assert(r.length <= cap, s"$n over its limit")
+      val rev = r.map(_.getAs[Double]("revenue"))
+      assert(rev.sameElements(rev.sortBy(-_)), s"$n not revenue-descending")
+      assert(rev.forall(_ > 0), s"$n nonpositive revenue")
+    }
+    // q83: only the two declared nation pairs may appear.
+    run("q83_tpch_q7").collect().foreach { r =>
+      val pair = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(pair == ("NATION_3", "NATION_7") || pair == ("NATION_7", "NATION_3"))
+      assert(r.getAs[Long]("l_year") >= 1996 && r.getAs[Long]("l_year") <= 1997)
+    }
+    // q85: every surviving order's quantity exceeds the HAVING bound —
+    // the grouped sum IS the per-order sum, so the semi join is
+    // self-certifying.
+    val q18 = run("q85_tpch_q18").collect()
+    assert(q18.forall(_.getAs[Double]("sum_qty") > 300), "q85 let a small order through")
+    // q86: counts are positive and descending under the declared order.
+    val q21 = run("q86_tpch_q21").collect()
+    val nw = q21.map(_.getAs[Long]("numwait"))
+    assert(nw.forall(_ >= 1) && nw.sameElements(nw.sortBy(-_)))
+    // q87: a share is a share.
+    run("q87_tpch_q8").collect().foreach { r =>
+      val sh = r.getAs[Double]("mkt_share")
+      assert(sh >= 0.0 && sh <= 1.0, s"mkt_share out of [0,1]: $sh")
+    }
+  }
 }

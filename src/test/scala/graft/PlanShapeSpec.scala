@@ -879,4 +879,36 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"d07: the lang-count exchange only, got $exchanges")
   }
+
+  test("TPC-H battery: no cartesians, every LIMIT is a TakeOrdered") {
+    // The battery exists to stress join order; the one shape it must
+    // never produce is an unkeyed join, and its topk queries must cap
+    // at TakeOrderedAndProject (k rows per task), never a global sort.
+    for (n <- Seq("q82_tpch_q3", "q83_tpch_q7", "q84_tpch_q9",
+                  "q85_tpch_q18", "q86_tpch_q21", "q87_tpch_q8",
+                  "q88_tpch_q10")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop")
+    }
+    for (n <- Seq("q82_tpch_q3", "q85_tpch_q18", "q86_tpch_q21", "q88_tpch_q10"))
+      assert(planOf(n).contains("TakeOrderedAndProject"),
+        s"$n topk must be TakeOrdered, not sort+limit")
+  }
+
+  test("q86 rewrite scans lineitem twice, not the canonical three times") {
+    // The EXISTS/NOT-EXISTS battery would scan lineitem for l1, l2 and
+    // l3; the aggregate rewrite must hold the fact-table scans at two
+    // (the at-fault rows + the per-order supplier profile) — a third
+    // scan means someone reintroduced a self-join arm.
+    val p = planOf("q86_tpch_q21")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans <= 2, s"q86: $liScans lineitem scans:\n${p.take(600)}")
+  }
+
+  test("q85 filters orders through a semi join before the fact re-join") {
+    val p = planOf("q85_tpch_q18")
+    assert(p.contains("LeftSemi"), s"q85 lost its semi join:\n${p.take(400)}")
+  }
 }
