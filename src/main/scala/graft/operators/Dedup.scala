@@ -1467,8 +1467,100 @@ object Dedup {
                      CAST(COALESCE(a.nc, 0) AS BIGINT) AS n_contaminated,
                      CAST(COALESCE(a.nc, 0) AS DOUBLE) / g.n_docs AS contam_rate,
                      CAST(COALESCE(a.shg, 0) AS BIGINT) AS shared_grams
-              FROM grid g LEFT JOIN agg a ON g.b = a.b AND g.source = a.source"""))
+              FROM grid g LEFT JOIN agg a ON g.b = a.b AND g.source = a.source""")),
+
+    // ---- d25: EXACT longest duplicated spans (the suffix-array rung) ---
+    // d12/d14 mark positions covered by ANY duplicated 5-gram but never
+    // measure a span's true extent: consecutive marked positions need
+    // not share a PARTNER, so chaining marks overestimates, and the
+    // grid caps what it can certify at 5 words. This operator is the
+    // rung above (Lee et al. 2022's suffix-array deliverable,
+    // re-expressed for Spark): the classic seed-and-chain dot-plot —
+    // matching-position PAIRS from the duplicated-gram join, chained
+    // along the (doc_a, doc_b, pa−pb) DIAGONAL with the q62
+    // gaps-and-islands window. Overlapping equal 5-grams compose
+    // exactly — a maximal diagonal run of R pairs certifies a
+    // duplicated span of EXACTLY R+4 words at both locations, and every
+    // maximal repeated span ≥5 words appears as such a run — so span
+    // lengths are exact, not grid-truncated. Scale contract: pairing is
+    // quadratic per gram, so seeds take the d04 df-cap (2 ≤ df ≤ 32;
+    // pair volume ≤ 32·positions): a span ALL of whose grams exceed the
+    // cap is mega-boilerplate already excised wholesale by d01/d02 —
+    // the declared division of labor. Pairs shuffle as narrow integer
+    // 4-tuples on 8-byte gram hashes; text rides only the final
+    // bounded top-K reconstruction join. Output: the top-20 longest
+    // spans with both locations and the reconstructed text.
+    ("d25_dedup_longest_span",
+      (s, d) => longestDupSpans(Tables.documents(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              g AS (SELECT doc_id, i - 1 AS p,
+                           w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sg
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                          FROM toks WHERE len(w) >= 5)),
+              f AS (SELECT sg FROM g GROUP BY sg HAVING count(*) BETWEEN 2 AND 32),
+              sd AS (SELECT g.doc_id, g.p, g.sg FROM g JOIN f USING (sg)),
+              pr AS (SELECT a.doc_id AS doc_a, a.p AS pa,
+                            b.doc_id AS doc_b, b.p AS pb
+                     FROM sd a JOIN sd b ON a.sg = b.sg
+                     WHERE a.doc_id < b.doc_id
+                        OR (a.doc_id = b.doc_id AND a.p < b.p)),
+              r AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+                           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                                   ORDER BY pa) AS grp
+                    FROM pr),
+              runs AS (SELECT doc_a, doc_b, min(pa) AS pos_a, min(pb) AS pos_b,
+                              CAST(count(*) + 4 AS BIGINT) AS span_len
+                       FROM r GROUP BY doc_a, doc_b, diag, grp),
+              top AS (SELECT * FROM runs
+                      ORDER BY span_len DESC, doc_a, doc_b, pos_a, pos_b
+                      LIMIT 20)
+              SELECT t.doc_a, CAST(t.pos_a AS BIGINT) AS pos_a,
+                     t.doc_b, CAST(t.pos_b AS BIGINT) AS pos_b, t.span_len,
+                     array_to_string(list_slice(w, t.pos_a + 1, t.pos_a + t.span_len), ' ')
+                       AS span_text
+              FROM top t JOIN toks ON toks.doc_id = t.doc_a
+              ORDER BY span_len DESC, doc_a, doc_b, pos_a, pos_b"""))
   )
+
+  /** d25's pipeline over any (doc_id, text) frame — see the defs entry
+    * for the exactness and df-cap arguments. Top-K and the cap are
+    * parameters so the planted-span spec can exercise edges. */
+  private[graft] def longestDupSpans(docs: DataFrame, dfCap: Int = 32,
+      topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(gramHashList(col("text"), 5)))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "h"))
+    val freq = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap).select(col("h"))
+    val seed = pos.join(freq, Seq("h"))
+    val pairs = seed.select(col("h"), col("doc_id").as("doc_a"), col("p").as("pa"))
+      .join(seed.select(col("h"), col("doc_id").as("doc_b"), col("p").as("pb")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pa") < col("pb")))
+    val runs = pairs
+      .select(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"),
+        col("pa"), col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).cast("long").as("pos_a"),
+        min(col("pb")).cast("long").as("pos_b"),
+        (count(lit(1)) + 4).as("span_len"))
+    runs
+      .orderBy(col("span_len").desc, col("doc_a"), col("doc_b"),
+        col("pos_a"), col("pos_b"))
+      .limit(topK)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        split(col("text"), " ").as("wa")), Seq("doc_a"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("span_len"),
+        array_join(slice(col("wa"), (col("pos_a") + 1).cast("int"),
+          col("span_len").cast("int")), " ").as("span_text"))
+      .orderBy(col("span_len").desc, col("doc_a"), col("doc_b"),
+        col("pos_a"), col("pos_b"))
+  }
 
   // ---- d13 at scale: the standing corpus as a PERSISTED layout ---------
   //

@@ -442,4 +442,31 @@ class NewOpsSpec extends AnyFunSuite {
       assert(sh >= 0.0 && sh <= 1.0, s"mkt_share out of [0,1]: $sh")
     }
   }
+
+  test("d25 planted spans come back at exact length — no grid truncation, no over-chaining") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val span37 = (1 to 37).map(i => s"planted$i").mkString(" ")
+    val span8 = (1 to 8).map(i => s"minor$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${words("fillera", 20)} $span37 ${words("fillerb", 20)}"),
+      (2L, s"${words("fillerc", 11)} $span37 ${words("fillerd", 5)} $span8"),
+      (3L, s"$span37 ${words("fillere", 30)} $span8")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.longestDupSpans(docs).collect()
+    // Three pairwise occurrences of the 37-word span, each measured
+    // EXACTLY (the 5-gram grid alone could only certify ≥5).
+    assert(rows.take(3).forall(r => r.getAs[Long]("span_len") == 37 &&
+      r.getAs[String]("span_text") == span37), rows.take(3).mkString("\n"))
+    // Nothing chains beyond the plant: consecutive duplicated grams
+    // with DIFFERENT partners must not merge.
+    assert(rows.forall(_.getAs[Long]("span_len") <= 37), "over-chaining")
+    // The 8-word minor span reports 8, not a 5-word grid artifact.
+    assert(rows.exists(r => r.getAs[Long]("span_len") == 8 &&
+      r.getAs[String]("span_text") == span8), "minor span truncated or lost")
+    // Both location columns are real word offsets.
+    val r13 = rows.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 3L).get
+    assert(r13.getAs[Long]("pos_a") == 20 && r13.getAs[Long]("pos_b") == 0)
+  }
 }

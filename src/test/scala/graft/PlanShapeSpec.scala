@@ -911,4 +911,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("q85_tpch_q18")
     assert(p.contains("LeftSemi"), s"q85 lost its semi join:\n${p.take(400)}")
   }
+
+  test("d25 span chaining: hash equi-joins only, top-k is TakeOrdered") {
+    // The pair generator must stay the df-capped gram-hash self-join —
+    // an all-pairs doc×doc rewrite would be quadratic in the corpus —
+    // and the span ranking must never globally sort the run stream.
+    val p = planOf("d25_dedup_longest_span")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "d25 top-k must be TakeOrdered")
+  }
 }
