@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1.0 gate corpus: a referentially consistent 10× upscale of the
+  * driver's sf0.1 tables, written to /tmp/graft_sf1.0 (the driver's
+  * testdata tree is read-only). Each replica shifts every key family
+  * by a disjoint stride, so all FK joins stay replica-local and dense:
+  * lineitem r ⋈ orders r ⋈ customer r, part/supplier likewise; nation
+  * and region stay the global 25/5-row dims. Documents keep replica 0
+  * verbatim (literal-filter operators — t30's KWIC word, t13's query
+  * terms, langid markers — keep a live corpus) while replicas 1–9 get
+  * replica-disjoint vocabulary (the ScaleSmokeMain growth model: gram
+  * spaces never collide, so duplicate structure replicates instead of
+  * inflating ×10). Events replicate with id shifts and UNCHANGED type
+  * domain (the literal 'purchase'/'touch' funnels stay live; per-type
+  * density ×10). Embeddings rotate each vector by its replica id —
+  * distinct geometry per replica, same norm distribution. Key strides
+  * are multiples of 100 so the house id-mod disciplines (d24's
+  * doc_id%100 benchmark tag, v26's vec_id%10 holdout) scale with the
+  * corpus instead of breaking.
+  * Run: sbt "Test/runMain graft.Sf1Gen [rep]"   (default 10)
+  */
+object Sf1Gen {
+  def main(args: Array[String]): Unit = {
+    val rep = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_sf1.0"
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("sf1-gen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = spark.range(rep).select(col("id").cast("long").as("rep"))
+    def t(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def w(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[sf1gen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    // Global dims: unchanged.
+    w(t("region"), "region")
+    w(t("nation"), "nation")
+
+    val OK = 1000000L; val CK = 100000L; val PK = 100000L; val SK = 10000L
+    w(t("customer").crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * CK)
+      .drop("rep"), "customer")
+    w(t("supplier").crossJoin(reps)
+      .withColumn("s_suppkey", col("s_suppkey") + col("rep") * SK)
+      .drop("rep"), "supplier")
+    w(t("part").crossJoin(reps)
+      .withColumn("p_partkey", col("p_partkey") + col("rep") * PK)
+      .drop("rep"), "part")
+    w(t("orders").crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * OK)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * CK)
+      .drop("rep"), "orders")
+    w(t("lineitem").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * OK)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * PK)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * SK)
+      .drop("rep"), "lineitem")
+
+    w(t("events").crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * 1000000L)
+      .withColumn("user_id", col("user_id") + col("rep") * 100000L)
+      .drop("rep"), "events")
+
+    w(t("documents").crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            wd => concat(col("rep").cast("string"), lit("x"), wd)), " "))
+          .as("text"),
+        col("lang"),
+        when(col("rep") === 0, col("source"))
+          .otherwise(concat(col("rep").cast("string"), lit("x"), col("source")))
+          .as("source"),
+        col("n_chars")), "documents")
+
+    w(t("embeddings").crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        transform(sequence(lit(0), size(col("embedding")) - 1),
+          i => element_at(col("embedding"),
+            (pmod(i + col("rep"), size(col("embedding"))) + 1).cast("int")))
+          .cast("array<float>").as("embedding"),
+        col("label")), "embeddings")
+
+    spark.stop()
+  }
+}
