@@ -86,12 +86,22 @@ object Sf1Gen {
           .as("source"),
         col("n_chars")), "documents")
 
+    // Rotation alone is NOT enough: rot_r(v)·rot_s(v) depends only on
+    // (v, r−s), so one near-threshold cosine value repeats across ~45
+    // replica pairs and a last-ulp engine difference flips them all at
+    // once (caught live: d05 off by 18 rows at the first sf1.0
+    // compare). A deterministic per-(vec, rep, dim) jitter breaks the
+    // value repetition so boundary coincidences stay isolated
+    // single-pair events with ~1e-9 probability.
     w(t("embeddings").crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * 1000000L).as("vec_id"),
         transform(sequence(lit(0), size(col("embedding")) - 1),
           i => element_at(col("embedding"),
-            (pmod(i + col("rep"), size(col("embedding"))) + 1).cast("int")))
+            (pmod(i + col("rep"), size(col("embedding"))) + 1).cast("int"))
+            + when(col("rep") === 0, lit(0.0)).otherwise(
+              (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001L)) - 1000L)
+                .cast("double") / 1000000.0))
           .cast("array<float>").as("embedding"),
         col("label")), "embeddings")
 

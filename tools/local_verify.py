@@ -62,7 +62,11 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # Driver tables are single files; locally generated scale corpora
+        # (Sf1Gen) are Spark directory layouts — glob those.
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     n_pass = n_fail = n_noora = 0
     only_set = {q for q in only.split(",") if q}
@@ -82,10 +86,30 @@ def main():
             print(f"  ~ {name}: no oracle (rows-only) rows={len(got_rows)}")
             continue
         try:
-            exp = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            # Optional per-oracle timeout (GRAFT_ORACLE_TIMEOUT seconds):
+            # at locally generated scale corpora some oracles are
+            # legitimately compute-bound in DuckDB (quadratic re-derive
+            # passes the engine itself avoids); a timeout records them as
+            # 'oracle-timeout' instead of hanging the sweep. Unset = the
+            # driver's behavior (no timeout).
+            import os, threading
+            tmo = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+            timer = None
+            if tmo > 0:
+                timer = threading.Timer(tmo, con.interrupt)
+                timer.start()
+            try:
+                exp = con.execute(oracle[name])
+                exp_cols = [d[0] for d in exp.description]
+                exp_rows = exp.fetchall()
+            finally:
+                if timer is not None:
+                    timer.cancel()
         except Exception as e:
+            if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
+                n_noora += 1
+                print(f"  ~ {name}: oracle-timeout after {tmo:.0f}s (compute-bound re-derive)")
+                continue
             n_fail += 1
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             continue
