@@ -690,8 +690,18 @@ object Dedup {
       (s, d) => {
         val bandBits = 3; val nBands = 21
         val e = Tables.embeddings(s, d)
-        val banded = e
-          .withColumn("sig", hyperplaneSig(col("embedding"), bandBits * nBands))
+        val sigs = e.withColumn("sig",
+          hyperplaneSig(col("embedding"), bandBits * nBands))
+        // The operator's contract is banded-LSH candidates (recall < 1
+        // BY DESIGN — at sf1.0 scale ~0.1% of ≥0.45 pairs share no
+        // band), so the oracle must re-derive the SAME candidate set:
+        // sigs export under the corpus fingerprint (the d03 pattern)
+        // and DuckDB rebuilds bands, pairs and exact cosine itself. An
+        // all-pairs-cosine oracle is a different operator (and passed
+        // below sf1.0 only because recall happened to be 1 there).
+        OracleExport.writeOnce(sigs.select(col("vec_id"), col("sig")),
+          OracleExport.EmbLshSigsPath, OracleExport.embKeyFor(e, d))
+        val banded = sigs
           .select(col("vec_id"), col("sig"),
             explode(Lsh.bandStructs(col("sig"), bandBits, nBands)).as("bs"))
           .select(col("vec_id"), col("sig"), col("bs.band").as("band"), col("bs.bv").as("bv"))
@@ -710,10 +720,22 @@ object Dedup {
           .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.45)
       },
-      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""")),
+      Some(s"""WITH sigs AS MATERIALIZED (
+                 SELECT vec_id, sig
+                 FROM ${OracleExport.readSql(OracleExport.EmbLshSigsPath)}
+                 WHERE corpus_key = ${OracleExport.embKeySql}),
+               b AS (SELECT vec_id, i AS band, (sig >> (i * 3)) & 7 AS bv
+                     FROM sigs, unnest(range(0, 21)) AS t(i)),
+               cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+                        FROM b x JOIN b y
+                          ON x.band = y.band AND x.bv = y.bv
+                         AND x.vec_id < y.vec_id)
+               SELECT c.a_id, c.b_id,
+                      list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos_sim
+               FROM cand c
+               JOIN embeddings ea ON ea.vec_id = c.a_id
+               JOIN embeddings eb ON eb.vec_id = c.b_id
+               WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.45""")),
 
     // ---- d11: fuzzy near-dup via bounded edit distance -----------------
     // Levenshtein ≤ k over short documents — the title/URL/snippet fuzzy-

@@ -63,6 +63,7 @@ object OracleExport {
   val SketchPath = s"$Root/q33_sketches.parquet"
   val PackAllocPath = s"$Root/pack_alloc.parquet"
   val QuantSketchPath = s"$Root/quant_sketch.parquet"
+  val EmbLshSigsPath = s"$Root/emb_lsh_sigs.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
