@@ -237,12 +237,28 @@ object Dedup {
     * the two candidate schemes (length bands / PassJoin segments) are
     * both lossless, so their verified outputs must be byte-identical to
     * each other AND to this exhaustive reconstruction. */
+  // The oracle's own lossless prefilter (sf1.0-scale compare): ed ≤ 15
+  // implies Σ_{c∈S} |cnt_a(c) − cnt_b(c)| ≤ 30 for ANY char subset S
+  // (one edit moves the subset-L1 by ≤ 2) — five common-char counts per
+  // doc, computed once in a CTE, kill ~99% of length-band survivors
+  // before DuckDB's unthresholded O(len²) levenshtein. Same inequality
+  // family as the operator's 28-bucket histogram gate, so the oracle
+  // stays an independent re-derivation, just not a quadratic one.
   private val editDistOracle: String =
-    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    """WITH dd AS MATERIALIZED (
+         SELECT doc_id, text, n_chars,
+                len(text) - len(replace(text, 'a', '')) AS ca,
+                len(text) - len(replace(text, 'e', '')) AS ce,
+                len(text) - len(replace(text, 'o', '')) AS co,
+                len(text) - len(replace(text, 't', '')) AS ct,
+                len(text) - len(replace(text, ' ', '')) AS cs
+         FROM documents WHERE n_chars <= 256)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               levenshtein(a.text, b.text) AS edit_dist
-       FROM documents a JOIN documents b
+       FROM dd a JOIN dd b
          ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
-       WHERE a.n_chars <= 256 AND b.n_chars <= 256
+       WHERE abs(a.ca - b.ca) + abs(a.ce - b.ce) + abs(a.co - b.co)
+             + abs(a.ct - b.ct) + abs(a.cs - b.cs) <= 30
          AND levenshtein(a.text, b.text) <= 15"""
 
   /** PassJoin (Li, Deng, Feng 2011) candidates + exact verify for edit
