@@ -239,27 +239,32 @@ object Dedup {
     * each other AND to this exhaustive reconstruction. */
   // The oracle's own lossless prefilter (sf1.0-scale compare): ed ≤ 15
   // implies Σ_{c∈S} |cnt_a(c) − cnt_b(c)| ≤ 30 for ANY char subset S
-  // (one edit moves the subset-L1 by ≤ 2) — five common-char counts per
-  // doc, computed once in a CTE, kill ~99% of length-band survivors
-  // before DuckDB's unthresholded O(len²) levenshtein. Same inequality
-  // family as the operator's 28-bucket histogram gate, so the oracle
-  // stays an independent re-derivation, just not a quadratic one.
+  // (one edit moves the subset-L1 by ≤ 2). S = the 27 letter+space
+  // counts, computed once per doc in a CTE (list_transform over the
+  // alphabet), kills ~everything that is not a true near-pair before
+  // DuckDB's unthresholded O(len²) levenshtein — the bare length-band
+  // join times out at sf1.0 (21k short docs → ~30M band pairs). The
+  // staged CTEs force the cheap filter to run first; the DP runs once
+  // per survivor. Same inequality family as the operator's 28-bucket
+  // histogram gate, so the oracle stays an independent re-derivation,
+  // just not a quadratic one.
   private val editDistOracle: String =
     """WITH dd AS MATERIALIZED (
          SELECT doc_id, text, n_chars,
-                len(text) - len(replace(text, 'a', '')) AS ca,
-                len(text) - len(replace(text, 'e', '')) AS ce,
-                len(text) - len(replace(text, 'o', '')) AS co,
-                len(text) - len(replace(text, 't', '')) AS ct,
-                len(text) - len(replace(text, ' ', '')) AS cs
-         FROM documents WHERE n_chars <= 256)
-       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              levenshtein(a.text, b.text) AS edit_dist
-       FROM dd a JOIN dd b
-         ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
-       WHERE abs(a.ca - b.ca) + abs(a.ce - b.ce) + abs(a.co - b.co)
-             + abs(a.ct - b.ct) + abs(a.cs - b.cs) <= 30
-         AND levenshtein(a.text, b.text) <= 15"""
+                list_transform(
+                  ['a','b','c','d','e','f','g','h','i','j','k','l','m',
+                   'n','o','p','q','r','s','t','u','v','w','x','y','z',' '],
+                  ch -> len(text) - len(replace(text, ch, ''))) AS hist
+         FROM documents WHERE n_chars <= 256),
+       cand AS MATERIALIZED (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.text AS ta, b.text AS tb
+         FROM dd a JOIN dd b
+           ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 15
+         WHERE list_sum(list_transform(range(1, 28),
+                 i -> abs(a.hist[i] - b.hist[i]))) <= 30)
+       SELECT a_id, b_id, edit_dist FROM (
+         SELECT a_id, b_id, levenshtein(ta, tb) AS edit_dist FROM cand) z
+       WHERE edit_dist <= 15"""
 
   /** PassJoin (Li, Deng, Feng 2011) candidates + exact verify for edit
     * distance ≤ k — content-aware blocking for the open-web regime
@@ -736,22 +741,29 @@ object Dedup {
           .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.45)
       },
+      // Oracle evaluation ORDER is inverted relative to the engine
+      // (cosine first, band membership second) because that is the
+      // order DuckDB can afford: the 3-bit×21 banding passes ~94% of
+      // random pairs (it is a recall-heavy filter tuned for the ≥0.45
+      // contract, not a pruner), so re-deriving candidates via the
+      // band join materializes ~10× more rows than the exact-cosine
+      // set. Same result set either way: banded ∩ (cos ≥ 0.45) —
+      // membership checked per qualifying pair from the exported sigs.
       Some(s"""WITH sigs AS MATERIALIZED (
                  SELECT vec_id, sig
                  FROM ${OracleExport.readSql(OracleExport.EmbLshSigsPath)}
                  WHERE corpus_key = ${OracleExport.embKeySql}),
-               b AS (SELECT vec_id, i AS band, (sig >> (i * 3)) & 7 AS bv
-                     FROM sigs, unnest(range(0, 21)) AS t(i)),
-               cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-                        FROM b x JOIN b y
-                          ON x.band = y.band AND x.bv = y.bv
-                         AND x.vec_id < y.vec_id)
-               SELECT c.a_id, c.b_id,
-                      list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos_sim
-               FROM cand c
-               JOIN embeddings ea ON ea.vec_id = c.a_id
-               JOIN embeddings eb ON eb.vec_id = c.b_id
-               WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.45""")),
+               hp AS MATERIALIZED (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45)
+               SELECT h.a_id, h.b_id, h.cos_sim
+               FROM hp h
+               JOIN sigs sa ON sa.vec_id = h.a_id
+               JOIN sigs sb ON sb.vec_id = h.b_id
+               WHERE len(list_filter(range(0, 21),
+                       i -> (xor(sa.sig, sb.sig) >> (i * 3)) & 7 = 0)) > 0""")),
 
     // ---- d11: fuzzy near-dup via bounded edit distance -----------------
     // Levenshtein ≤ k over short documents — the title/URL/snippet fuzzy-

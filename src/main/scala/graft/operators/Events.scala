@@ -171,12 +171,20 @@ object Events {
             && abs(col("a_ts") - col("b_ts")) <= winUs)
           .select(col("a_id"), col("b_id"), (col("b_ts") - col("a_ts")).as("dt_us"))
       },
-      Some("""WITH e AS (SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events)
-              SELECT a.event_id AS a_id, b.event_id AS b_id,
-                     b.ts_us - a.ts_us AS dt_us
-              FROM e a JOIN e b
-                ON a.event_id < b.event_id
-               AND abs(a.ts_us - b.ts_us) <= 60000000""")),
+      // Oracle uses the same lossless minute-bucket probe the operator
+      // does (|Δts| ≤ 60 s ⇒ bucket distance ≤ 1, each pair matches in
+      // exactly one probed bucket) — the bare inequality join is a
+      // nested loop DuckDB cannot finish at sf1.0 (10¹² pairs).
+      Some("""WITH e AS MATERIALIZED (
+                SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+                       CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 60000000) AS BIGINT) AS bin
+                FROM events),
+              pr AS (SELECT e.event_id AS a_id, e.ts_us AS a_ts, e.bin + d.off AS bin
+                     FROM e, (SELECT unnest([-1, 0, 1]) AS off) d)
+              SELECT pr.a_id, b.event_id AS b_id, b.ts_us - pr.a_ts AS dt_us
+              FROM pr JOIN e b USING (bin)
+              WHERE pr.a_id < b.event_id
+                AND abs(pr.a_ts - b.ts_us) <= 60000000""")),
 
     // ---- s06: cohort retention (first-seen week × week offset) ---------
     // The product-analytics staple: users cohorted by first-activity

@@ -465,19 +465,60 @@ object Graph {
           .groupBy(col("label").as("component"))
           .agg(count(lit(1)).as("n_users"))
       },
+      // Oracle re-derivation via SEGMENT CONTRACTION (r8 — the naive
+      // user-pair closure is Θ(Σ comp²) and one giant component forms
+      // at sf1.0, 225M reach pairs): proximity edges only ever link
+      // ADJACENT events, so no edge crosses a >gap boundary — user
+      // components therefore factor exactly through maximal ≤gap event
+      // segments. Users sharing a multi-user segment are chained
+      // inside it; segments sharing a user merge; users appearing only
+      // in single-user segments have no edges and are absent from the
+      // operator's output by construction. The closure then runs over
+      // segment NODES (hundreds) instead of users (tens of
+      // thousands) — same exact result, oracle-feasible at any SF.
       Some(s"""WITH RECURSIVE
               ev AS MATERIALIZED (
                 SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
                 FROM events),
-              ${proximityCte(300000000L)},
-              edges AS MATERIALIZED (
-                SELECT a, b FROM prox UNION SELECT b, a FROM prox),
-              reach(a, b) AS (SELECT a, b FROM edges
-                              UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-              comp AS (SELECT a AS id, least(a, min(b)) AS component
-                       FROM reach GROUP BY a)
+              lg AS MATERIALIZED (
+                SELECT event_type, user_id, ts_us, event_id,
+                       lag(ts_us) OVER (PARTITION BY event_type
+                                        ORDER BY ts_us ASC, event_id ASC) AS prev_ts
+                FROM ev),
+              sg AS MATERIALIZED (
+                SELECT event_type, user_id,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts_us - prev_ts > 300000000
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY event_type
+                               ORDER BY ts_us ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS seg_no
+                FROM lg),
+              mu AS MATERIALIZED (
+                SELECT event_type, seg_no
+                FROM (SELECT DISTINCT event_type, seg_no, user_id FROM sg)
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+              sid AS MATERIALIZED (
+                SELECT event_type, seg_no,
+                       dense_rank() OVER (ORDER BY event_type, seg_no) AS s
+                FROM mu),
+              uss AS MATERIALIZED (
+                SELECT DISTINCT g.user_id, i.s
+                FROM sg g JOIN sid i USING (event_type, seg_no)),
+              se AS MATERIALIZED (
+                SELECT DISTINCT x.s AS a, y.s AS b
+                FROM uss x JOIN uss y ON x.user_id = y.user_id AND x.s <> y.s),
+              reach(a, b) AS (SELECT s AS a, s AS b FROM sid
+                              UNION
+                              SELECT r.a, e.b FROM reach r JOIN se e ON r.b = e.a),
+              scomp AS (SELECT a AS s, min(b) AS croot FROM reach GROUP BY a),
+              ucomp AS (SELECT u.user_id, min(c.croot) AS croot
+                        FROM uss u JOIN scomp c USING (s) GROUP BY u.user_id),
+              cmin AS (SELECT croot, min(user_id) AS component
+                       FROM ucomp GROUP BY croot)
               SELECT component, CAST(count(*) AS BIGINT) AS n_users
-              FROM comp GROUP BY component""")),
+              FROM ucomp JOIN cmin USING (croot)
+              GROUP BY component""")),
 
     // ---- g04: clustering coefficients (degree-bucketed census) ---------
     // HOW CLIQUISH is each degree class — the density signal that

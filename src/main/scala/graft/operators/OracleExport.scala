@@ -44,7 +44,13 @@ object OracleExport {
         }
       }
     } catch { case _: Throwable => () }
-    s"$base/${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID().toString.take(8)}"
+    // GRAFT_EXPORT_ROOT pins the root across processes — the multi-step
+    // scale-gate workflow (full Verify, then targeted re-compares in
+    // later processes) needs later runs to read/write the SAME export
+    // tree the full run's oracle_sql.json references. Unset = the
+    // per-process default (isolated concurrent runs can't collide).
+    sys.env.getOrElse("GRAFT_EXPORT_ROOT",
+      s"$base/${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
   val LshSigPath = s"$Root/lsh_sigs.parquet"

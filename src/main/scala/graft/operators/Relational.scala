@@ -697,21 +697,33 @@ object Relational {
     // ONE exchange and never materializes a second orders scan. At 100 TB
     // that halves the shuffle bill of every "compare to my group's
     // aggregate" query.
+    // Money discipline (r8, caught by the sf1.0 compare): the customer
+    // average is computed from EXACT integer cents — per-row
+    // floor(price·100 + 0.5) is engine-identical (no sum involved) and
+    // the integer sum is associative, so avg_cents and every rounding
+    // and comparison derived from it are order-free. A double avg
+    // rounded after the fact flipped one cell at sf1.0 (sum-order ulp
+    // straddling the .005 boundary at 1.5M dice rolls).
     ("q44_corr_subquery",
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))
         Tables.orders(s, d)
-          .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
-          .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+          .withColumn("avg_cents",
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).over(w)
+              .cast("double") / count(lit(1)).over(w))
+          .filter(col("o_totalprice") * 100 > col("avg_cents") * 1.5)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            cents(col("cust_avg")).as("cust_avg"))
+            (floor(col("avg_cents") + 0.5) / 100).as("cust_avg"))
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice,
-                     FLOOR((SELECT avg(o2.o_totalprice) FROM orders o2
-                            WHERE o2.o_custkey = o.o_custkey) * 100 + 0.5) / 100 AS cust_avg
+                     FLOOR((SELECT CAST(sum(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                                   / count(*) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey) + 0.5) / 100 AS cust_avg
               FROM orders o
-              WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
-                                    WHERE o2.o_custkey = o.o_custkey) * 1.5""")),
+              WHERE o_totalprice * 100 >
+                    (SELECT CAST(sum(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                            / count(*) FROM orders o2
+                     WHERE o2.o_custkey = o.o_custkey) * 1.5""")),
 
     // ---- q45: string-function surface -----------------------------------
     // The scalar string toolkit (reference expression surface: lexer.py

@@ -353,11 +353,13 @@ object RelationalSql {
     // the window text IS the efficient decorrelation (one exchange).
     "q44_corr_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |       FLOOR(cust_avg * 100 + 0.5) / 100 AS cust_avg
+        |       FLOOR(avg_cents + 0.5) / 100 AS cust_avg
         |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
-        |             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |             CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |               / count(*) OVER (PARTITION BY o_custkey) AS avg_cents
         |      FROM orders)
-        |WHERE o_totalprice > cust_avg * 1.5""".stripMargin,
+        |WHERE o_totalprice * 100 > avg_cents * 1.5""".stripMargin,
 
     "q45_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS uname,
