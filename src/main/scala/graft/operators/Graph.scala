@@ -465,21 +465,37 @@ object Graph {
           .groupBy(col("label").as("component"))
           .agg(count(lit(1)).as("n_users"))
       },
-      // Oracle re-derivation via SEGMENT CONTRACTION (r8 — the naive
-      // user-pair closure is Θ(Σ comp²) and one giant component forms
-      // at sf1.0, 225M reach pairs): proximity edges only ever link
-      // ADJACENT events, so no edge crosses a >gap boundary — user
-      // components therefore factor exactly through maximal ≤gap event
-      // segments. Users sharing a multi-user segment are chained
-      // inside it; segments sharing a user merge; users appearing only
-      // in single-user segments have no edges and are absent from the
-      // operator's output by construction. The closure then runs over
-      // segment NODES (hundreds) instead of users (tens of
-      // thousands) — same exact result, oracle-feasible at any SF.
-      Some(s"""WITH RECURSIVE
-              ev AS MATERIALIZED (
-                SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
-                FROM events),
+      // Oracle re-derivation via SEGMENT FACTORING + unrolled min-label
+      // (r8): the naive user-pair closure is Θ(Σ comp²) — one giant
+      // component forms at sf1.0, 225M reach pairs — and even the
+      // contracted segment GRAPH is dense (66 segments/user ⇒ ~50M
+      // segment-pair edges). But proximity edges never cross a >gap
+      // boundary, so user components factor exactly through maximal
+      // ≤gap event segments (users sharing a multi-user segment are
+      // chained inside it; users only in single-user segments have no
+      // edges and are absent from the operator's output) — and
+      // alternating user↔segment min-label over the (user, segment)
+      // INCIDENCE (≤1M rows, never pair-expanded) converges in
+      // diameter rounds (3 at sf1.0). The unroll is fixed at 12 rounds
+      // with an EXPLICIT convergence guard: if the last two rounds
+      // differ the oracle emits 0 rows and the compare fails loudly —
+      // non-convergence can never silently pass. At a converged
+      // fixpoint every label equals its component's min user id, which
+      // is exactly the operator's min-label propagation result.
+      Some {
+        val r = 12
+        val iters = (1 to r).map { i =>
+          // MATERIALIZED is load-bearing: u_i references u_{i-1} twice,
+          // so inlined CTEs would re-evaluate the chain 2^rounds times.
+          s"""sl$i AS MATERIALIZED (SELECT s, min(l) AS l FROM uss JOIN u${i - 1} USING (user_id) GROUP BY s),
+             |              u$i AS MATERIALIZED (SELECT u.user_id, least(min(x.l), min(p.l)) AS l
+             |                      FROM uss u JOIN sl$i x USING (s)
+             |                      JOIN u${i - 1} p ON p.user_id = u.user_id
+             |                      GROUP BY u.user_id)""".stripMargin
+        }.mkString(",\n              ")
+        s"""WITH ev AS MATERIALIZED (
+              SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+              FROM events),
               lg AS MATERIALIZED (
                 SELECT event_type, user_id, ts_us, event_id,
                        lag(ts_us) OVER (PARTITION BY event_type
@@ -494,31 +510,24 @@ object Graph {
                                ORDER BY ts_us ASC, event_id ASC
                                ROWS UNBOUNDED PRECEDING) AS seg_no
                 FROM lg),
+              us AS MATERIALIZED (
+                SELECT DISTINCT event_type, seg_no, user_id FROM sg),
               mu AS MATERIALIZED (
-                SELECT event_type, seg_no
-                FROM (SELECT DISTINCT event_type, seg_no, user_id FROM sg)
+                SELECT event_type, seg_no FROM us
                 GROUP BY 1, 2 HAVING count(*) >= 2),
-              sid AS MATERIALIZED (
-                SELECT event_type, seg_no,
-                       dense_rank() OVER (ORDER BY event_type, seg_no) AS s
-                FROM mu),
               uss AS MATERIALIZED (
-                SELECT DISTINCT g.user_id, i.s
-                FROM sg g JOIN sid i USING (event_type, seg_no)),
-              se AS MATERIALIZED (
-                SELECT DISTINCT x.s AS a, y.s AS b
-                FROM uss x JOIN uss y ON x.user_id = y.user_id AND x.s <> y.s),
-              reach(a, b) AS (SELECT s AS a, s AS b FROM sid
-                              UNION
-                              SELECT r.a, e.b FROM reach r JOIN se e ON r.b = e.a),
-              scomp AS (SELECT a AS s, min(b) AS croot FROM reach GROUP BY a),
-              ucomp AS (SELECT u.user_id, min(c.croot) AS croot
-                        FROM uss u JOIN scomp c USING (s) GROUP BY u.user_id),
-              cmin AS (SELECT croot, min(user_id) AS component
-                       FROM ucomp GROUP BY croot)
-              SELECT component, CAST(count(*) AS BIGINT) AS n_users
-              FROM ucomp JOIN cmin USING (croot)
-              GROUP BY component""")),
+                SELECT u.user_id,
+                       dense_rank() OVER (ORDER BY u.event_type, u.seg_no) AS s
+                FROM us u JOIN mu USING (event_type, seg_no)),
+              u0 AS (SELECT DISTINCT user_id, user_id AS l FROM uss),
+              $iters,
+              chg AS (SELECT count(*) AS n
+                      FROM u$r a JOIN u${r - 1} b USING (user_id)
+                      WHERE a.l <> b.l)
+              SELECT l AS component, CAST(count(*) AS BIGINT) AS n_users
+              FROM u$r, chg WHERE chg.n = 0
+              GROUP BY l"""
+      }),
 
     // ---- g04: clustering coefficients (degree-bucketed census) ---------
     // HOW CLIQUISH is each degree class — the density signal that
