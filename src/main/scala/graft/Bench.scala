@@ -41,7 +41,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS overrides for big-SF one-pass sweeps where
     // 3× the surface doesn't fit a session (the durable-minima protocol
     // then merges several single-rep runs instead).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Clamped to ≥1 and tolerant of junk: a mistyped value must degrade
+    // to the default, not crash the whole sweep with an empty times seq.
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -23,11 +23,51 @@ object Lsh {
     * builder shared by d03/d05/v03 (and the calibration sweep), so the
     * band slicing can never diverge between the production plans and the
     * parameter measurements they rest on. */
-  def bandStructs(sig: Column, bandBits: Int, nBands: Int): Column = {
+  def bandStructs(sig: Column, bandBits: Int, nBands: Int): Column =
+    bandStructs(sig, bandBits, nBands, 0)
+
+  /** [[bandStructs]] with the emitted band ids shifted by `bandOffset` —
+    * multi-WORD signatures (two independent 63-bit hyperplane words, d05)
+    * concat the per-word band tables into one band space, so word 2's
+    * bands must not collide with word 1's ids in the (band, bv) join key. */
+  def bandStructs(sig: Column, bandBits: Int, nBands: Int, bandOffset: Int): Column = {
     val mask = (1L << bandBits) - 1
     array((0 until nBands).map(b =>
-      struct(lit(b).as("band"),
+      struct(lit(b + bandOffset).as("band"),
         shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)
+  }
+
+  /** All band-value XOR masks of popcount ≤ `h` over `bandBits` bits —
+    * the Hamming-≤h probe set: a probe row emits `bv XOR m` for every
+    * mask, so a stored row within Hamming h of the probe's band value
+    * collides on exactly ONE mask (m = bvProbe XOR bvStored is unique),
+    * making the probe join multiplicity-free within a band — no
+    * candidate-sized distinct, no canonical-split bookkeeping. Size
+    * 1 + C(b,1) + … + C(b,h) (56 at b=10, h=2). */
+  def hammingMasks(bandBits: Int, h: Int): Seq[Long] = {
+    require(h >= 0 && h <= 2, "hammingMasks supports h in [0, 2]")
+    val h0 = Seq(0L)
+    val h1 = if (h >= 1) (0 until bandBits).map(i => 1L << i) else Nil
+    val h2 = if (h >= 2) (for { i <- 0 until bandBits; j <- i + 1 until bandBits }
+      yield (1L << i) | (1L << j)) else Nil
+    h0 ++ h1 ++ h2
+  }
+
+  /** Index (in the CONCATENATED two-word band space: word-1 bands
+    * 0..bandsPerWord-1, word-2 bands bandsPerWord..2·bandsPerWord-1) of
+    * the lowest band whose group popcount in the pair's XOR is ≤ h — the
+    * multi-word, Hamming-≤h generalization of [[firstMatchingBand]],
+    * giving the probe join its exactly-once-per-pair map-side dedup. */
+  def firstBandWithinH(xor1: Column, xor2: Column, bandBits: Int,
+      bandsPerWord: Int, h: Int): Column = {
+    val mask = (1L << bandBits) - 1
+    val words = Seq((xor1, 0), (xor2, bandsPerWord))
+    words.flatMap { case (x, off) => (0 until bandsPerWord).map(b => (x, b, off + b)) }
+      .reverse
+      .foldLeft(lit(-1): Column) { case (acc, (x, b, idx)) =>
+        when(bit_count(shiftright(x, b * bandBits).bitwiseAND(lit(mask))) <= h, lit(idx))
+          .otherwise(acc)
+      }
   }
 
   /** Index of the lowest band whose `bandBits`-wide group is zero in

@@ -62,6 +62,24 @@ object RelationalSql {
   def bindSession(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame =
     bind(spark, name, defaultArgs(name))
 
+  /** [[sql]] with the q81 precondition made EXPLICIT: its twin reads the
+    * frozen sketch export (so approx-sketch merge-order nondeterminism
+    * cannot split the DataFrame/SQL compare), which exists only after
+    * the DataFrame form ran in this process — or under a pinned
+    * GRAFT_EXPORT_ROOT that has it. Run standalone the raw text would
+    * die with a bare path-not-found; this accessor names the fix. */
+  def sqlFor(name: String): String = {
+    if (name == "q81_approx_quantiles"
+        && !new java.io.File(graft.operators.OracleExport.QuantSketchPath).exists())
+      throw new IllegalStateException(
+        "q81_approx_quantiles SQL twin reads the frozen quantile-sketch export at "
+          + graft.operators.OracleExport.QuantSketchPath
+          + " which does not exist yet: run the DataFrame form "
+          + "(SparkEntry.queries(\"q81_approx_quantiles\")) in this process first, "
+          + "or set GRAFT_EXPORT_ROOT to an export root that already has it.")
+    sql(name)
+  }
+
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem

@@ -196,14 +196,16 @@ object VectorExpressions {
     * same signature is computed identically on every executor with zero
     * broadcast state). Bit b of the result = sign(sum_i h(b,i) * x_i)
     * where h is a cheap integer mix mapped to [-0.5, 0.5). */
-  case class HyperplaneSignature(child: Expression, bits: Int)
+  case class HyperplaneSignature(child: Expression, bits: Int, seedOffset: Int = 0)
       extends UnaryExpression with ExpectsInputTypes {
     require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    require(seedOffset >= 0, "seedOffset must be >= 0")
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = org.apache.spark.sql.types.LongType
     override def prettyName: String = "graft_hyperplane_sig"
 
-    @inline private def mix(b: Int, i: Int): Double = {
+    @inline private def mix(b0: Int, i: Int): Double = {
+      val b = b0 + seedOffset
       var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -232,7 +234,7 @@ object VectorExpressions {
           for (int $b = 0; $b < $bits; $b++) {
             double $s = 0.0;
             for (int $i = 0; $i < $x.numElements(); $i++) {
-              long $z = (long) $b * 0x9E3779B97F4A7C15L + (long) $i * 0xC2B2AE3D27D4EB4FL;
+              long $z = (long) ($b + $seedOffset) * 0x9E3779B97F4A7C15L + (long) $i * 0xC2B2AE3D27D4EB4FL;
               $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
               $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
               $z = $z ^ ($z >>> 31);
@@ -388,6 +390,8 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = mk(DotProduct(ex(a), ex(b)))
   def l2norm(a: Column): Column = mk(L2Norm(ex(a)))
   def hyperplaneSig(a: Column, bits: Int): Column = mk(HyperplaneSignature(ex(a), bits))
+  def hyperplaneSig(a: Column, bits: Int, seedOffset: Int): Column =
+    mk(HyperplaneSignature(ex(a), bits, seedOffset))
   def pqEncode(a: Column, books: Seq[Float], m: Int, ksub: Int): Column =
     mk(PqEncode(ex(a), books, m, ksub))
   def pqAdcCosine(codes: Column, dotLut: Seq[Double], nrmLut: Seq[Double],

@@ -6,7 +6,18 @@ import org.apache.spark.sql.graft.VectorExpressions.{cosine, hyperplaneSig}
 
 /** Scratch experiment: recall/candidate-count of banded hyperplane LSH for
   * the d05 embedding near-dup threshold (cos ≥ 0.45), vs all-pairs truth.
-  * Run: sbt "Test/runMain graft.LshProbeMain"  (not part of the library)
+  *
+  * Mode 1 (default): the round-7 band-join sweep over single-word
+  * geometries (kept for the record).
+  *
+  * Mode 2 (`export <sfDir> <outPath>`): dump the ALL-PAIRS
+  * (xor1, xor2, cos) table for a corpus — xor of two independent 63-bit
+  * hyperplane signature words per pair, plus exact cosine — so any
+  * (bandBits, nBands, hammingProbe, words) geometry can be evaluated
+  * OFFLINE with pure bit arithmetic (popcount per band group ≤ h),
+  * no join per geometry. 2000 vectors → 2M pairs ≈ 50 MB; the sweep
+  * then runs in seconds per geometry instead of a Spark job each.
+  * Run: sbt "Test/runMain graft.LshProbeMain export /root/testdata/sf0.1 /tmp/d05_pairs"
   */
 object LshProbeMain {
   def main(args: Array[String]): Unit = {
@@ -18,6 +29,27 @@ object LshProbeMain {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+
+    if (args.length >= 1 && args(0) == "export") {
+      val sfDir = args(1); val out = args(2)
+      val e = Tables.embeddings(spark, sfDir)
+        .withColumn("s1", hyperplaneSig(col("embedding"), 63))
+        .withColumn("s2", hyperplaneSig(col("embedding"), 63, 63))
+        .select(col("vec_id"), col("embedding"), col("s1"), col("s2"))
+        .cache()
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("s1").as("sa1"), col("s2").as("sa2"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("s1").as("sb1"), col("s2").as("sb2"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(
+          col("sa1").bitwiseXOR(col("sb1")).as("x1"),
+          col("sa2").bitwiseXOR(col("sb2")).as("x2"),
+          cosine(col("ea"), col("eb")).as("cs"))
+        .write.mode("overwrite").parquet(out)
+      println(s"exported all-pairs xor/cos table for $sfDir to $out")
+      spark.stop(); return
+    }
 
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).cache()

@@ -17,6 +17,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("d05_dedup_embedding")
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    // Round-9 shape: the STORED band table builds the hash side; the
+    // 56×-bigger probe expansion must stream (a probe-side broadcast
+    // was a measured 2× at sf0.1 / single-threaded 60 MB build), and
+    // the probe branch must carry its repartition exchange — without
+    // it the whole ~n²·4.6% join fan runs in the scan's few tasks
+    // (measured: one task owning 1.45e8 rows = 32 of 40 s at sf1.0).
+    assert(p.contains("Exchange hashpartitioning"),
+      "probe branch lost its fan-parallelizing repartition")
+  }
+
+  test("d26 eval: pair join is the bounded broadcast loop, sample is TakeOrdered") {
+    // ≤2000-row md5 sample on BOTH sides — the one place a nested-loop
+    // join is the right tool (bounded by construction at any SF); the
+    // sample itself must be distributed TakeOrdered, never a global sort.
+    val p = planOf("d26_embdedup_eval")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), "md5 sample must be TakeOrdered")
+    assert(!p.contains("SortMergeJoin"), "nothing in d26 may sort-merge")
   }
 
   test("v01's intentional inequality join is the only nested-loop plan") {

@@ -73,6 +73,11 @@ object Sf1Gen {
       .withColumn("user_id", col("user_id") + col("rep") * 100000L)
       .drop("rep"), "events")
 
+    // n_chars is RECOMPUTED from the transformed text (round-9 advice
+    // fix): replicas 1–9 prefix every word (+2 chars/word), and carrying
+    // the source row's n_chars broke the corpus invariant
+    // n_chars = length(text) that d11's |Δn_chars| ≤ k length-band
+    // prune and d15's segment lengths both treat as lossless.
     w(t("documents").crossJoin(reps)
       .select(
         (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
@@ -83,8 +88,9 @@ object Sf1Gen {
         col("lang"),
         when(col("rep") === 0, col("source"))
           .otherwise(concat(col("rep").cast("string"), lit("x"), col("source")))
-          .as("source"),
-        col("n_chars")), "documents")
+          .as("source"))
+      .withColumn("n_chars", length(col("text")).cast(t("documents")
+        .schema("n_chars").dataType)), "documents")
 
     // Rotation alone is NOT enough: rot_r(v)·rot_s(v) depends only on
     // (v, r−s), so one near-threshold cosine value repeats across ~45

@@ -36,9 +36,12 @@ class SqlParitySpec extends AnyFunSuite {
     val byName = graft.operators.Relational.defs.map(d => d._1 -> d._2).toMap
     // Every relational entry must have a SQL form, and vice versa.
     assert(graft.operators.RelationalSql.sql.keySet == byName.keySet)
-    for ((name, sqlText) <- graft.operators.RelationalSql.sql.toSeq.sortBy(_._1)) {
+    for ((name, _) <- graft.operators.RelationalSql.sql.toSeq.sortBy(_._1)) {
       val df = byName(name)(spark, TestSpark.sf)
-      val viaSql = spark.sql(sqlText)
+      // Build (and for q81 EXECUTE, so the sketch export exists before
+      // sqlFor's precondition check) the DataFrame form first.
+      if (name == "q81_approx_quantiles") df.count()
+      val viaSql = spark.sql(graft.operators.RelationalSql.sqlFor(name))
       assert(viaSql.columns.toSeq == df.columns.toSeq,
         s"$name columns: sql=${viaSql.columns.toSeq} df=${df.columns.toSeq}")
       val a = viaSql.collect().map(_.toString).sorted.toSeq

@@ -68,7 +68,8 @@ def main():
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
-    n_pass = n_fail = n_noora = 0
+    n_pass = n_fail = n_noora = n_timeout = 0
+    timed_out = []
     only_set = {q for q in only.split(",") if q}
     for pq in sorted(out_dir.iterdir()):
         if not pq.is_dir():
@@ -107,7 +108,11 @@ def main():
                     timer.cancel()
         except Exception as e:
             if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
-                n_noora += 1
+                # Timeouts are NOT the rows-only bucket: a regression that
+                # makes a previously-verified oracle permanently slow must
+                # stay visible, not silently shrink the verified set.
+                n_timeout += 1
+                timed_out.append(name)
                 print(f"  ~ {name}: oracle-timeout after {tmo:.0f}s (compute-bound re-derive)")
                 continue
             n_fail += 1
@@ -142,7 +147,8 @@ def main():
             print(f"  ✓ {name} rows={len(got_rows)}")
         else:
             n_fail += 1
-    print(f"PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noora}")
+    tmo_note = f" TIMEOUT={n_timeout}" + (f" ({','.join(timed_out)})" if timed_out else "")
+    print(f"PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noora}" + (tmo_note if n_timeout else " TIMEOUT=0"))
     sys.exit(1 if n_fail else 0)
 
 
