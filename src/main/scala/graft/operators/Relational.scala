@@ -2270,7 +2270,147 @@ object Relational {
                 AND l_returnflag = 'R' AND c_nationkey = n_nationkey
               GROUP BY 1, 2, 3, 4
               ORDER BY revenue DESC, c_custkey
-              LIMIT 20"""))
+              LIMIT 20""")),
+
+    // Q13: customer order-count distribution — the one OUTER-JOIN
+    // AGGREGATE shape in the battery: customers with zero (qualifying)
+    // orders must survive into the c_count=0 bucket, so the per-customer
+    // count rides a LEFT join counting the non-null order keys (never a
+    // WHERE, which would silently turn the join inner). Two aggregates:
+    // customer-keyed, then the tiny distribution rollup. The priority
+    // filter stands in for the canonical o_comment NOT LIKE (no comment
+    // column in the driver schema); the shape is what's stressed.
+    ("q89_tpch_q13",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+                          GROUP BY 1)
+              SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+              FROM co GROUP BY 1
+              ORDER BY custdist DESC, c_count DESC""")),
+
+    // Q17: small-quantity revenue for one brand/type — the correlated
+    // scalar-average shape. Decorrelated form: the per-part 0.2·avg
+    // threshold is a grouped aggregate JOINED back to the same rows,
+    // and the part filter applies BEFORE both passes (broadcast
+    // prefilter), so neither pass reads a lineitem outside the brand —
+    // the canonical subquery would re-scan lineitem per part.
+    ("q90_tpch_q17",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13" && col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val lim = li.groupBy(col("l_partkey").as("pk"))
+          .agg((avg(col("l_quantity")) * 0.2).as("qty_lim"))
+        li.join(broadcast(lim), col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("qty_lim"))
+          .agg(cents(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""SELECT FLOOR(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+              FROM lineitem, part
+              WHERE p_partkey = l_partkey
+                AND p_brand = 'Brand#13' AND p_type = 'PROMO'
+                AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")),
+
+    // Q22: dormant high-balance customers — the global-average scalar
+    // subquery (one broadcast row, never a re-scan per customer) plus
+    // an ANTI join. The driver corpus gives (almost) every customer an
+    // order, so the canonical "never ordered" anti-join is degenerate
+    // here; the anti side is date-filtered instead — no order since
+    // 1999 — which keeps the exact shape (filtered anti join) with a
+    // live result. cntrycode is the nation key (no phone column).
+    ("q91_tpch_q22",
+      (s, d) => {
+        val nks: Seq[Any] = Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L)
+        val cust = Tables.customer(s, d).filter(col("c_nationkey").isin(nks: _*))
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            cents(sum(col("c_acctbal"))).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+                     FLOOR(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+              FROM customer
+              WHERE c_nationkey IN (1,3,5,7,9,11,13)
+                AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0.0
+                                   AND c_nationkey IN (1,3,5,7,9,11,13))
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+              GROUP BY 1 ORDER BY 1""")),
+
+    // Q12: priority split per line status (the shipmode CASE-aggregate
+    // shape; no l_shipmode in the driver schema, l_linestatus is the
+    // stand-in group). Both CASE counts ride ONE grouped pass over the
+    // join — never one scan per priority class. The year window lands
+    // on the lineitem scan as a pushed filter.
+    ("q92_tpch_q12",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+                     CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+              FROM orders, lineitem
+              WHERE o_orderkey = l_orderkey
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1 ORDER BY 1""")),
+
+    // Q14: promo revenue share — conditional share in ONE grouped pass
+    // (q87's CASE discipline) over a month of lineitem joined to the
+    // 2-column part projection, which broadcasts at any realistic part
+    // count; the month window is a pushed scan filter.
+    ("q93_tpch_q14",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(micro(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0d)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_revenue")),
+      Some("""SELECT FLOOR(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                            THEN l_extendedprice * (1 - l_discount)
+                                            ELSE 0 END)
+                           / sum(l_extendedprice * (1 - l_discount))
+                           * 1000000 + 0.5) / 1000000 AS promo_revenue
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l_shipdate < TIMESTAMP '1997-10-01'"""))
   )
 
   /** q81's reference-quantile sample size: bounds BOTH the TakeOrdered

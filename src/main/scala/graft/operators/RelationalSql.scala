@@ -959,6 +959,61 @@ object RelationalSql {
         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q89_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // The canonical correlated form — Spark's decorrelator must arrive
+    // at the same per-part-aggregate plan the DataFrame side spells out.
+    "q90_tpch_q17" ->
+      """SELECT FLOOR(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#13' AND p_type = 'PROMO'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q91_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       FLOOR(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1,3,5,7,9,11,13)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0
+        |                     AND c_nationkey IN (1,3,5,7,9,11,13))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1L ELSE 0L END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1L ELSE 0L END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q93_tpch_q14" ->
+      """SELECT FLOOR(100.0D * sum(CASE WHEN p_type = 'PROMO'
+        |                               THEN l_extendedprice * (1 - l_discount)
+        |                               ELSE 0D END)
+        |             / sum(l_extendedprice * (1 - l_discount))
+        |             * 1000000 + 0.5) / 1000000 AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
   )
 }

@@ -902,9 +902,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // The battery exists to stress join order; the one shape it must
     // never produce is an unkeyed join, and its topk queries must cap
     // at TakeOrderedAndProject (k rows per task), never a global sort.
+    // q91 is exempt from the nested-loop ban for ONE join: its scalar
+    // global-average subquery is a broadcast single-row cross join (the
+    // decorrelated form — one row, bounded by construction).
     for (n <- Seq("q82_tpch_q3", "q83_tpch_q7", "q84_tpch_q9",
                   "q85_tpch_q18", "q86_tpch_q21", "q87_tpch_q8",
-                  "q88_tpch_q10")) {
+                  "q88_tpch_q10", "q89_tpch_q13", "q90_tpch_q17",
+                  "q92_tpch_q12", "q93_tpch_q14")) {
       val p = planOf(n)
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop")
@@ -912,6 +916,26 @@ class PlanShapeSpec extends AnyFunSuite {
     for (n <- Seq("q82_tpch_q3", "q85_tpch_q18", "q86_tpch_q21", "q88_tpch_q10"))
       assert(planOf(n).contains("TakeOrderedAndProject"),
         s"$n topk must be TakeOrdered, not sort+limit")
+  }
+
+  test("q89 keeps its outer join outer; q90/q93 part prefilters broadcast") {
+    // Q13's zero-order bucket exists only while the join stays LEFT —
+    // an accidental inner conversion silently passes at row level on
+    // order-dense corpora and corrupts the distribution at scale.
+    val p89 = planOf("q89_tpch_q13")
+    assert(p89.contains("LeftOuter"), p89.linesIterator.take(8).mkString("\n"))
+    // Q17's brand filter and Q14's 2-column part projection must reach
+    // the fact scan as broadcast prefilters — a shuffled part join
+    // would move the lineitem corpus to answer a one-brand question.
+    for (n <- Seq("q90_tpch_q17", "q93_tpch_q14")) {
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n lost its broadcast prefilter")
+      assert(!p.contains("SortMergeJoin"), s"$n shuffles the fact side for a dim join")
+    }
+    // Q22: the anti join must stay an ANTI (never a dropped-row inner),
+    // and the average arrives as one broadcast row.
+    val p91 = planOf("q91_tpch_q22")
+    assert(p91.contains("LeftAnti"), p91.linesIterator.take(8).mkString("\n"))
   }
 
   test("q86 rewrite scans lineitem twice, not the canonical three times") {
