@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Split multi-file tables file-per-task instead of packing them
+      // back into one split: the gate corpora are small enough that the
+      // default 128 MB packing collapses a 32-file table into ONE scan
+      // task, serializing every scan-bound per-row kernel (m04 measured
+      // 19x instead of ~4x at sf1.0). The production analog is simply
+      // "size maxPartitionBytes to the cluster", per SURVEY §5.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

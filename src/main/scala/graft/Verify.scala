@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // File-per-task splitting for the multi-file gate corpora — see
+      // Bench.scala: the 128 MB default packs a 32-file table into one
+      // scan task and serializes per-row kernels at sf1.0.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,7 +29,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), not coalesce(1): one output file for DuckDB,
+        // but computed at scan parallelism — coalesce pulled map-only
+        // queries' whole kernel pass into the single writer task.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -188,10 +188,61 @@ object Multimodal {
     }
   }
 
+  /** The JDK audio codec PROVIDERS, resolved once per JVM. Every
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` call walks
+    * the provider registry through `JDK13Services.getProviders`, which
+    * is `static synchronized` — 32 decode tasks × one call per row
+    * serialize on that one monitor, and the measured wall got WORSE
+    * with scan parallelism (m04: 8.9 s single-task → 16.9 s on 32
+    * tasks). Materializing the providers once and invoking the SAME
+    * codec classes directly keeps the real encode→decode round trip
+    * (the seam these operators model) with zero shared state on the
+    * per-row path. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // ATTEMPT ORDER matters twice over: the registry's order is Aiff,
+    // Au, SoftMidi, Wave…, so every WAV payload pays three rejection
+    // parses first — and the MIDI reader's rejection path goes through
+    // the synchronized MidiSystem registry, which is the lock that made
+    // decode run SLOWER on 32 threads than on one (measured 0.6×
+    // speedup; WAV-reader-first decodes 14× faster serial and scales
+    // linearly). WAV providers first, MIDI last; first-match semantics
+    // only differ for payloads two providers both claim, which none do.
+    b.result().sortBy { r =>
+      val n = r.getClass.getName
+      if (n.contains("Wave")) 0 else if (n.contains("Midi")) 2 else 1
+    }
+  }
+
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** Registry-free `AudioSystem.getAudioInputStream`: first provider
+    * that recognizes the payload (the same first-match contract the
+    * registry applies). */
+  private def openAudioStream(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val readers = audioReaders
+    var rs = readers
+    while (rs.nonEmpty) {
+      try return rs.head.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      rs = rs.tail
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no registered provider recognizes the payload")
+  }
+
   private def pcmData(payload: Array[Byte]): Option[PcmData] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = openAudioStream(payload)
       try {
         val fmt = ais.getFormat
         import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
@@ -345,8 +396,12 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // Registry-free AudioSystem.write — same provider classes, no
+    // synchronized registry walk per row (see audioWriters).
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais))
+      .getOrElse(throw new IllegalStateException("no WAVE writer provider"))
+      .write(ais, wave, bos)
     bos.toByteArray
   }
 

@@ -74,9 +74,15 @@ object OracleExport {
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   /** Export `df` under `path` for fingerprint `key` — once per
-    * (path, key) per process. coalesce(1): every export here is a
-    * model/signature table (≤ corpus rows, narrow), one file reads
-    * fastest on the oracle side. */
+    * (path, key) per process. repartition(1), NOT coalesce(1): every
+    * export here is a model/signature table (≤ corpus rows, narrow),
+    * so one file reads fastest on the oracle side — but coalesce
+    * erases the upstream parallelism too, pulling the whole export
+    * computation into a single task (measured: m04's 50k-row spectral
+    * export at sf1.0 ran its per-doc decode+FFT pass single-threaded —
+    * 8.6 s of a 14.9 s one-rep bench row). The repartition exchange
+    * moves only the narrow export rows; the expensive per-row kernels
+    * keep scan parallelism. */
   def writeOnce(df: => DataFrame, path: String, key: String): Unit =
     if (done.add((path, key))) {
       // The memo marks SUCCESS, not attempts: a failed export must be
@@ -84,7 +90,7 @@ object OracleExport {
       // for this corpus would see a missing partition and misreport a
       // value mismatch.
       try df.withColumn("corpus_key", lit(key))
-        .coalesce(1).write.mode("overwrite")
+        .repartition(1).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("corpus_key").parquet(path)
       catch { case e: Throwable => done.remove((path, key)); throw e }

@@ -39,8 +39,15 @@ object Sf1Gen {
     spark.sparkContext.setLogLevel("WARN")
     val reps = spark.range(rep).select(col("id").cast("long").as("rep"))
     def t(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    // 32 files per table (one row group each): a one-file corpus caps
+    // SCAN parallelism at 1 task however many cores the gate has —
+    // measured: m04/m06/p08's per-doc kernels ran single-threaded at
+    // sf1.0 (8-9 s each) because documents.parquet was one 6 MB file.
+    // A real 100 TB corpus is millions of files; the gate corpus should
+    // split like one. (Pair with spark.sql.files.maxPartitionBytes=4m
+    // in the measuring session so file packing doesn't re-merge them.)
     def w(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[sf1gen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
