@@ -75,9 +75,34 @@ object Sf1Gen {
       .withColumn("l_suppkey", col("l_suppkey") + col("rep") * SK)
       .drop("rep"), "lineitem")
 
-    w(t("events").crossJoin(reps)
+    // Each replica's TIMESTAMPS shift by the whole-day-rounded corpus
+    // span (round-9 fix): with unchanged ts the 10 replicas INTERLEAVE
+    // inside every per-type event stream, and consecutive-actor edge
+    // construction (Graph.interactionEdges) wires users ACROSS replicas
+    // — the sf1.0 interaction graph degenerated to 111k edges and ZERO
+    // triangles (vs 10 × sf0.1's 95k/352k), so the graph family was
+    // stress-testing a trivial graph. Day-rounding keeps hour-of-day /
+    // seasonality structure identical per replica; the growth model
+    // becomes "10× more history at the same density" and per-type
+    // streams replicate replica-locally (one spurious boundary edge
+    // per type per replica — noise).
+    val evSrc = t("events")
+    // ts reads as LONG nanos (TIMESTAMP(NANOS) under nanosAsLong) or as
+    // a native TIMESTAMP, depending on how the driver generated the
+    // tree — handle both, like Tables.events does.
+    val tsIsLong =
+      evSrc.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts"))
+    val spanDaysUs = {
+      val r = evSrc.select(max(tsUs), min(tsUs)).head()
+      ((r.getLong(0) - r.getLong(1)) / 86400000000L + 1) * 86400000000L
+    }
+    val shifted = tsUs + col("rep") * spanDaysUs
+    w(evSrc.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * 1000000L)
       .withColumn("user_id", col("user_id") + col("rep") * 100000L)
+      .withColumn("ts",
+        if (tsIsLong) shifted * 1000L else timestamp_micros(shifted))
       .drop("rep"), "events")
 
     // n_chars is RECOMPUTED from the transformed text (round-9 advice
