@@ -69,7 +69,11 @@ object OracleExport {
   val SketchPath = s"$Root/q33_sketches.parquet"
   val PackAllocPath = s"$Root/pack_alloc.parquet"
   val QuantSketchPath = s"$Root/quant_sketch.parquet"
-  val EmbLshSigsPath = s"$Root/emb_lsh_sigs.parquet"
+  // _v2: the export schema changed (vec_id, sig) → (vec_id, s1, s2) in
+  // round 9; under a pinned GRAFT_EXPORT_ROOT a stale pre-r9 partition
+  // at the old path would give readSql a mixed-schema read_parquet and
+  // fail the d05/d26 oracles. Schema changes version the PATH.
+  val EmbLshSigsPath = s"$Root/emb_lsh_sigs_v2.parquet"
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 

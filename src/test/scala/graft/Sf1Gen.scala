@@ -98,11 +98,17 @@ object Sf1Gen {
       ((r.getLong(0) - r.getLong(1)) / 86400000000L + 1) * 86400000000L
     }
     val shifted = tsUs + col("rep") * spanDaysUs
+    // Long (nanos) path shifts in NANOS (round-9 advice fix): the old
+    // (ts div 1000)*1000 + shift form quantized even replica 0 to micros,
+    // so the corpus was no longer bit-identical to the source at nano
+    // precision. Tables.events reads at micro precision today, but the
+    // corpus invariant is "replica 0 IS the source".
     w(evSrc.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * 1000000L)
       .withColumn("user_id", col("user_id") + col("rep") * 100000L)
       .withColumn("ts",
-        if (tsIsLong) shifted * 1000L else timestamp_micros(shifted))
+        if (tsIsLong) col("ts") + col("rep") * spanDaysUs * 1000L
+        else timestamp_micros(shifted))
       .drop("rep"), "events")
 
     // n_chars is RECOMPUTED from the transformed text (round-9 advice

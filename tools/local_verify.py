@@ -14,6 +14,7 @@ does.
 """
 import json
 import math
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -93,7 +94,7 @@ def main():
             # passes the engine itself avoids); a timeout records them as
             # 'oracle-timeout' instead of hanging the sweep. Unset = the
             # driver's behavior (no timeout).
-            import os, threading
+            import threading
             tmo = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
             timer = None
             if tmo > 0:
@@ -149,7 +150,11 @@ def main():
             n_fail += 1
     tmo_note = f" TIMEOUT={n_timeout}" + (f" ({','.join(timed_out)})" if timed_out else "")
     print(f"PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noora}" + (tmo_note if n_timeout else " TIMEOUT=0"))
-    sys.exit(1 if n_fail else 0)
+    # GRAFT_STRICT_TIMEOUT=1 (CI-style gate): a new permanent oracle
+    # timeout is a regression, not a pass — nonzero-exit on it so
+    # scripted invocations can't green-light a shrunken verified set.
+    strict = os.environ.get("GRAFT_STRICT_TIMEOUT", "") not in ("", "0")
+    sys.exit(1 if (n_fail or (strict and n_timeout)) else 0)
 
 
 if __name__ == "__main__":
