@@ -2410,7 +2410,233 @@ object Relational {
               FROM lineitem, part
               WHERE l_partkey = p_partkey
                 AND l_shipdate >= TIMESTAMP '1997-09-01'
-                AND l_shipdate < TIMESTAMP '1997-10-01'"""))
+                AND l_shipdate < TIMESTAMP '1997-10-01'""")),
+
+    // Q4: order priority checking — the EXISTS → LEFT SEMI shape. The
+    // canonical late-delivery predicate (l_commitdate < l_receiptdate)
+    // has no columns in the driver schema; l_returnflag = 'R' stands in
+    // as the per-line condition, keeping what the query stresses: a
+    // quarter-windowed orders scan SEMI-joined against a filtered fact
+    // table — each order counted ONCE no matter how many lines qualify
+    // (an inner join would multiply counts per qualifying line).
+    ("q94_tpch_q4",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+                AND o_orderdate < TIMESTAMP '1997-10-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_returnflag = 'R')
+              GROUP BY 1 ORDER BY 1""")),
+
+    // Q5: local supplier volume — the 6-table join whose POINT is the
+    // non-key equality c_nationkey = s_nationkey (customer and supplier
+    // in the same nation). Join order is the one that keeps every
+    // broadcastable side broadcast: region→nation prunes to the ASIA
+    // nations (one tiny broadcast), supplier picks up n_name through it
+    // (second broadcast), and the fact spine lineitem⋈orders⋈customer
+    // shuffles on its own keys once each; the nation equality rides the
+    // supplier join as a second condition — never a standalone
+    // theta-join. Revenue ordering gets n_name as the deterministic
+    // tiebreak (float revenue ties).
+    ("q95_tpch_q5",
+      (s, d) => {
+        val nr = Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(cents(sum(col("rev"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, FLOOR(sum(l_extendedprice * (1 - l_discount))
+                                   * 100 + 0.5) / 100 AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1 ORDER BY revenue DESC, n_name""")),
+
+    // Q6: forecasting revenue change — the battery's pure scan-aggregate:
+    // every predicate is a scan-pushable range on one table, the result
+    // is one row, and the right plan is parquet scan (3 pushed filters +
+    // 4-column ReadSchema) → partial agg → single-row final agg. Any
+    // join, exchange beyond the final agg's, or wider ReadSchema is a
+    // regression (plan-gated).
+    ("q96_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(cents(sum(col("l_extendedprice") * col("l_discount"))).as("revenue")),
+      Some("""SELECT FLOOR(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100
+                       AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND l_discount >= 0.05 AND l_discount <= 0.07
+                AND l_quantity < 24""")),
+
+    // Q15: top supplier — the revenue-VIEW max shape: the quarter's
+    // per-supplier revenue aggregate is computed ONCE, its max arrives
+    // as one broadcast row (never a window over all suppliers, never a
+    // second scan of lineitem), and the equality join returns every
+    // supplier tied at the top. Revenue is cents-rounded BEFORE the max
+    // compare in both engines, so the equality is on the same grid the
+    // output prints — a raw-double max equality would make the winner
+    // depend on sum order.
+    ("q97_tpch_q15",
+      (s, d) => {
+        // localCheckpoint = the VIEW: rev feeds both the supplier join
+        // and the max, and without the cut each consumer would re-run
+        // the whole quarter scan of lineitem (Catalyst does not
+        // materialize shared subplans). The cut stores one narrow row
+        // per supplier.
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_revenue"))
+          .localCheckpoint()
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS MATERIALIZED (
+                SELECT l_suppkey AS supplier_no,
+                       FLOOR(sum(l_extendedprice * (1 - l_discount))
+                             * 100 + 0.5) / 100 AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+              SELECT s_suppkey, s_name, total_revenue
+              FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+              ORDER BY s_suppkey""")),
+
+    // Q19: discounted revenue — THE disjunctive-pushdown plan: an OR of
+    // three (brand, size, quantity) conjunctions across the join. The
+    // per-side residues are applied EXPLICITLY before the join — part
+    // keeps only the three brands at qualifying sizes, lineitem only
+    // quantities 1–30 — so each scan reads the union of what any
+    // disjunct can accept (supersets; the exact OR still applies after
+    // the join), and the brand IN + size range land in the part scan's
+    // PushedFilters instead of the join output. Plan-gated: part-side
+    // prefilter broadcast, no SMJ.
+    ("q98_tpch_q19",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+                  col("p_size") >= 1 && col("p_size") <= 15)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+          .select(col("l_partkey"), col("l_quantity"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .agg(cents(sum(col("rev"))).as("revenue"))
+      },
+      Some("""SELECT FLOOR(sum(l_extendedprice * (1 - l_discount))
+                           * 100 + 0.5) / 100 AS revenue
+              FROM lineitem, part
+              WHERE p_partkey = l_partkey
+                AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 20 AND 30))""")),
+
+    // Q20: potential part promotion — the nested-subquery supplier
+    // screen. The canonical inner term (ps_availqty > 0.5 · shipped
+    // quantity) needs partsupp, which the driver schema lacks; the
+    // proxy keeps the SHAPE (aggregate → correlated threshold →
+    // IN-chain → semi join) with a live predicate: a supplier qualifies
+    // if it shipped MORE THAN 30% of some 'red%' part's 1997 volume —
+    // the dominant-supplier screen. Quantities are integral doubles, so
+    // both sums are exact and the 0.3·tot compare is order-free. The
+    // part prefilter broadcasts into the year-windowed fact scan; the
+    // two aggregates reuse ONE shuffle (partkey, suppkey) → (partkey);
+    // the supplier screen is a LEFT SEMI (never a distinct + inner).
+    ("q99_tpch_q20",
+      (s, d) => {
+        val pk = Tables.part(s, d).filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))
+        // localCheckpoint: pq feeds both itself and its pt rollup — the
+        // cut holds the narrow (partkey, suppkey, sq) aggregate so the
+        // year-windowed lineitem scan runs ONCE, not once per consumer.
+        val pq = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("sq"))
+          .localCheckpoint()
+        val pt = pq.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tot"))
+        val dom = pq.join(pt, "l_partkey")
+          .filter(col("sq") > col("tot") * 0.3)
+          .select(col("l_suppkey"))
+        Tables.supplier(s, d)
+          .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH pq AS MATERIALIZED (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2),
+              pt AS (SELECT l_partkey, sum(sq) AS tot FROM pq GROUP BY 1)
+              SELECT s_suppkey, s_name
+              FROM supplier
+              WHERE s_suppkey IN (SELECT l_suppkey FROM pq
+                                  JOIN pt USING (l_partkey)
+                                  WHERE sq > tot * 0.3)
+              ORDER BY s_suppkey"""))
   )
 
   /** q81's reference-quantile sample size: bounds BOTH the TakeOrdered

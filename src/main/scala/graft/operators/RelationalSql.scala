@@ -1014,6 +1014,80 @@ object RelationalSql {
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1997-09-01'
-        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    // The canonical EXISTS form — Spark must plan the same LEFT SEMI
+    // the DataFrame side spells out.
+    "q94_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_tpch_q5" ->
+      """SELECT n_name, FLOOR(sum(l_extendedprice * (1 - l_discount))
+        |                     * 100 + 0.5) / 100 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q96_tpch_q6" ->
+      """SELECT FLOOR(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05D AND l_discount <= 0.07D
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q97_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         FLOOR(sum(l_extendedprice * (1 - l_discount))
+        |               * 100 + 0.5) / 100 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q98_tpch_q19" ->
+      """SELECT FLOOR(sum(l_extendedprice * (1 - l_discount))
+        |             * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "q99_tpch_q20" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(sq) AS tot FROM pq GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM pq
+        |                    JOIN pt USING (l_partkey)
+        |                    WHERE sq > tot * 0.3D)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -908,7 +908,9 @@ class PlanShapeSpec extends AnyFunSuite {
     for (n <- Seq("q82_tpch_q3", "q83_tpch_q7", "q84_tpch_q9",
                   "q85_tpch_q18", "q86_tpch_q21", "q87_tpch_q8",
                   "q88_tpch_q10", "q89_tpch_q13", "q90_tpch_q17",
-                  "q92_tpch_q12", "q93_tpch_q14")) {
+                  "q92_tpch_q12", "q93_tpch_q14", "q94_tpch_q4",
+                  "q95_tpch_q5", "q96_tpch_q6", "q97_tpch_q15",
+                  "q98_tpch_q19", "q99_tpch_q20")) {
       val p = planOf(n)
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop")
@@ -936,6 +938,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // and the average arrives as one broadcast row.
     val p91 = planOf("q91_tpch_q22")
     assert(p91.contains("LeftAnti"), p91.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("q94-q99 round-10 TPC-H shapes: semi joins, pushdowns, one-scan views") {
+    // Q4's EXISTS must plan as a LEFT SEMI — an inner join would count
+    // an order once per qualifying line.
+    assert(planOf("q94_tpch_q4").contains("LeftSemi"))
+    // Q6 is THE scan-aggregate: any join is a regression, and the only
+    // exchange is the final single-partition aggregate's.
+    val p96 = planOf("q96_tpch_q6")
+    assert(!p96.contains("Join"), s"q96 grew a join:\n${p96.take(400)}")
+    assert(p96.linesIterator.count(_.contains("Exchange")) == 1,
+      "q96: exactly the final-agg exchange")
+    // Q15's revenue view materializes ONCE (localCheckpoint): the final
+    // plan reads the checkpointed rows for both the join and the max —
+    // a lineitem scan here means each consumer re-ran the quarter scan.
+    val p97 = planOf("q97_tpch_q15")
+    assert(!p97.contains("lineitem"), "q97 re-scans lineitem per consumer")
+    assert(p97.contains("Scan ExistingRDD"), "q97 lost its revenue view cut")
+    // Q19's disjunction must decompose: the brand IN lands on the part
+    // side (visible in the scan's filter), the join stays a broadcast
+    // prefilter, and no fact-side shuffle appears.
+    val p98 = planOf("q98_tpch_q19")
+    assert(p98.contains("IN (Brand#12,Brand#23,Brand#34)"),
+      "q98 part-side brand IN not pushed out of the disjunction")
+    assert(p98.contains("BroadcastHashJoin") && !p98.contains("SortMergeJoin"),
+      "q98 lost its broadcast prefilter")
+    // Q20: supplier screen is a LEFT SEMI over the dominant-supplier
+    // set, and the pq aggregate feeds both consumers from ONE pass
+    // (localCheckpoint — no lineitem scan may survive into this plan).
+    val p99 = planOf("q99_tpch_q20")
+    assert(p99.contains("LeftSemi"), "q99 supplier screen must be semi")
+    assert(!p99.contains("lineitem"), "q99 re-scans lineitem per consumer")
   }
 
   test("q86 rewrite scans lineitem twice, not the canonical three times") {
