@@ -511,23 +511,35 @@ object Graph {
       // chained inside it; users only in single-user segments have no
       // edges and are absent from the operator's output) — and
       // alternating user↔segment min-label over the (user, segment)
-      // INCIDENCE (≤1M rows, never pair-expanded) converges in
-      // diameter rounds (3 at sf1.0). The unroll is fixed at 12 rounds
-      // with an EXPLICIT convergence guard: if the last two rounds
-      // differ the oracle emits 0 rows and the compare fails loudly —
-      // non-convergence can never silently pass. At a converged
-      // fixpoint every label equals its component's min user id, which
-      // is exactly the operator's min-label propagation result.
+      // INCIDENCE (≤1M rows, never pair-expanded). Each round appends
+      // TWO pointer-doubling chases on the one-row-per-user label table
+      // (r10 — the engine's chase trick, same legality argument as
+      // [[minLabelPropagation]]: a label is always a member user's id,
+      // so l(l(u)) resolves by self-join), which makes the 12-round
+      // unroll cover reach ≫ any corpus diameter: the plain 12-round
+      // budget fit sf1.0's chained-replica diameter (≈12: replica
+      // boundary gaps are ≈46 s < the 300 s rule, so replicas chain
+      // into ONE component) EXACTLY, and the sf2.0 doubling corpus
+      // (diameter ≈22) blew it — caught by the convergence guard, r10.
+      // The guard stays: if the last two rounds differ the oracle emits
+      // 0 rows and the compare fails loudly — non-convergence can never
+      // silently pass. At a converged fixpoint every label equals its
+      // component's min user id, which is exactly the operator's
+      // min-label propagation result.
       Some {
         val r = 12
         val iters = (1 to r).map { i =>
           // MATERIALIZED is load-bearing: u_i references u_{i-1} twice,
           // so inlined CTEs would re-evaluate the chain 2^rounds times.
-          s"""sl$i AS MATERIALIZED (SELECT s, min(l) AS l FROM uss JOIN u${i - 1} USING (user_id) GROUP BY s),
-             |              u$i AS MATERIALIZED (SELECT u.user_id, least(min(x.l), min(p.l)) AS l
+          s"""sl$i AS MATERIALIZED (SELECT s, min(l) AS l FROM uss JOIN u${i - 1}c2 USING (user_id) GROUP BY s),
+             |              u${i}r AS MATERIALIZED (SELECT u.user_id, least(min(x.l), min(p.l)) AS l
              |                      FROM uss u JOIN sl$i x USING (s)
-             |                      JOIN u${i - 1} p ON p.user_id = u.user_id
-             |                      GROUP BY u.user_id)""".stripMargin
+             |                      JOIN u${i - 1}c2 p ON p.user_id = u.user_id
+             |                      GROUP BY u.user_id),
+             |              u${i}c1 AS MATERIALIZED (SELECT a.user_id, least(a.l, b.l) AS l
+             |                      FROM u${i}r a JOIN u${i}r b ON a.l = b.user_id),
+             |              u${i}c2 AS MATERIALIZED (SELECT a.user_id, least(a.l, b.l) AS l
+             |                      FROM u${i}c1 a JOIN u${i}c1 b ON a.l = b.user_id)""".stripMargin
         }.mkString(",\n              ")
         s"""WITH ev AS MATERIALIZED (
               SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
@@ -555,13 +567,13 @@ object Graph {
                 SELECT u.user_id,
                        dense_rank() OVER (ORDER BY u.event_type, u.seg_no) AS s
                 FROM us u JOIN mu USING (event_type, seg_no)),
-              u0 AS (SELECT DISTINCT user_id, user_id AS l FROM uss),
+              u0c2 AS (SELECT DISTINCT user_id, user_id AS l FROM uss),
               $iters,
               chg AS (SELECT count(*) AS n
-                      FROM u$r a JOIN u${r - 1} b USING (user_id)
+                      FROM u${r}c2 a JOIN u${r - 1}c2 b USING (user_id)
                       WHERE a.l <> b.l)
               SELECT l AS component, CAST(count(*) AS BIGINT) AS n_users
-              FROM u$r, chg WHERE chg.n = 0
+              FROM u${r}c2, chg WHERE chg.n = 0
               GROUP BY l"""
       }),
 

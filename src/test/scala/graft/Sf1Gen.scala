@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   * are multiples of 100 so the house id-mod disciplines (d24's
   * doc_id%100 benchmark tag, v26's vec_id%10 holdout) scale with the
   * corpus instead of breaking.
-  * Run: sbt "Test/runMain graft.Sf1Gen [rep]"   (default 10)
+  * Run: sbt "Test/runMain graft.Sf1Gen [rep] [outDir]"  (default 10,
+  * /tmp/graft_sf1.0 — rep=20 + an outDir gives the sf2.0 doubling-leg
+  * corpus, same growth model, all strides replica-disjoint by
+  * construction).
   */
 object Sf1Gen {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(10)
     val src = "/root/testdata/sf0.1"
-    val out = "/tmp/graft_sf1.0"
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_sf1.0")
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("sf1-gen")
