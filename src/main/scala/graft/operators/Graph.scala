@@ -229,7 +229,7 @@ object Graph {
     * fixpoint. chase=0 (default) for near-dup groups whose components
     * are cliques/short chains (2–3 rounds already; extra self-joins
     * buy nothing). */
-  private[operators] def minLabelPropagation(
+  private[graft] def minLabelPropagation(
       edges: DataFrame, maxIter: Int = 50, chase: Int = 0): DataFrame = {
     val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
     val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))

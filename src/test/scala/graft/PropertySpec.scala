@@ -277,4 +277,33 @@ class PropertySpec extends AnyFunSuite {
       assert(alloc.map(r => r._6 + r._5).max <= packTotal, s"case $i: pack ids overflow")
     }
   }
+
+  test("minLabelPropagation: chase is a pure accelerator — labels identical for chase 0/1/2") {
+    // r10's pointer doubling must change ROUNDS, never RESULTS: on
+    // adversarially random graphs (long chains force many plain rounds,
+    // a chase bug would surface as split or merged components) every
+    // chase level yields the same (node, label=component-min) table.
+    // Graph: 3 long chains + random cross edges inside each third, so
+    // components are nontrivial and diameters exceed the chase reach.
+    val n = 120
+    val chains = (0 until 3).flatMap { c =>
+      val ids = (0 until n / 3).map(i => (c * 1000 + i * 7).toLong) // sparse ids: min ≠ first
+      ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val extras = sample(Gen.zip(Gen.chooseNum(0, n / 3 - 1), Gen.chooseNum(0, n / 3 - 1)), 30, seed = 97L)
+      .zipWithIndex.map { case ((a, b), i) =>
+        val c = i % 3; ((c * 1000 + a * 7).toLong, (c * 1000 + b * 7).toLong) }
+      .filter { case (a, b) => a != b }
+    val edges = (chains ++ extras).toDF("a_id", "b_id")
+    val ref = operators.Graph.minLabelPropagation(edges, maxIter = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    for (ch <- Seq(1, 2)) {
+      val got = operators.Graph.minLabelPropagation(edges, maxIter = 200, chase = ch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == ref, s"chase=$ch labels diverge from chase=0")
+    }
+    // And the labels really are component minima: each chain third is one
+    // component (the chain spans it), so exactly 3 labels, each the min id.
+    assert(ref.map(_._2).distinct.sorted == Seq(0L, 1000L, 2000L))
+  }
 }
