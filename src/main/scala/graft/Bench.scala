@@ -52,7 +52,25 @@ object Bench {
     // to the default, not crash the whole sweep with an empty times seq.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // Matched-conditions legs (r11, verdict item 2): the r9/r10
+    // adjudications kept finding per-query numbers moved 1.7–20× with
+    // the BENCH CONTEXT — whichever query ran before the target leaves
+    // its JIT/page-cache/GC state behind, so two legs are comparable
+    // only if they share a predecessor or both run standalone
+    // (BASELINE.md r10, "harness order is part of the measurement").
+    // SPARK_GRAFT_BENCH_PRED=<query-name> pins that context: the named
+    // query runs once, UNTIMED, at the target SF immediately before
+    // every selected query's timed reps. Octave/regression rows in
+    // BASELINE.md should come from either FILTER-standalone legs or
+    // PRED-pinned legs — never from two different full-surface runs.
+    val pred = sys.env.get("SPARK_GRAFT_BENCH_PRED").map { p =>
+      SparkEntry.queries.getOrElse(p,
+        throw new IllegalArgumentException(s"SPARK_GRAFT_BENCH_PRED=$p is not a query name"))
+    }
     val results = ordered.map { case (name, fn) =>
+      pred.foreach { pf =>
+        try pf(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -80,7 +80,13 @@ object Dedup {
     "shipped" -> EmbDedupProfile("shipped", Some(50), 0.45),
     "high_recall" -> EmbDedupProfile("high_recall", None, 0.45),
     "production" -> EmbDedupProfile("production", Some(50), 0.90))
-  private[operators] val embProfile: EmbDedupProfile = {
+  // lazy (r11, driver advice): a bad env value must surface as this
+  // IllegalArgumentException at first use — an eager val would throw
+  // inside the object initializer, so the user would see
+  // ExceptionInInitializerError once and NoClassDefFoundError on every
+  // later touch of Dedup, burying the message. A lazy val in an object
+  // re-throws the ORIGINAL exception on each access instead.
+  private[operators] lazy val embProfile: EmbDedupProfile = {
     val n = sys.env.getOrElse("GRAFT_D05_PROFILE", "shipped")
     EmbDedupProfiles.getOrElse(n, throw new IllegalArgumentException(
       s"unknown GRAFT_D05_PROFILE=$n — known: ${EmbDedupProfiles.keys.mkString(", ")}"))
@@ -92,7 +98,10 @@ object Dedup {
     * must DEGRADE to the shuffled (band, bv) equi-join, not fail on
     * broadcast limits. The count comes free from the memoized corpus
     * fingerprint ("<n>_<Σid>_<Σemb>") — no extra job. */
-  private val EmbBroadcastMaxVecs =
+  // lazy for the same reason as [[embProfile]]: junk in the env var
+  // must raise a readable NumberFormatException at first use, not
+  // poison the whole object.
+  private lazy val EmbBroadcastMaxVecs =
     sys.env.getOrElse("GRAFT_D05_BROADCAST_MAX_VECS", "10000000").toLong
 
   /** Shared DuckDB CTE computing exact pairwise Jaccard via an inverted
@@ -848,8 +857,9 @@ object Dedup {
       // (cosine first, signature rule second) because that is the order
       // DuckDB can afford: re-deriving candidates via the probe join
       // would materialize ~650× more rows than the exact-cosine set.
-      // Same result set either way: rule ∩ (cos ≥ 0.45) — membership
-      // checked per qualifying pair from the exported signature words.
+      // Same result set either way: rule ∩ (cos ≥ embProfile.minCos)
+      // under the registered profile's gate — membership checked per
+      // qualifying pair from the exported signature words.
       Some {
         val gate = embProfile.tGlobal.map(t =>
           s"bit_count(xor(sa.s1, sb.s1)) + bit_count(xor(sa.s2, sb.s2)) <= $t AND ")
@@ -1885,4 +1895,35 @@ object Dedup {
     exactSurv.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
+
+  /** d13's production seam as a LIVE STREAM (r11): crawl micro-batches
+    * arrive via `writeStream.foreachBatch`, each one runs the SAME
+    * cascade as the registered d13 against the PERSISTED corpus layout
+    * ([[incrementalDedupOnLayout]] — exact md5 anti-join, pb-pruned
+    * band probe, exact-Jaccard verify), and the batch's admitted
+    * survivors commit through the (appId, batchId) exactly-once ledger
+    * ([[graft.sources.Versioned.commitBatchAppend]]), so a crash-
+    * recovery epoch replay recomputes the batch (foreachBatch re-runs
+    * the function — that part is inherent to the engine) but can NEVER
+    * double-admit a document. Semantics match d13's batch contract
+    * exactly — each crawl doc is judged against the STANDING corpus,
+    * never against other crawl docs — so the union of per-epoch
+    * admissions over any micro-batch split of a crawl equals the
+    * one-shot cascade on the whole crawl (StreamingSpec pins this,
+    * replays included). At 100 TB the corpus side stays a bucketed
+    * standing layout probed per epoch: per-epoch cost is O(batch), the
+    * admitted table is an append-only versioned log a compaction /
+    * corpus-refresh job can fold back into the layout offline. Use as:
+    * {{{
+    * crawl.writeStream.foreachBatch(
+    *   Dedup.streamingIncrementalDedupSink("corpus", path, "crawl-app")).start()
+    * }}} */
+  def streamingIncrementalDedupSink(prefix: String, outPath: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val surv = incrementalDedupOnLayout(batch.sparkSession, prefix, batch)
+      graft.sources.Versioned.commitBatchAppend(
+        batch.sparkSession, outPath, appId, batchId, surv)
+      ()
+    }
 }

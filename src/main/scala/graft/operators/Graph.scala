@@ -213,24 +213,33 @@ object Graph {
     * (d06/d09 via Dedup.ccLabels) and event-graph communities
     * (g03/g10/g12).
     *
-    * `chase` (r10): pointer-doubling steps appended to each round —
-    * L(u) ← min(L(u), L(L(u))) on the LABEL table (tiny: one row per
-    * node), repeated `chase` times inside the same plan. Plain
-    * propagation advances the component min ONE hop per round, so
-    * rounds = component diameter; each chase composes the label map
-    * with itself, so reach multiplies instead of increments and rounds
-    * collapse to O(log diameter). Measured at sf1.0 (BASELINE.md r10):
-    * g03's 12 rounds → 3, wall 10.9 s → well under. Correctness is
-    * unchanged: label values are always member ids of the same
-    * component (least of ids seen), updates are monotone
-    * non-increasing and bounded by the component min, and the exit
-    * fixpoint (no nbr or chase movement) forces labels constant per
-    * component and equal to its min — identical to the chase-free
-    * fixpoint. chase=0 (default) for near-dup groups whose components
-    * are cliques/short chains (2–3 rounds already; extra self-joins
-    * buy nothing). */
+    * Pointer doubling is ADAPTIVE (r11, was a static per-callsite
+    * `chase` constant in r10): plain propagation advances the component
+    * min ONE hop per round (rounds = diameter), so after any round ≥
+    * `chaseAfter` that still moved labels, a pointer-doubling fixup —
+    * L(u) ← min(L(u), L(L(u))) twice, on the one-row-per-node LABEL
+    * table only — composes the label map with itself so reach
+    * MULTIPLIES and deep components converge in O(log diameter)
+    * rounds. Shallow graphs (near-dup cliques, small-SF corpora:
+    * diameter ≤ chaseAfter) converge before the trigger and never pay
+    * the chase joins — this removes the measured sf0.1 premium the r10
+    * static chase=2 charged g03/g10/g12 (+0.6–0.8 s each) while
+    * keeping g03's 12-round → ~4-round sf1.0 collapse (BASELINE.md
+    * r10/r11 tables). One code path, no per-callsite constants.
+    *
+    * Correctness: the round exit tests the PLAIN step only (label vs
+    * pre-step label; the chase runs after the count, as its own tiny
+    * jobs). That test is sufficient — if no neighbor min beats any
+    * label then for every edge (u,v) both L(v) ≤ L(u) and L(u) ≤ L(v),
+    * so labels are constant per component; and the constant must be
+    * the component min m, since L(m) ≤ m by init and monotonicity
+    * while every label is a member id ≥ m. The chase never invents
+    * labels (L(L(u)) is some member's label, updates stay monotone
+    * non-increasing and bounded below by m), so it only accelerates —
+    * PropertySpec pins label-identity across chaseAfter ∈
+    * {always, default, never}. */
   private[graft] def minLabelPropagation(
-      edges: DataFrame, maxIter: Int = 50, chase: Int = 0): DataFrame = {
+      edges: DataFrame, maxIter: Int = 50, chaseAfter: Int = 2): DataFrame = {
     val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
     val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = sym.groupBy(col("a_id"))
@@ -245,24 +254,32 @@ object Graph {
       // Carry the previous label through the update so the fixpoint check
       // is a narrow filter-count over the checkpoint — not another join
       // (which would re-shuffle the label table every round).
-      var step = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
+      val step = labels.join(nbr, labels("doc_id") === nbr("a_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("old"))
-      for (_ <- 1 to chase) {
-        // L(L(u)): the label table joined with itself on label = doc_id.
-        // A label is always SOME node's id in the same component, so the
-        // lookup hits unless that node kept its own id (left + coalesce).
-        val lk = step.select(col("doc_id").as("k"), col("label").as("lv"))
-        step = step.join(lk, step("label") === lk("k"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("lv"), col("label"))).as("label"),
-            col("old"))
-      }
       val next = step.localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
+      if (changed > 0 && iter >= chaseAfter) {
+        // Still moving past the trigger round: pointer-double before the
+        // next edge join. L(L(u)) is the label table joined with itself
+        // on label = doc_id — a label is always SOME node's id in the
+        // same component, so the lookup hits unless that node kept its
+        // own id (left + coalesce). Two doublings quadruple reach. This
+        // runs OUTSIDE the plain step's changed count (see Scaladoc:
+        // plain no-change alone certifies the fixpoint), so a converging
+        // graph's final detect round never pays these joins.
+        var chased = labels
+        for (_ <- 1 to 2) {
+          val lk = chased.select(col("doc_id").as("k"), col("label").as("lv"))
+          chased = chased.join(lk, chased("label") === lk("k"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("lv"), col("label"))).as("label"))
+        }
+        labels = chased.localCheckpoint()
+      }
     }
     // Propagation advances min labels ONE HOP per round, so a component
     // whose diameter exceeds maxIter would exit UNCONVERGED — and
@@ -481,8 +498,8 @@ object Graph {
     // event_type stream only when they act within 5 minutes — the gap
     // rule breaks the chain where activity pauses, so the stream
     // decomposes into co-activity components instead of one giant chain.
-    // Labeling is the chase-accelerated generic loop
-    // ([[minLabelPropagation]], chase = 2). r10 adjudication of the r9
+    // Labeling is the adaptively chase-accelerated generic loop
+    // ([[minLabelPropagation]]). r10 adjudication of the r9
     // verdict's prescription (port the oracle's segment factoring into
     // the operator): BOTH segment-incidence forms were built and
     // measured at sf1.0 — the factoring does NOT help the OPERATOR,
@@ -497,7 +514,7 @@ object Graph {
     // component's min user id).
     ("g03_components",
       (s, d) => {
-        minLabelPropagation(proximityEdges(s, d, 300L * 1000000L), chase = 2)
+        minLabelPropagation(proximityEdges(s, d, 300L * 1000000L))
           .groupBy(col("label").as("component"))
           .agg(count(lit(1)).as("n_users"))
       },
@@ -919,7 +936,7 @@ object Graph {
     ("g10_conductance",
       (s, d) => {
         val labels =
-          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L), chase = 2)
+          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L))
             .localCheckpoint()
         val und = undirectedEdges(s, d)
         val sym = und.select(col("u").as("x"), col("v").as("y"))
@@ -1069,7 +1086,7 @@ object Graph {
     ("g12_modularity",
       (s, d) => {
         val labels =
-          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L), chase = 2)
+          minLabelPropagation(proximityEdges(s, d, 10L * 1000000L))
             .localCheckpoint()
         val und = undirectedEdges(s, d)
         val lab = labels.select(col("doc_id"), col("label"))

@@ -2521,32 +2521,40 @@ object Relational {
         // the whole quarter scan of lineitem (Catalyst does not
         // materialize shared subplans). The cut stores one narrow row
         // per supplier.
+        // INTEGER cents for the max/tie equality (r11, driver advice):
+        // the view keeps revenue as a BIGINT cent count and only the
+        // output projection divides back to currency, so the max and
+        // the tie filter compare exact integers on both engines — no
+        // double-equality in the row-SET decision (a cent that rounds
+        // differently per engine would still be a value diff, but can
+        // no longer silently drop a tie ROW via `=` on doubles).
         val rev = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
                   col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
           .groupBy(col("l_suppkey").as("supplier_no"))
-          .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .as("total_revenue"))
+          .agg(floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100
+            + 0.5).cast("long").as("rev_cents"))
           .localCheckpoint()
-        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        val mx = rev.agg(max(col("rev_cents")).as("mx"))
         Tables.supplier(s, d)
           .join(rev, col("s_suppkey") === col("supplier_no"))
           .crossJoin(broadcast(mx))
-          .filter(col("total_revenue") === col("mx"))
-          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .filter(col("rev_cents") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("rev_cents") / 100.0).as("total_revenue"))
           .orderBy(col("s_suppkey"))
       },
       Some("""WITH revenue AS MATERIALIZED (
                 SELECT l_suppkey AS supplier_no,
-                       FLOOR(sum(l_extendedprice * (1 - l_discount))
-                             * 100 + 0.5) / 100 AS total_revenue
+                       CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))
+                                  * 100 + 0.5) AS BIGINT) AS rev_cents
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                   AND l_shipdate < TIMESTAMP '1997-04-01'
                 GROUP BY 1)
-              SELECT s_suppkey, s_name, total_revenue
+              SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
               FROM supplier JOIN revenue ON s_suppkey = supplier_no
-              WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+              WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
               ORDER BY s_suppkey""")),
 
     // Q19: discounted revenue — THE disjunctive-pushdown plan: an OR of

@@ -278,11 +278,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("minLabelPropagation: chase is a pure accelerator — labels identical for chase 0/1/2") {
-    // r10's pointer doubling must change ROUNDS, never RESULTS: on
-    // adversarially random graphs (long chains force many plain rounds,
-    // a chase bug would surface as split or merged components) every
-    // chase level yields the same (node, label=component-min) table.
+  test("minLabelPropagation: adaptive chase is a pure accelerator — labels identical across triggers") {
+    // r10's pointer doubling (made ADAPTIVE in r11: the chase fires only
+    // after round `chaseAfter` rounds that still moved labels) must
+    // change ROUNDS, never RESULTS: on adversarially random graphs
+    // (long chains force many plain rounds; a chase bug would surface
+    // as split or merged components) every trigger setting yields the
+    // same (node, label=component-min) table. Levels cover the whole
+    // trigger range: 0 = chase from round 1, 1 and 2 = mid-loop
+    // activation (the shipped default), Int.MaxValue = the chase-free
+    // plain loop (the r9 reference semantics).
     // Graph: 3 long chains + random cross edges inside each third, so
     // components are nontrivial and diameters exceed the chase reach.
     val n = 120
@@ -295,12 +300,13 @@ class PropertySpec extends AnyFunSuite {
         val c = i % 3; ((c * 1000 + a * 7).toLong, (c * 1000 + b * 7).toLong) }
       .filter { case (a, b) => a != b }
     val edges = (chains ++ extras).toDF("a_id", "b_id")
-    val ref = operators.Graph.minLabelPropagation(edges, maxIter = 200)
+    val ref = operators.Graph.minLabelPropagation(edges, maxIter = 200,
+        chaseAfter = Int.MaxValue) // never triggers: pure one-hop propagation
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    for (ch <- Seq(1, 2)) {
-      val got = operators.Graph.minLabelPropagation(edges, maxIter = 200, chase = ch)
+    for (ch <- Seq(0, 1, 2)) {
+      val got = operators.Graph.minLabelPropagation(edges, maxIter = 200, chaseAfter = ch)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-      assert(got == ref, s"chase=$ch labels diverge from chase=0")
+      assert(got == ref, s"chaseAfter=$ch labels diverge from the chase-free loop")
     }
     // And the labels really are component minima: each chain third is one
     // component (the chain spans it), so exactly 3 labels, each the min id.

@@ -18,9 +18,12 @@ object ScaleSmokeMain {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(40)
     // Extra args: query names to time (default: the whole family);
-    // "keep" as a name reuses the corpus already on disk (skips rewrite).
+    // "keep" as a name reuses the corpus already on disk (skips rewrite);
+    // "nosplit" skips the untimed pair-split pass (it re-executes the
+    // query, which doubles the wall of a 40-minute octave leg).
     val keep = args.drop(1).contains("keep")
-    val only = args.drop(1).filterNot(_ == "keep")
+    val nosplit = args.drop(1).contains("nosplit")
+    val only = args.drop(1).filterNot(a => a == "keep" || a == "nosplit")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("scale-smoke")
@@ -185,6 +188,26 @@ object ScaleSmokeMain {
       val rows = df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[smoke] $name%-22s $sec%7.1f s   rows=$rows%d")
+      // Replica-boundary split (r11, verdict item 3): pair outputs can
+      // contain CROSS-replica pairs — docs whose only edit distance is
+      // the replica prefix itself (e.g. "1xfoo" vs "11xfoo" under d15's
+      // k=15 budget) — an artifact of the corpus construction, not of
+      // the operator. Doubling evidence must therefore check ×2.000 on
+      // the SAME-replica count, and report the boundary count
+      // separately, or the octave ratio conflates corpus artifact with
+      // engine scaling (the d15 640× row read 2.31× on raw rows).
+      // UNTIMED second execution — the [smoke] second above stays
+      // comparable with every historical octave table.
+      val fields = df.schema.fieldNames.toSet
+      if (!nosplit && Set("a_id", "b_id").subsetOf(fields)) {
+        val split = df.groupBy(
+            (floor(col("a_id") / 1000000L) === floor(col("b_id") / 1000000L))
+              .as("same_rep"))
+          .count().collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        println(f"[smoke] $name%-22s rows_same_rep=${split.getOrElse(true, 0L)}%d " +
+          f"rows_cross_rep=${split.getOrElse(false, 0L)}%d")
+      }
     }
     spark.stop()
   }

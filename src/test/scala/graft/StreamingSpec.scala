@@ -748,4 +748,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == rebuilt, s"streamed $got != rebuilt $rebuilt")
     graft.Ddl.dropManagedTable(spark, "annstream_rebuild")
   }
+
+  test("streaming incremental dedup: micro-batched crawl + epoch replays ≡ one-shot d13 cascade") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val isBatch = col("doc_id") % 5 === 0
+    val prefix = "graft_streamd13"
+    Seq(s"${prefix}_bands", s"${prefix}_hashes", s"${prefix}_grams")
+      .foreach(t => graft.Ddl.dropManagedTable(spark, t))
+    Dedup.writeCorpusDedupLayout(docs.filter(!isBatch), prefix)
+    val crawl = docs.filter(isBatch).localCheckpoint()
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-d13stream").toString + "/admitted"
+
+    // The sink is the foreachBatch function a writeStream would call;
+    // driving it directly forces the exact epoch-replay sequence a
+    // recovering stream produces (same technique as the LSH ingest test
+    // above). Crawl split into 3 micro-batches by doc_id thirds — an
+    // arbitrary split, because d13's contract judges each crawl doc
+    // against the STANDING corpus only, so ANY split must reproduce the
+    // one-shot verdicts.
+    val sink = Dedup.streamingIncrementalDedupSink(prefix, outPath, "d13stream")
+    val parts = (0 until 3).map(i => crawl.filter(col("doc_id") % 3 === i).toDF())
+    sink(parts(0), 0L)
+    sink(parts(1), 1L)
+    sink(parts(1), 1L) // crash-recovery replay of the SAME epoch
+    sink(parts(2), 2L)
+    sink(parts(2), 2L) // and again
+
+    val v = graft.sources.Versioned.currentVersion(spark, outPath)
+    val streamed = graft.sources.Versioned.dataDirs(spark, outPath, v)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .collect().map(_.toString).toSeq
+    // Exactly-once: the replayed epochs committed nothing — no document
+    // admitted twice across the whole stream.
+    assert(streamed.size == streamed.toSet.size,
+      s"replay double-admitted ${streamed.size - streamed.toSet.size} docs")
+    // Stream ≡ batch: union of per-epoch admissions == the one-shot
+    // cascade on the whole crawl against the same persisted layout...
+    val oneShot = Dedup.incrementalDedupOnLayout(spark, prefix, crawl)
+      .collect().map(_.toString).toSet
+    assert(streamed.toSet == oneShot,
+      s"missing=${(oneShot -- streamed).take(3)} extra=${(streamed.toSet -- oneShot).take(3)}")
+    // ...and == the registered d13's in-memory form, end-to-end (the
+    // layout ≡ memory leg is pinned in AnnIndexSpec; this closes
+    // stream ≡ layout ≡ memory in one chain).
+    val mem = SparkEntry.queries("d13_incremental_dedup")(spark, TestSpark.sf)
+      .collect().map(_.toString).toSet
+    assert(streamed.toSet == mem)
+    Seq(s"${prefix}_bands", s"${prefix}_hashes", s"${prefix}_grams")
+      .foreach(t => graft.Ddl.dropManagedTable(spark, t))
+  }
 }

@@ -18,7 +18,9 @@ Rules:
     (the hand-adjudicated AQE flips — e.g. fact-fact BHJ→SMJ at 10×),
     else the gate fails;
   - allowlisted queries that NO LONGER differ are reported as stale
-    (warning only — an allowlist should shrink, not rot).
+    (warning only — an allowlist should shrink, not rot);
+  - an allowlist name that is not a query in EITHER audit table fails
+    the gate (r11): a typo'd or renamed adjudication gates nothing.
 spans/exchanges are reported as context but not gated: codegen span
 counts move with Spark's stage splitting at different input sizes
 without any plan-shape meaning.
@@ -82,7 +84,17 @@ def main():
             else:
                 fails.append(f"DRIFT {desc} (not in {allow_path.name})")
     for n in sorted(allow - drifted):
-        warns.append(f"stale allowlist entry: {n} no longer drifts")
+        # r11 (driver advice): an allowlist name that isn't even a query
+        # in either audit table is a TYPO or a rename — it silently gates
+        # nothing while the real query's drift would fail under its true
+        # name. That's a broken adjudication, so it FAILS; a name that is
+        # present but no longer drifting is the allowlist shrinking
+        # healthily — warn only.
+        if n not in a and n not in b:
+            fails.append(f"UNKNOWN allowlist entry: {n} is not a query "
+                         "in either audit table (typo / renamed query?)")
+        else:
+            warns.append(f"stale allowlist entry: {n} no longer drifts")
     for w in warns:
         print(f"  ! {w}")
     for f in fails:
