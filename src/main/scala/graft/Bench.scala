@@ -13,7 +13,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions) // run under the library's own rules
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Default = cpus (the gate table); SPARK_GRAFT_SHUFFLE_PARTITIONS
+      // overrides for scale-attribution legs — "does a superlinear octave
+      // row linearize when partitions scale with the corpus, the way a
+      // real cluster would scale them?" (the ScaleSmokeMain experiment,
+      // available on the bench surface since r11).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -71,12 +77,22 @@ object Bench {
       pred.foreach { pf =>
         try pf(spark, sfDir).count() catch { case _: Throwable => () }
       }
-      val times = (1 to reps).map { _ =>
+      // A failed rep must NOT post its (near-zero) wall as the query's
+      // min — the r11 sf4.0 leg showed a throwing query landing as
+      // "0.006 s", which reads as FAST in every downstream table. Failed
+      // reps are excluded; a query with zero successful reps posts -1.0
+      // (impossible as a duration, loud in any consumer) and the error
+      // goes to stderr.
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: " +
+            s"${String.valueOf(e.getMessage).take(300)}")
+          None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // 3-decimal floats: the consumer captures only the TAIL of this
     // process's output, and the full-precision form of ~76 entries

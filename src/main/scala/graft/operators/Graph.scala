@@ -238,8 +238,16 @@ object Graph {
     * non-increasing and bounded below by m), so it only accelerates —
     * PropertySpec pins label-identity across chaseAfter ∈
     * {always, default, never}. */
+  /** Default adaptive-chase trigger round (see [[minLabelPropagation]]).
+    * GRAFT_CHASE_AFTER overrides for A/B legs (junk degrades to the
+    * default — an ops knob must not crash the job); 2 is the measured
+    * sweet spot on the r11 A/B table in BASELINE.md. */
+  private lazy val DefaultChaseAfter: Int =
+    sys.env.get("GRAFT_CHASE_AFTER").flatMap(_.toIntOption).getOrElse(2)
+
   private[graft] def minLabelPropagation(
-      edges: DataFrame, maxIter: Int = 50, chaseAfter: Int = 2): DataFrame = {
+      edges: DataFrame, maxIter: Int = 50,
+      chaseAfter: Int = DefaultChaseAfter): DataFrame = {
     val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
     val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = sym.groupBy(col("a_id"))
@@ -320,6 +328,13 @@ object Graph {
     * g05's peel so a future change (e.g. a self-loop filter) can't
     * drift between consumers. localCheckpoint'd: every caller feeds it
     * to ≥2 downstream joins. */
+  /** Test-only accessors for the r11 g09 stage diagnostics
+    * (ProbeG09Stages) — no behavior, just visibility. */
+  private[graft] def probeUndirectedEdges(s: SparkSession, d: String): DataFrame =
+    undirectedEdges(s, d)
+  private[graft] def probeNeighborJaccard(s: SparkSession, d: String): DataFrame =
+    neighborJaccard(s, d)
+
   private def undirectedEdges(s: SparkSession, d: String): DataFrame =
     interactionEdges(s, d)
       .select(least(col("src"), col("dst")).as("u"),
