@@ -73,9 +73,38 @@ object Bench {
       SparkEntry.queries.getOrElse(p,
         throw new IllegalArgumentException(s"SPARK_GRAFT_BENCH_PRED=$p is not a query name"))
     }
+    // Calibration probes (r12, verdict item 2): two fixed synthetic jobs —
+    // one CPU/codegen-bound (wide range + arithmetic, no I/O), one
+    // shuffle-bound (groupBy over a synthetic key) — run before and after
+    // the timed pass and recorded in the JSON. Box-context drift between
+    // rounds ("the box ran hot") then becomes a NUMBER: compare this
+    // round's probe_pre/probe_post to last round's before reading any
+    // total-to-total delta. Corpus-independent on purpose (spark.range, no
+    // parquet) so the probe measures the BOX, not the dataset.
+    def calibrationProbe(): (Double, Double) = {
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def scanJob(): Unit = spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(id * 2654435761L % 1000003)").collect()
+      def shuffleJob(): Unit = spark.range(0L, 8000000L, 1L, 32)
+        .selectExpr("id % 100000 as k").groupBy("k").count()
+        .selectExpr("sum(count)").collect()
+      scanJob(); shuffleJob() // warm the two plan shapes once, untimed
+      val scan = (1 to 3).map(_ => time(scanJob())).min
+      val shuf = (1 to 3).map(_ => time(shuffleJob())).min
+      (scan, shuf)
+    }
+    val probePre = calibrationProbe()
     val results = ordered.map { case (name, fn) =>
       pred.foreach { pf =>
-        try pf(spark, sfDir).count() catch { case _: Throwable => () }
+        // A pred failure must be LOUD: if the pinned predecessor throws at
+        // the target SF the leg silently degrades to unpinned, which is
+        // exactly the uncontrolled comparison PRED exists to prevent.
+        try pf(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] pred failed before $name: " +
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
       }
       // A failed rep must NOT post its (near-zero) wall as the query's
       // min — the r11 sf4.0 leg showed a throwing query landing as
@@ -99,10 +128,14 @@ object Bench {
     // overflowed that buffer (round-3 bench line arrived truncated →
     // unparseable). 1 ms resolution is below the box's noise floor anyway.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val probePost = calibrationProbe()
+    def probeJson(p: (Double, Double)): String =
+      s"""{"scan":${f3(p._1)},"shuffle":${f3(p._2)}}"""
+    val probes = s""""probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes,"sf":"$sfDir"}"""
     println(line)
     // The stdout consumer captures only the last ~2000 chars of this
     // process's output, which truncates the ~220-entry map's HEAD — so
@@ -125,7 +158,7 @@ object Bench {
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= 1200).map(_._1).toSeq
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-      slowest.mkString("{", ",", "}")},"n_queries":${results.size},"sf":"$sfDir"}"""
+      slowest.mkString("{", ",", "}")},"n_queries":${results.size},$probes,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

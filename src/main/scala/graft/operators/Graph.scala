@@ -245,6 +245,19 @@ object Graph {
   private lazy val DefaultChaseAfter: Int =
     sys.env.get("GRAFT_CHASE_AFTER").flatMap(_.toIntOption).getOrElse(2)
 
+  /** Unpersist the localCheckpoint block backing a (possibly projected)
+    * checkpointed label table. Each propagation round supersedes the
+    * previous round's checkpoint — without freeing it a deep graph caches
+    * one (or, with the chase, two) full label tables PER ROUND, linear
+    * memory growth the fixpoint never reads again. Safe because the new
+    * round's checkpoint is already materialized (localCheckpoint is
+    * eager) before the old one is dropped, so no live plan can recompute
+    * through the truncated lineage. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private[graft] def minLabelPropagation(
       edges: DataFrame, maxIter: Int = 50,
       chaseAfter: Int = DefaultChaseAfter): DataFrame = {
@@ -268,6 +281,7 @@ object Graph {
           col("label").as("old"))
       val next = step.localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
+      unpersistCheckpoint(labels) // previous round's table, superseded by next
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
       if (changed > 0 && iter >= chaseAfter) {
@@ -286,7 +300,9 @@ object Graph {
             .select(col("doc_id"),
               least(col("label"), coalesce(col("lv"), col("label"))).as("label"))
         }
-        labels = chased.localCheckpoint()
+        val chasedCp = chased.localCheckpoint()
+        unpersistCheckpoint(labels) // next's checkpoint, superseded by the chase
+        labels = chasedCp
       }
     }
     // Propagation advances min labels ONE HOP per round, so a component

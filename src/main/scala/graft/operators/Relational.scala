@@ -2552,7 +2552,8 @@ object Relational {
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                   AND l_shipdate < TIMESTAMP '1997-04-01'
                 GROUP BY 1)
-              SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+              SELECT s_suppkey, s_name,
+                     CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
               FROM supplier JOIN revenue ON s_suppkey = supplier_no
               WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
               ORDER BY s_suppkey""")),

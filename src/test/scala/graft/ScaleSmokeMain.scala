@@ -45,7 +45,10 @@ object ScaleSmokeMain {
     // corpus cached by an OLDER smoke layout (missing a column the
     // family now reads, or missing the events table) must regenerate,
     // not fail mid-family with an unresolved-column error.
-    val dir = "/tmp/graft_scale_smoke_v3"
+    // v4: planted g09 streams entered the events table (r12) — a v3
+    // cache under `keep` would silently time a corpus with zero
+    // planted pairs.
+    val dir = "/tmp/graft_scale_smoke_v4"
     val requiredDocCols = Set("doc_id", "text", "n_chars", "lang", "source")
     val cacheValid = keep && {
       try {
@@ -64,7 +67,7 @@ object ScaleSmokeMain {
       val reps = spark.range(rep).select(col("id").cast("int").as("rep"))
       Tables.documents(spark, "/root/testdata/sf0.1").crossJoin(reps)
         .select(
-          (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+          (col("doc_id") + col("rep").cast("long") * Sf1Gen.IdStride).as("doc_id"),
           array_join(transform(split(col("text"), " "),
             w => concat(col("rep").cast("string"), lit("x"), w)), " ").as("text"),
           col("n_chars"), col("lang"),
@@ -75,14 +78,24 @@ object ScaleSmokeMain {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       // Events: type domain ×rep (prefixed), ids replica-shifted, time
       // domain unchanged — per-type hourly series keep their density.
+      // Planted g09 pairs (Sf1Gen.plantedJaccardEvents): fresh per-replica
+      // types (no prefix collision with the NxType domain), user ids at
+      // the 900000 slot of each replica's IdStride user band, ts inside
+      // the shared Jan-2024 window (2 h apart per replica — types are
+      // replica-unique so time overlap is irrelevant; the offset just
+      // keeps planted ids unique-by-construction obvious).
+      val planted = Sf1Gen.plantedJaccardEvents(spark, rep, Sf1Gen.IdStride,
+          900000L, r => 1704412800000000L + r * 7200L * 1000000L)
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
       Tables.events(spark, "/root/testdata/sf0.1").crossJoin(reps)
         .withColumn("event_id",
           col("event_id") + col("rep").cast("long") * 1000000000L)
         .withColumn("user_id",
-          col("user_id") + col("rep").cast("long") * 1000000L)
+          col("user_id") + col("rep").cast("long") * Sf1Gen.IdStride)
         .withColumn("event_type",
           concat(col("rep").cast("string"), lit("x"), col("event_type")))
         .drop("rep")
+        .unionByName(planted)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
     // Label from the corpus actually on disk (under `keep` the CLI rep
@@ -200,13 +213,19 @@ object ScaleSmokeMain {
       // comparable with every historical octave table.
       val fields = df.schema.fieldNames.toSet
       if (!nosplit && Set("a_id", "b_id").subsetOf(fields)) {
+        // Stride shared with Sf1Gen (one constant, can't drift from the
+        // generator); a null id yields a NULL group key — bucketed
+        // separately, not an NPE mid-sweep.
         val split = df.groupBy(
-            (floor(col("a_id") / 1000000L) === floor(col("b_id") / 1000000L))
-              .as("same_rep"))
+            (floor(col("a_id") / Sf1Gen.IdStride) ===
+              floor(col("b_id") / Sf1Gen.IdStride)).as("same_rep"))
           .count().collect()
-          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-        println(f"[smoke] $name%-22s rows_same_rep=${split.getOrElse(true, 0L)}%d " +
-          f"rows_cross_rep=${split.getOrElse(false, 0L)}%d")
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+            -> r.getLong(1)).toMap
+        val nullIds = split.getOrElse(None, 0L)
+        println(f"[smoke] $name%-22s rows_same_rep=${split.getOrElse(Some(true), 0L)}%d " +
+          f"rows_cross_rep=${split.getOrElse(Some(false), 0L)}%d" +
+          (if (nullIds > 0) f" rows_null_id=$nullIds%d" else ""))
       }
     }
     spark.stop()

@@ -26,6 +26,72 @@ import org.apache.spark.sql.functions._
   * construction).
   */
 object Sf1Gen {
+  /** Replica stride for the doc_id / vec_id / event_id key families
+    * (and ScaleSmokeMain's doc_id / user_id) — ONE constant shared with
+    * ScaleSmokeMain's generator and its replica-boundary pair split, so
+    * the split's `id / stride` replica classifier can never silently
+    * drift from the strides the corpora were built with. (Sf1Gen's
+    * events user_id uses the customer-family stride 100000L — pair
+    * outputs over THAT family don't flow through the smoke split.) */
+  val IdStride = 1000000L
+
+  /** Planted structurally-equivalent user pairs (r12, verdict item 1):
+    * the replica growth models produce user-DISJOINT interaction graphs
+    * whose neighbor-Jaccard never reaches 0.5, so g09's scale-gate value
+    * verdict was comparing EMPTY sets (vacuously green — the one such
+    * compare on the board). This plants, per replica, two isolated
+    * event streams under fresh event types (the d25 planted-span
+    * discipline applied to graphs):
+    *
+    *   group A (16 events): X n1 X n2 X n3 X n4 Y n1 Y n2 Y n3 Y n4
+    *     → N(X) = N(Y) = {n1..n4} (the n4—Y stream boundary closes Y's
+    *     set), N(ni) = {X, Y} — pairs (X,Y) jac 1.0 and the 6 (ni,nj)
+    *     pairs jac 1.0: 7 qualifying rows.
+    *   group B (16 events): X n1 X n2 X n3 X n4 Y n1 Y n2 Y n3 Y n5
+    *     → N(X) = {n1..n4}, N(Y) = {n1..n4, n5}, N(n1..n4) = {X, Y},
+    *     N(n5) = {Y} — (X,Y) jac 4/5 = 0.8, 6 (ni,nj) pairs 1.0, and
+    *     the 4 (ni, n5) pairs EXACTLY at the τ = 0.5 threshold (1/2 —
+    *     exactly representable, grid-stable in both engines): 11 rows.
+    *
+    * 18 qualifying pairs per replica — nonzero, replica-linear
+    * (rows_same_rep 2.000×/octave), spanning jac ∈ {0.5, 0.8, 1.0}
+    * including both threshold-boundary and below-threshold (X,ni inter
+    * = 0) structure. Consecutive planted events are 400 s apart — ABOVE
+    * the 300 s / 10 s proximity windows, so the planted users enter the
+    * interaction graph (g01/g02/g09's base) but stay OUT of every
+    * proximity-graph operator (g03/g10/g12/g14), perturbing the planted
+    * corpora minimally. Fresh per-(replica, group) event types keep the
+    * streams isolated from real events and from each other; planted
+    * user ids live at userPlantBase (far above the real user domain)
+    * and planted event ids at 500M (above every replica-shifted real
+    * id in both generators).
+    *
+    * Returns (event_id, ts_us, user_id, event_type, value, props) — the
+    * caller converts ts_us to its corpus's ts type and unions by name.
+    */
+  def plantedJaccardEvents(
+      spark: SparkSession, reps: Int, userStride: Long, userPlantBase: Long,
+      tsBaseUs: Int => Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val gapUs = 400L * 1000000L // > every proximity window in the family
+    val rows = (0 until reps).flatMap { r =>
+      def u(k: Int): Long = r * userStride + userPlantBase + k
+      // user-slot sequences; slots 0-5 = group A, 6-12 = group B
+      val groupA = Seq(0, 2, 0, 3, 0, 4, 0, 5, 1, 2, 1, 3, 1, 4, 1, 5)
+      val groupB = Seq(6, 8, 6, 9, 6, 10, 6, 11, 7, 8, 7, 9, 7, 10, 7, 12)
+      val stream = groupA.map(("jplant_a_" + r, _)) ++
+        groupB.map(("jplant_b_" + r, _))
+      stream.zipWithIndex.map { case ((typ, slot), i) =>
+        (500000000L + r * 1000L + i,         // event_id
+          tsBaseUs(r) + i.toLong * gapUs,    // ts_us
+          u(slot), typ,
+          1.0 + (i % 7),                     // value: deterministic
+          s"""{"k": ${i % 100}}""")          // props: the house JSON shape
+      }
+    }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+  }
+
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(10)
     val src = "/root/testdata/sf0.1"
@@ -96,9 +162,10 @@ object Sf1Gen {
     val tsIsLong =
       evSrc.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts"))
-    val spanDaysUs = {
+    val (minTsUs, spanDaysUs) = {
       val r = evSrc.select(max(tsUs), min(tsUs)).head()
-      ((r.getLong(0) - r.getLong(1)) / 86400000000L + 1) * 86400000000L
+      (r.getLong(1),
+        ((r.getLong(0) - r.getLong(1)) / 86400000000L + 1) * 86400000000L)
     }
     val shifted = tsUs + col("rep") * spanDaysUs
     // Long (nanos) path shifts in NANOS (round-9 advice fix): the old
@@ -106,13 +173,23 @@ object Sf1Gen {
     // so the corpus was no longer bit-identical to the source at nano
     // precision. Tables.events reads at micro precision today, but the
     // corpus invariant is "replica 0 IS the source".
+    // Planted g09 pairs (see [[plantedJaccardEvents]]): one hour into
+    // each replica's day-rounded time block, user ids at the 90000 slot
+    // of the replica's 100000-stride user band — inside the replica's id
+    // band, far above the real user domain.
+    val planted = plantedJaccardEvents(spark, rep, 100000L, 90000L,
+        r => minTsUs + r * spanDaysUs + 3600L * 1000000L)
+      .withColumn("ts",
+        if (tsIsLong) col("ts_us") * 1000L else timestamp_micros(col("ts_us")))
+      .drop("ts_us")
     w(evSrc.crossJoin(reps)
-      .withColumn("event_id", col("event_id") + col("rep") * 1000000L)
+      .withColumn("event_id", col("event_id") + col("rep") * IdStride)
       .withColumn("user_id", col("user_id") + col("rep") * 100000L)
       .withColumn("ts",
         if (tsIsLong) col("ts") + col("rep") * spanDaysUs * 1000L
         else timestamp_micros(shifted))
-      .drop("rep"), "events")
+      .drop("rep")
+      .unionByName(planted), "events")
 
     // n_chars is RECOMPUTED from the transformed text (round-9 advice
     // fix): replicas 1–9 prefix every word (+2 chars/word), and carrying
@@ -121,7 +198,7 @@ object Sf1Gen {
     // prune and d15's segment lengths both treat as lossless.
     w(t("documents").crossJoin(reps)
       .select(
-        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        (col("doc_id") + col("rep") * IdStride).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(array_join(transform(split(col("text"), " "),
             wd => concat(col("rep").cast("string"), lit("x"), wd)), " "))
@@ -142,7 +219,7 @@ object Sf1Gen {
     // single-pair events with ~1e-9 probability.
     w(t("embeddings").crossJoin(reps)
       .select(
-        (col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        (col("vec_id") + col("rep") * IdStride).as("vec_id"),
         transform(sequence(lit(0), size(col("embedding")) - 1),
           i => element_at(col("embedding"),
             (pmod(i + col("rep"), size(col("embedding"))) + 1).cast("int"))

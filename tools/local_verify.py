@@ -71,6 +71,12 @@ def main():
 
     n_pass = n_fail = n_noora = n_timeout = 0
     timed_out = []
+    # Zero-row census (r12, verdict item 6): an engine dump with 0 rows
+    # compares vacuously green against an empty oracle — the verdict means
+    # "both engines agree the answer is empty", which verifies nothing
+    # about the operator's value path at this SF. Keep the list of such
+    # queries a standing, loud output (today only g09 at scaled SFs).
+    zero_row = []
     only_set = {q for q in only.split(",") if q}
     for pq in sorted(out_dir.iterdir()):
         if not pq.is_dir():
@@ -83,6 +89,8 @@ def main():
         got = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
         got_cols = [d[0] for d in got.description]
         got_rows = got.fetchall()
+        if not got_rows:
+            zero_row.append(name)
         if name not in oracle:
             n_noora += 1
             print(f"  ~ {name}: no oracle (rows-only) rows={len(got_rows)}")
@@ -149,6 +157,10 @@ def main():
         else:
             n_fail += 1
     tmo_note = f" TIMEOUT={n_timeout}" + (f" ({','.join(timed_out)})" if timed_out else "")
+    print(f"ZERO-ROW={len(zero_row)}" + (f" ({','.join(zero_row)})" if zero_row else ""))
+    if zero_row:
+        print("WARNING: zero-row engine dumps compare vacuously — their "
+              "value verdicts certify nothing at this SF")
     print(f"PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noora}" + (tmo_note if n_timeout else " TIMEOUT=0"))
     # GRAFT_STRICT_TIMEOUT=1 (CI-style gate): a new permanent oracle
     # timeout is a regression, not a pass — nonzero-exit on it so
