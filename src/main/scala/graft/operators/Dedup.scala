@@ -1926,4 +1926,94 @@ object Dedup {
         batch.sparkSession, outPath, appId, batchId, surv)
       ()
     }
+
+  /** The corpus-refresh FOLD-BACK the streaming seam's Scaladoc promises:
+    * read the versioned admitted log, compute the newly admitted docs'
+    * md5 / band / gram rows with the SAME kernels the layout was built
+    * with, and append them to the three standing layout tables — after
+    * which the next epoch's probes reject duplicates of the folded docs
+    * without the admitted log ever being consulted on the hot path.
+    *
+    * The admitted log records corpus MEMBERSHIP (doc_id, source,
+    * n_chars), not text — at 100 TB one does not copy the corpus into
+    * its own changelog — so the fold joins the delta's doc_ids back to
+    * `texts` (the crawl/document store; only the delta's rows are read,
+    * O(delta) via a broadcast-able id set).
+    *
+    * Exactly-once across replays, with no fold-side state beyond the
+    * admitted log itself (the lakehouse maintenance-job pattern):
+    *
+    *   - WHAT was folded is recorded in the admitted log's own
+    *     (appId, batchId) ledger — a fold brackets its table appends
+    *     between two zero-row marker commits, `<prefix>.fold.intent`
+    *     and `<prefix>.fold.done`, each tagged with the admitted-log
+    *     version `v` the fold read. A fully-replayed fold (same or
+    *     older `v`) short-circuits on the done marker; the delta of the
+    *     next fold is `changesBetween(doneV, v]` — each admitted row
+    *     folds exactly once.
+    *   - An intent with NO matching done marker means a previous fold
+    *     DIED between its table appends (each append is job-atomic —
+    *     a killed job publishes nothing) — the recovery fold re-runs
+    *     the delta WITH per-table anti-join guards, so rows a torn fold
+    *     already published are not appended twice: grams guard on
+    *     doc_id (corpus side bucketed by doc_id — exchange-free),
+    *     hashes guard on h (bucketed by h — exchange-free; an admitted
+    *     doc whose h was already folded is probe-equivalent either
+    *     way), bands guard on (doc_id, band) with the corpus side
+    *     directory-pruned to the delta's pb set. The clean path pays
+    *     none of these scans — that is what the intent marker buys.
+    *   - Concurrent folds are NOT supported (one maintenance job at a
+    *     time — the same operational contract as Versioned.optimize);
+    *     crash recovery and replays are.
+    *
+    * Returns the done-commit's version, or None when there was nothing
+    * new to fold. AnnIndexSpec pins fold ≡ from-scratch rebuild on
+    * corpus+admissions (clean, replayed, and torn-recovery folds);
+    * StreamingSpec extends the d13 chain one link (stream → fold →
+    * next-epoch probe rejects duplicates of folded docs). */
+  def refreshCorpusLayout(spark: SparkSession, prefix: String,
+      admittedPath: String, texts: DataFrame,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+      parts: Int = 128, buckets: Int = 8): Option[Long] = {
+    import graft.sources.{Io, Versioned}
+    val intentApp = s"$prefix.fold.intent"
+    val doneApp = s"$prefix.fold.done"
+    val v = Versioned.currentVersion(spark, admittedPath)
+    val doneV = Versioned.lastCommittedBatch(spark, admittedPath, doneApp)
+    if (doneV.exists(_ >= v)) return None // fully-replayed fold
+    val delta = Versioned.changesBetween(spark, admittedPath,
+        doneV.getOrElse(0L), v)
+      .select(col("doc_id")).localCheckpoint() // feeds 3 row families + count
+    if (delta.isEmpty) return None // only marker commits since last fold
+    val torn = Versioned.lastCommittedBatch(spark, admittedPath, intentApp)
+      .exists(i => doneV.forall(_ < i))
+    // Mark intent BEFORE any table append, so OUR crash is detectable.
+    Versioned.commitBatchAppend(spark, admittedPath, intentApp, v,
+      Versioned.read(spark, admittedPath).limit(0))
+    val docs = delta.join(texts.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .localCheckpoint() // feeds all three kernels
+    val bt = Lsh.minhashBandTable(docs, shingleN, bands, rows)
+      .withColumn("pb", pmod(hash(col("band"), col("sig")), lit(parts)))
+      .localCheckpoint() // feeds pb collect + (guard +) append
+    val hs = docs.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
+    val hh = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val (btNew, hsNew, hhNew) = if (!torn) (bt, hs, hh) else {
+      val pbs = bt.select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+      val corpBands = spark.table(s"${prefix}_bands")
+        .filter(col("pb").isin(pbs: _*)).select(col("doc_id"), col("band"))
+      (bt.join(corpBands, Seq("doc_id", "band"), "left_anti"),
+        hs.join(spark.table(s"${prefix}_grams").select(col("doc_id")),
+          Seq("doc_id"), "left_anti"),
+        hh.join(spark.table(s"${prefix}_hashes").select(col("h")),
+          Seq("h"), "left_anti"))
+    }
+    // Bands FIRST (the torn-detection probe order the guards assume),
+    // then grams, then hashes, then the done marker.
+    Io.appendPartitionedBucketed(btNew, s"${prefix}_bands",
+      Seq("pb"), Seq("band", "sig"), buckets)
+    Io.appendBucketedBy(hsNew, s"${prefix}_grams", Seq("doc_id"), buckets)
+    Io.appendBucketedBy(hhNew, s"${prefix}_hashes", Seq("h"), buckets)
+    Versioned.commitBatchAppend(spark, admittedPath, doneApp, v,
+      Versioned.read(spark, admittedPath).limit(0))
+  }
 }

@@ -71,6 +71,18 @@ object Io {
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** [[appendBucketedBy]] for the partitioned+bucketed layout: new files
+    * land inside the matching partition directories, per bucket id —
+    * standing files untouched, pruning and exchange elision unchanged
+    * (Spark validates the partition/bucket spec against the catalog). */
+  def appendPartitionedBucketed(df: DataFrame, table: String,
+      partitionCols: Seq[String], bucketKeys: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

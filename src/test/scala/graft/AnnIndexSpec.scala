@@ -349,4 +349,72 @@ class AnnIndexSpec extends AnyFunSuite {
     // The boundary itself is legal.
     AnnIndex.bandKeys(col("sig"), bandBits = 4, nBands = 16)
   }
+
+  test("corpus-refresh fold ≡ from-scratch rebuild — clean, replayed, and torn-recovery folds") {
+    import graft.operators.{Dedup, Lsh}
+    import graft.sources.{Io, Versioned}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val isBatch = col("doc_id") % 5 === 0
+    val prefix = "graft_fold"
+    val rb = "graft_fold_rb"
+    def layoutTables(p: String) = Seq(s"${p}_bands", s"${p}_hashes", s"${p}_grams")
+    (layoutTables(prefix) ++ layoutTables(rb)).foreach(dropManaged)
+    val corpus = docs.filter(!isBatch)
+    Dedup.writeCorpusDedupLayout(corpus, prefix)
+    val admitted = Files.createTempDirectory("graft-fold").toString + "/admitted"
+    val sink = Dedup.streamingIncrementalDedupSink(prefix, admitted, "foldapp")
+    val crawl = docs.filter(isBatch).localCheckpoint()
+    sink(crawl.filter(col("doc_id") % 2 === 0).toDF(), 0L)
+    sink(crawl.filter(col("doc_id") % 2 === 1).toDF(), 1L)
+
+    // Text store the fold reads delta texts from: the original documents
+    // plus (later) the synthetic second-epoch crawl.
+    def newVocabDocs(pfx: String, idShift: Long) = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + idShift).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(pfx), w)), " ").as("text"),
+        col("source"), col("n_chars"))
+    val crawl2 = newVocabDocs("qq", 10000000L).localCheckpoint()
+    val textStore = docs.select(col("doc_id"), col("text"))
+      .unionByName(crawl2.select(col("doc_id"), col("text")))
+
+    def snap(p: String): Seq[Seq[String]] =
+      layoutTables(p).map(t => spark.table(t).collect().map(_.toString).sorted.toSeq)
+    def rebuildOnAdmissions(): Seq[Seq[String]] = {
+      layoutTables(rb).foreach(dropManaged)
+      val admittedTexts = Versioned.read(spark, admitted).select(col("doc_id"))
+        .join(textStore, Seq("doc_id"))
+      Dedup.writeCorpusDedupLayout(
+        corpus.select(col("doc_id"), col("text")).unionByName(admittedTexts), rb)
+      snap(rb)
+    }
+
+    // 1. Clean fold == from-scratch rebuild on corpus + admissions.
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).nonEmpty)
+    val afterFold1 = snap(prefix)
+    assert(afterFold1 == rebuildOnAdmissions(), "clean fold != rebuild")
+
+    // 2. Replayed fold (nothing new): no-op, tables bit-identical.
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).isEmpty)
+    assert(snap(prefix) == afterFold1, "replayed fold mutated the layout")
+
+    // 3. Torn-recovery: epoch 2 admits a new-vocabulary crawl; a fold
+    //    commits its INTENT marker and appends the bands family, then
+    //    "dies" (no grams/hashes, no done marker). The recovery fold
+    //    must detect the orphan intent, re-run the delta WITH guards,
+    //    and land exactly the rebuild state — no duplicated band rows.
+    sink(crawl2.toDF(), 2L)
+    val v = Versioned.currentVersion(spark, admitted)
+    Versioned.commitBatchAppend(spark, admitted, s"$prefix.fold.intent", v,
+      Versioned.read(spark, admitted).limit(0))
+    val tornBands = Lsh.minhashBandTable(
+        crawl2.select(col("doc_id"), col("text")), 3, 8, 4)
+      .withColumn("pb", pmod(hash(col("band"), col("sig")), lit(128)))
+    Io.appendPartitionedBucketed(tornBands, s"${prefix}_bands",
+      Seq("pb"), Seq("band", "sig"), 8)
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).nonEmpty)
+    assert(snap(prefix) == rebuildOnAdmissions(), "torn-recovery fold != rebuild")
+    (layoutTables(prefix) ++ layoutTables(rb)).foreach(dropManaged)
+  }
 }

@@ -800,4 +800,50 @@ class StreamingSpec extends AnyFunSuite {
     Seq(s"${prefix}_bands", s"${prefix}_hashes", s"${prefix}_grams")
       .foreach(t => graft.Ddl.dropManagedTable(spark, t))
   }
+
+  test("stream → fold → next epoch: the folded corpus rejects duplicates of admitted docs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val prefix = "graft_streamfold"
+    Seq(s"${prefix}_bands", s"${prefix}_hashes", s"${prefix}_grams")
+      .foreach(t => graft.Ddl.dropManagedTable(spark, t))
+    Dedup.writeCorpusDedupLayout(docs, prefix)
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-d13fold").toString + "/admitted"
+    val sink = Dedup.streamingIncrementalDedupSink(prefix, outPath, "foldchain")
+
+    // Epoch 0: a new-vocabulary crawl — judged only against the standing
+    // corpus, so every doc is admitted.
+    def vocabDocs(pfx: String, idShift: Long, mod: Int) = docs
+      .filter(col("doc_id") % 11 === mod)
+      .select((col("doc_id") + idShift).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(pfx), w)), " ").as("text"),
+        col("source"), col("n_chars"))
+    val epoch0 = vocabDocs("qf", 20000000L, 0).localCheckpoint()
+    sink(epoch0.toDF(), 0L)
+    val admitted0 = graft.sources.Versioned.read(spark, outPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(admitted0 == epoch0.collect().map(_.getLong(0)).toSet)
+
+    // Fold the admitted log back into the standing layout.
+    val textStore = docs.select(col("doc_id"), col("text"))
+      .unionByName(epoch0.select(col("doc_id"), col("text")))
+    assert(Dedup.refreshCorpusLayout(spark, prefix, outPath, textStore).nonEmpty)
+
+    // Epoch 1: exact copies of epoch-0 docs (fresh doc_ids) + one
+    // genuinely new doc. The copies must now be REJECTED — the fold made
+    // epoch 0 part of the standing corpus — and the new doc admitted.
+    val copies = epoch0.select((col("doc_id") + 5000000L).as("doc_id"),
+      col("text"), col("source"), col("n_chars"))
+    val fresh = vocabDocs("zf", 30000000L, 1)
+    sink(copies.unionByName(fresh).toDF(), 1L)
+    val admitted1 = graft.sources.Versioned.read(spark, outPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- admitted0
+    assert(admitted1 == fresh.collect().map(_.getLong(0)).toSet,
+      s"epoch-1 admissions wrong: ${admitted1.take(5)}")
+    Seq(s"${prefix}_bands", s"${prefix}_hashes", s"${prefix}_grams")
+      .foreach(t => graft.Ddl.dropManagedTable(spark, t))
+  }
 }
