@@ -96,12 +96,20 @@ object Bench {
       (scan, shuf)
     }
     val probePre = calibrationProbe()
+    // Queries whose pinned predecessor THREW (r12 advice): stderr alone is
+    // not loud enough — the stdout consumer captures only this process's
+    // tail, so a leg that silently degraded to unpinned would post its
+    // timings indistinguishably from a controlled one. The names land in
+    // the JSON as "pred_failed" so every downstream table sees the
+    // degradation next to the numbers it taints.
+    val predFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.map { case (name, fn) =>
       pred.foreach { pf =>
         // A pred failure must be LOUD: if the pinned predecessor throws at
         // the target SF the leg silently degrades to unpinned, which is
         // exactly the uncontrolled comparison PRED exists to prevent.
         try pf(spark, sfDir).count() catch { case e: Throwable =>
+          predFailed += name
           System.err.println(s"[bench] pred failed before $name: " +
             s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
         }
@@ -131,7 +139,10 @@ object Bench {
     val probePost = calibrationProbe()
     def probeJson(p: (Double, Double)): String =
       s"""{"scan":${f3(p._1)},"shuffle":${f3(p._2)}}"""
-    val probes = s""""probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)}"""
+    val probes = s""""probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)}""" +
+      (if (predFailed.isEmpty) ""
+       else predFailed.distinct.sorted
+         .mkString(",\"pred_failed\":[\"", "\",\"", "\"]"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

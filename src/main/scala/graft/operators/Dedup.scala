@@ -220,6 +220,30 @@ object Dedup {
         |           p -> array_min(slice(g, p, 4)))
         |    ELSE array(array_min(g)) END)))""".stripMargin).as("fps"))
 
+  /** Physical-join pin for the gram-POSTINGS self-join in [[ngramPairs]]
+    * and d16 (r13, closing the r10–r12 cross-SF drift adjudications):
+    * the postings stream is O(corpus × grams/doc), so at 100 TB neither
+    * side is broadcastable — yet at sf1.0 its compressed runtime size
+    * sits exactly ON AQE's 10 MB broadcast boundary, and the executed
+    * plan flipped BHJ↔SMJ between reps IN THE SAME JVM on identical
+    * data (JoinProbeMain, r13: BHJ/SMJ/BHJ across 3 reps — d04's r12
+    * "1.43× regression" and d16's three rounds of allowlist churn were
+    * this flip, not context). A shuffle join is the plan a real cluster
+    * needs anyway; pinning it makes the plan deterministic at every SF.
+    * The per-doc sides (hotCnt, gram arrays) stay AQE-decided: they are
+    * stable at the gate SFs and flipping to SMJ as data grows is the
+    * healthy stats-based behavior the drift allowlist documents.
+    * Variant chosen by measurement (BASELINE.md r13): two A/B rounds of
+    * standalone sf1.0 legs, shuffle_hash vs merge — d04 2.64/2.88 (shj)
+    * vs 2.24/2.66 (merge), d16 2.15/2.61 vs 2.07/2.49, d06 3.49/4.02 vs
+    * 3.70/3.82: statistically a tie inside the box's noise envelope, so
+    * MERGE wins on scale posture (sort spills gracefully; no
+    * per-partition hash-build memory bound to size) and on being
+    * Spark's own preference for fact-fact joins. GRAFT_POSTINGS_JOIN
+    * overrides for A/B legs only — the default IS the pin. */
+  private[operators] val PostingsJoinHint =
+    sys.env.getOrElse("GRAFT_POSTINGS_JOIN", "merge")
+
   private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
     val minJac = jacNum.toDouble / jacDen
     val (hs, cold, hotCnt) = gramIndex(s, d)
@@ -229,6 +253,7 @@ object Dedup {
     // fragile under plan rewrites).
     val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
     val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h").as("hb"))
+      .hint(PostingsJoinHint) // see [[PostingsJoinHint]]
     val cands = a.join(b, col("h") === col("hb") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
@@ -1109,12 +1134,19 @@ object Dedup {
     // thresholded at 4/5. Output keys each pair as (small ⊆ big), with
     // the exact intersection count; containment = inter/n_small is one
     // division on exact integers (IEEE-identical both engines).
+    //
+    // The gram-POSTINGS self-join is pinned to a shuffle join (r13):
+    // this was the r10–r12 boundary oscillator — see [[PostingsJoinHint]]
+    // for the measured diagnosis (the flip reproduces rep-to-rep in one
+    // JVM) and why only the postings join is pinned while the per-doc
+    // sides stay AQE-decided. d16 exits the cross-SF drift allowlist.
     ("d16_containment",
       (s, d) => {
         val (hs, cold, hotCnt) = gramIndex(s, d)
         val (num, den, minSmall) = (4, 5, 5)
         val a = cold.select(col("doc_id").as("a_id"), col("n").as("na"), col("h"))
         val b = cold.select(col("doc_id").as("b_id"), col("n").as("nb"), col("h").as("hb"))
+          .hint(PostingsJoinHint) // see [[PostingsJoinHint]]
         val cands = a.join(b, col("h") === col("hb") && col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id"))
           .agg(count(lit(1)).as("c_cold"), max(col("na")).as("na"), max(col("nb")).as("nb"))
@@ -1966,6 +1998,21 @@ object Dedup {
     *     time — the same operational contract as Versioned.optimize);
     *     crash recovery and replays are.
     *
+    * PRECONDITION — admitted doc_ids are globally FRESH (r12 advice):
+    * the torn-recovery guards anti-join on doc_id (grams) and
+    * (doc_id, band) (bands), which is correct only because a delta
+    * doc_id can never already exist in the standing layout. The
+    * admission cascade guarantees this for well-behaved producers (a
+    * standing-corpus duplicate is rejected, so an id is admitted at
+    * most once per text), but a producer that REUSES an id for
+    * different text would fold inconsistently: appended on the clean
+    * path, silently dropped on the recovery path, breaking
+    * fold ≡ rebuild. The fold therefore asserts the checkable half
+    * cheaply before marking intent — no delta doc_id may repeat within
+    * the window or appear in the already-folded admitted history
+    * (O(admitted log), membership rows only — never a layout scan, so
+    * the clean path still pays zero guard scans over corpus tables).
+    *
     * Returns the done-commit's version, or None when there was nothing
     * new to fold. AnnIndexSpec pins fold ≡ from-scratch rebuild on
     * corpus+admissions (clean, replayed, and torn-recovery folds);
@@ -1984,7 +2031,24 @@ object Dedup {
     val delta = Versioned.changesBetween(spark, admittedPath,
         doneV.getOrElse(0L), v)
       .select(col("doc_id")).localCheckpoint() // feeds 3 row families + count
-    if (delta.isEmpty) return None // only marker commits since last fold
+    if (delta.isEmpty) { graft.unpersistCheckpoint(delta); return None }
+    // Fresh-doc_id precondition (see Scaladoc): repeats within the window
+    // or against the already-folded history must fail LOUD before the
+    // intent marker lands — a violated precondition must not read as a
+    // torn fold to the next run.
+    val repeated = delta.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).count()
+    require(repeated == 0L, s"refreshCorpusLayout($prefix): admitted delta " +
+      "contains a repeated doc_id — ids must be globally fresh (see Scaladoc)")
+    doneV.foreach { dv =>
+      val refolded = delta.join(
+          Versioned.changesBetween(spark, admittedPath, 0L, dv)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(refolded == 0L, s"refreshCorpusLayout($prefix): admitted delta " +
+        "reuses a doc_id already folded in a prior window — ids must be " +
+        "globally fresh (see Scaladoc)")
+    }
     val torn = Versioned.lastCommittedBatch(spark, admittedPath, intentApp)
       .exists(i => doneV.forall(_ < i))
     // Mark intent BEFORE any table append, so OUR crash is detectable.
@@ -2013,7 +2077,57 @@ object Dedup {
       Seq("pb"), Seq("band", "sig"), buckets)
     Io.appendBucketedBy(hsNew, s"${prefix}_grams", Seq("doc_id"), buckets)
     Io.appendBucketedBy(hhNew, s"${prefix}_hashes", Seq("h"), buckets)
-    Versioned.commitBatchAppend(spark, admittedPath, doneApp, v,
+    val done = Versioned.commitBatchAppend(spark, admittedPath, doneApp, v,
       Versioned.read(spark, admittedPath).limit(0))
+    // One fold per epoch in a long-lived session (the stream→fold→next-
+    // epoch chain): drop the three per-fold checkpoint blocks or they
+    // accumulate linearly — the minLabelPropagation lesson (r12 advice).
+    // Safe: every consumer (guards, appends, done marker) has executed.
+    graft.unpersistCheckpoint(bt)
+    graft.unpersistCheckpoint(docs)
+    graft.unpersistCheckpoint(delta)
+    done
+  }
+
+  /** The maintenance half [[refreshCorpusLayout]] makes necessary (r12
+    * verdict): each fold appends up to parts×buckets files to
+    * `<prefix>_bands` and `buckets` each to `<prefix>_grams`/`_hashes`,
+    * so at production fold cadence the standing layout accumulates
+    * small files without bound — the hot probe path degrades long
+    * before 100 TB. This pass rewrites what crossed the threshold and
+    * nothing else:
+    *
+    *   - `<prefix>_bands` — partition-selectively: only pb= directories
+    *     with more than `maxFilesPerBucket` files per bucket rewrite,
+    *     via dynamic-partition overwrite (cold directories untouched;
+    *     a killed pass leaves each directory wholly old or wholly new);
+    *   - `<prefix>_grams` / `<prefix>_hashes` — shadow-table + catalog
+    *     rename when over threshold, with torn-swap recovery on entry
+    *     ([[graft.sources.Io.finishTornCompaction]]).
+    *
+    * Invariants, spec-pinned in AnnIndexSpec: bucket spec and partition
+    * layout survive (exchange elision + directory pruning after =
+    * before), probe results byte-identical, and the FOLD LEDGER is
+    * untouched — compaction never reads or writes the admitted log, so
+    * a fold → compact → torn fold → recovery sequence stays exactly-
+    * once (the recovery guards anti-join the same rows they would have,
+    * just from fewer files). Same operational contract as the fold: one
+    * maintenance job at a time; crash recovery supported.
+    *
+    * Returns per-table (filesBefore, filesAfter) for the tables that
+    * were actually rewritten. */
+  def compactCorpusLayout(spark: SparkSession, prefix: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerBucket: Int = 2): Map[String, (Int, Int)] = {
+    import graft.sources.Io
+    val out = Map.newBuilder[String, (Int, Int)]
+    Io.compactPartitionedBucketedTable(spark, s"${prefix}_bands",
+        targetFileBytes, maxFilesPerBucket)
+      .foreach(out += s"${prefix}_bands" -> _)
+    Seq(s"${prefix}_grams", s"${prefix}_hashes").foreach { t =>
+      Io.compactBucketedTable(spark, t, targetFileBytes, maxFilesPerBucket)
+        .foreach(out += t -> _)
+    }
+    out.result()
   }
 }

@@ -245,18 +245,16 @@ object Graph {
   private lazy val DefaultChaseAfter: Int =
     sys.env.get("GRAFT_CHASE_AFTER").flatMap(_.toIntOption).getOrElse(2)
 
-  /** Unpersist the localCheckpoint block backing a (possibly projected)
-    * checkpointed label table. Each propagation round supersedes the
-    * previous round's checkpoint — without freeing it a deep graph caches
-    * one (or, with the chase, two) full label tables PER ROUND, linear
-    * memory growth the fixpoint never reads again. Safe because the new
-    * round's checkpoint is already materialized (localCheckpoint is
-    * eager) before the old one is dropped, so no live plan can recompute
-    * through the truncated lineage. */
+  /** Each propagation round supersedes the previous round's checkpoint —
+    * without freeing it a deep graph caches one (or, with the chase, two)
+    * full label tables PER ROUND, linear memory growth the fixpoint never
+    * reads again. Safe because the new round's checkpoint is already
+    * materialized (localCheckpoint is eager) before the old one is
+    * dropped, so no live plan can recompute through the truncated
+    * lineage. Shared helper: [[graft.unpersistCheckpoint]] (r13 — the
+    * fold-back path needed the same discipline). */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.unpersistCheckpoint(df)
 
   private[graft] def minLabelPropagation(
       edges: DataFrame, maxIter: Int = 50,

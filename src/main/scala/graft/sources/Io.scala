@@ -162,6 +162,176 @@ object Io {
     n
   }
 
+  // ---- standing bucketed-layout compaction (r13) ------------------------
+  //
+  // [[appendBucketedBy]]/[[appendPartitionedBucketed]] are the
+  // incremental-maintenance WRITES; this is the maintenance half they
+  // make necessary: every fold/append lands new files BESIDE the standing
+  // ones (per bucket id, per partition dir), so at production cadence the
+  // hot read path accumulates small files without bound — listing cost,
+  // task-scheduling overhead, and row-group fragmentation degrade the
+  // probe long before 100 TB. Compaction rewrites the layout to
+  // size-bounded files while preserving the THREE properties the layout
+  // exists for: the catalog bucket spec (exchange elision), the
+  // partition directories (pruning), and row content (byte-identical
+  // probe results). AnnIndexSpec asserts all three post-compaction.
+  //
+  // Crash-safety contract (same single-maintainer model as the fold
+  // itself — one maintenance job at a time, crash recovery supported):
+  //   - partitioned tables compact per-partition via DYNAMIC partition
+  //     overwrite: output is staged and swapped directory-by-directory
+  //     at job commit, so a killed compaction leaves every partition
+  //     with either its old files or its new files — identical rows
+  //     either way, nothing in between;
+  //   - unpartitioned tables compact via a __compact shadow table +
+  //     catalog rename; [[finishTornCompaction]] rolls an interrupted
+  //     swap forward (orig dropped → rename shadow in) or back (both
+  //     present → drop shadow) and is called automatically on entry.
+
+  private def tableMeta(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+
+  /** (data file count, data bytes) under `dir`, recursively — `part-*`
+    * files only, so commit markers and staging dirs never count. */
+  private def dataFileStats(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): (Int, Long) = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (0, 0L)
+    val it = fs.listFiles(dir, true)
+    var n = 0; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
+
+  /** Data-file count of a catalog table's location (spec/test surface). */
+  def tableFileCount(spark: SparkSession, table: String): Int =
+    dataFileStats(spark,
+      new org.apache.hadoop.fs.Path(tableMeta(spark, table).location))._1
+
+  /** Recover an interrupted [[compactBucketedTable]] swap: the shadow
+    * table is complete before the swap starts, so an orphaned shadow
+    * with the original gone rolls FORWARD (rename in), a shadow beside
+    * a live original rolls BACK (drop shadow — the next compaction just
+    * re-runs), and a shadow DIRECTORY with no catalog entry (a crash
+    * inside saveAsTable) is deleted so the rewrite can start clean. */
+  def finishTornCompaction(spark: SparkSession, table: String): Unit = {
+    val shadow = s"${table}__compact"
+    val hasShadow = spark.catalog.tableExists(shadow)
+    val hasOrig = spark.catalog.tableExists(table)
+    if (hasShadow && !hasOrig)
+      spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    else if (hasShadow && hasOrig)
+      spark.sql(s"DROP TABLE `$shadow`")
+    else if (!hasShadow) {
+      // no catalog entry — clear any orphaned directory from a crash
+      // inside the shadow write itself (job output is not yet a table).
+      val dir = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(shadow)))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
+  /** Compact an UNPARTITIONED bucketed table in place when its file
+    * count exceeds `maxFilesPerBucket` per bucket. The rewrite reads the
+    * standing table once, coalesces to ceil(bytes / targetFileBytes)
+    * tasks (NO exchange — compaction is an I/O rewrite, not a shuffle),
+    * and writes a shadow table under the SAME bucket spec read from the
+    * catalog, then swaps it in by rename. Each write task emits one file
+    * per bucket id it holds, so the result is ≤ tasks × buckets files —
+    * at the one-task floor, exactly `buckets` files, the layout minimum.
+    * Returns (filesBefore, filesAfter), or None when under threshold. */
+  def compactBucketedTable(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerBucket: Int = 2): Option[(Int, Int)] = {
+    finishTornCompaction(spark, table)
+    val meta = tableMeta(spark, table)
+    val spec = meta.bucketSpec.getOrElse(sys.error(
+      s"compactBucketedTable($table): not a bucketed table"))
+    val (files, bytes) =
+      dataFileStats(spark, new org.apache.hadoop.fs.Path(meta.location))
+    if (files <= maxFilesPerBucket * spec.numBuckets) return None
+    val shadow = s"${table}__compact"
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val keys = spec.bucketColumnNames
+    val w = spark.table(table).coalesce(n).write
+      .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+    val ws = if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*) else w
+    ws.format("parquet").saveAsTable(shadow)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    Some((files, tableFileCount(spark, table)))
+  }
+
+  /** Compact a PARTITIONED + bucketed table, partition-selectively: only
+    * directories whose file count crossed `maxFilesPerBucket` per bucket
+    * are rewritten (the fold appends concentrate there; cold partitions
+    * are never touched — at 100 TB this is the difference between a
+    * bounded maintenance pass and a full-table rewrite). The rewrite is
+    * one dynamic-partition-overwrite insert of exactly the hot
+    * partitions' rows, coalesced to ceil(hotBytes / targetFileBytes)
+    * tasks; the bucket spec comes from the catalog (insertInto writes
+    * under the table's own spec — probed empirically: bucket-id file
+    * naming, pruning, and exchange elision all survive the rewrite).
+    * Returns (filesBefore, filesAfter) over the hot partitions, or None
+    * when every partition is under threshold. */
+  def compactPartitionedBucketedTable(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerBucket: Int = 2): Option[(Int, Int)] = {
+    val meta = tableMeta(spark, table)
+    val spec = meta.bucketSpec.getOrElse(sys.error(
+      s"compactPartitionedBucketedTable($table): not a bucketed table"))
+    val partCols = meta.partitionColumnNames
+    require(partCols.size == 1,
+      s"compactPartitionedBucketedTable($table): exactly one partition " +
+        s"column supported, got $partCols")
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pc = partCols.head
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+    val hot = dirs.map { d =>
+      val (n, bytes) = dataFileStats(spark, d.getPath)
+      (d.getPath.getName.stripPrefix(s"$pc="), n, bytes)
+    }.filter(_._2 > maxFilesPerBucket * spec.numBuckets)
+    if (hot.isEmpty) return None
+    val filesBefore = hot.map(_._2).sum
+    val n = math.max(1,
+      math.ceil(hot.map(_._3).sum.toDouble / targetFileBytes).toInt)
+    // Hive-style dir names are URL-escaped; our layouts use primitive
+    // partition values (pb ints), where name == value string and the
+    // isin comparison casts to the column type.
+    val hotVals = hot.map(_._1)
+    // Session-level, not a writer option: the analyzer's self-overwrite
+    // check (verifyNotReadPath) consults the SESSION conf — with static
+    // overwrite a table can't be rewritten from its own rows at all;
+    // dynamic mode stages output and swaps per-directory at commit,
+    // which is exactly the crash-safety contract documented above.
+    val pomKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(pomKey)
+    spark.conf.set(pomKey, "dynamic")
+    try {
+      spark.table(table).filter(col(pc).isin(hotVals: _*))
+        .coalesce(n)
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(table)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(pomKey, v)
+        case None => spark.conf.unset(pomKey)
+      }
+    }
+    val filesAfter = hot.map(h => dataFileStats(spark,
+      new org.apache.hadoop.fs.Path(root, s"$pc=${h._1}"))._1).sum
+    Some((filesBefore, filesAfter))
+  }
+
   /** Morton (Z-order) interleave of two ≤`bits`-bit non-negative longs:
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Bits never
     * overlap, so the additive reduce IS the bitwise OR, and the whole

@@ -417,4 +417,144 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(snap(prefix) == rebuildOnAdmissions(), "torn-recovery fold != rebuild")
     (layoutTables(prefix) ++ layoutTables(rb)).foreach(dropManaged)
   }
+
+  test("standing-layout compaction: files shrink, probes byte-identical, pruning + elision survive, fold ledger intact") {
+    import graft.operators.{Dedup, Lsh}
+    import graft.sources.{Io, Versioned}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val isBatch = col("doc_id") % 5 === 0
+    val prefix = "graft_cmp"
+    val rb = "graft_cmp_rb"
+    def layoutTables(p: String) = Seq(s"${p}_bands", s"${p}_hashes", s"${p}_grams")
+    (layoutTables(prefix) ++ layoutTables(rb) ++
+      layoutTables(prefix).map(_ + "__compact")).foreach(dropManaged)
+    val corpus = docs.filter(!isBatch)
+    Dedup.writeCorpusDedupLayout(corpus, prefix)
+    val admitted = Files.createTempDirectory("graft-cmp").toString + "/admitted"
+    val sink = Dedup.streamingIncrementalDedupSink(prefix, admitted, "cmpapp")
+    val crawl = docs.filter(isBatch).localCheckpoint()
+    sink(crawl.filter(col("doc_id") % 2 === 0).toDF(), 0L)
+    sink(crawl.filter(col("doc_id") % 2 === 1).toDF(), 1L)
+    def newVocabDocs(pfx: String, idShift: Long) = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + idShift).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(pfx), w)), " ").as("text"),
+        col("source"), col("n_chars"))
+    val crawl2 = newVocabDocs("zz", 20000000L).localCheckpoint()
+    val textStore = docs.select(col("doc_id"), col("text"))
+      .unionByName(crawl2.select(col("doc_id"), col("text")))
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).nonEmpty)
+
+    def snap(p: String): Seq[Seq[String]] =
+      layoutTables(p).map(t => spark.table(t).collect().map(_.toString).sorted.toSeq)
+    def probe(): Seq[String] =
+      Dedup.incrementalDedupOnLayout(spark, prefix, crawl2.toDF())
+        .collect().map(_.toString).sorted.toSeq
+
+    // 1. Files strictly shrink on every table (initial write + fold
+    //    append = at least two file generations each), rows untouched,
+    //    and the PROBE — the layout's one consumer — returns the same
+    //    bytes it returned before.
+    val contentBefore = snap(prefix)
+    val probeBefore = probe()
+    val filesBefore = layoutTables(prefix)
+      .map(t => t -> Io.tableFileCount(spark, t)).toMap
+    // maxFilesPerBucket = 0: every populated directory/table is over
+    // threshold, so the whole layout rewrites — the test exercises the
+    // full machinery; production keeps the default threshold.
+    val res = Dedup.compactCorpusLayout(spark, prefix, maxFilesPerBucket = 0)
+    assert(res.keySet == layoutTables(prefix).toSet,
+      s"expected all three tables rewritten, got ${res.keySet}")
+    layoutTables(prefix).foreach { t =>
+      val after = Io.tableFileCount(spark, t)
+      assert(after < filesBefore(t),
+        s"$t: $after files after vs ${filesBefore(t)} before — no reduction")
+    }
+    assert(snap(prefix) == contentBefore, "compaction changed table content")
+    assert(probe() == probeBefore, "compaction changed probe results")
+
+    // 2. The layout properties survive: band probes stay directory-
+    //    pruned, and the band join still reads the corpus pre-shuffled
+    //    (bucket spec preserved through the rewrite → one exchange, the
+    //    batch side only).
+    val pbs = Lsh.minhashBandTable(crawl2.select(col("doc_id"), col("text")), 3, 8, 4)
+      .select(pmod(hash(col("band"), col("sig")), lit(128)).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = spark.table(s"${prefix}_bands").filter(col("pb").isin(pbs.toSeq: _*))
+    assert(pruned.queryExecution.executedPlan.treeString
+      .contains("PartitionFilters: [pb"), "directory pruning lost")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val batJ = Lsh.minhashBandTable(
+      sess.createDataFrame(crawl2.toDF().rdd, crawl2.schema), 3, 8, 4)
+    val j = batJ.as("a").join(sess.table(s"${prefix}_bands").as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+    j.collect()
+    val jplan = j.queryExecution.executedPlan.treeString.split("== Initial Plan ==")(0)
+    assert(jplan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1
+      && jplan.contains("Bucketed: true"),
+      s"bucketed read degraded post-compaction:\n${jplan.take(3000)}")
+
+    // 3. The fold ledger is untouched: a TORN fold interrupted before
+    //    recovery, with a compaction running in between (the nastiest
+    //    legal interleaving — compaction must preserve the torn rows it
+    //    compacts), still recovers to exactly the from-scratch rebuild.
+    sink(crawl2.toDF(), 2L)
+    val v = Versioned.currentVersion(spark, admitted)
+    Versioned.commitBatchAppend(spark, admitted, s"$prefix.fold.intent", v,
+      Versioned.read(spark, admitted).limit(0))
+    Io.appendPartitionedBucketed(
+      Lsh.minhashBandTable(crawl2.select(col("doc_id"), col("text")), 3, 8, 4)
+        .withColumn("pb", pmod(hash(col("band"), col("sig")), lit(128))),
+      s"${prefix}_bands", Seq("pb"), Seq("band", "sig"), 8)
+    assert(Dedup.compactCorpusLayout(spark, prefix, maxFilesPerBucket = 0).nonEmpty)
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).nonEmpty)
+    def rebuildOnAdmissions(): Seq[Seq[String]] = {
+      layoutTables(rb).foreach(dropManaged)
+      val admittedTexts = Versioned.read(spark, admitted).select(col("doc_id"))
+        .join(textStore, Seq("doc_id"))
+      Dedup.writeCorpusDedupLayout(
+        corpus.select(col("doc_id"), col("text")).unionByName(admittedTexts), rb)
+      snap(rb)
+    }
+    assert(snap(prefix) == rebuildOnAdmissions(),
+      "fold → compact → torn fold → compact → recovery != rebuild")
+    (layoutTables(prefix) ++ layoutTables(rb)).foreach(dropManaged)
+  }
+
+  test("torn compaction swap recovery: roll forward, roll back, orphan dir") {
+    import graft.sources.Io
+    import spark.implicits._
+    Seq("cmp_swap", "cmp_swap__compact").foreach(dropManaged)
+    def mk(table: String, n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .write.bucketBy(2, "k").sortBy("k").format("parquet").saveAsTable(table)
+    // Roll FORWARD: shadow complete, original already dropped — the
+    // crash window between DROP and RENAME must finish the swap.
+    mk("cmp_swap__compact", 10)
+    Io.finishTornCompaction(spark, "cmp_swap")
+    assert(spark.catalog.tableExists("cmp_swap")
+      && !spark.catalog.tableExists("cmp_swap__compact"))
+    assert(spark.table("cmp_swap").count() == 10)
+    // Roll BACK: shadow beside a live original — the original wins, the
+    // next compaction simply re-runs.
+    mk("cmp_swap__compact", 3)
+    Io.finishTornCompaction(spark, "cmp_swap")
+    assert(spark.table("cmp_swap").count() == 10
+      && !spark.catalog.tableExists("cmp_swap__compact"))
+    // Orphan DIRECTORY (crash inside the shadow write, no catalog
+    // entry): cleared so the rewrite can start clean — this is the
+    // failure mode that otherwise kills saveAsTable with
+    // LOCATION_ALREADY_EXISTS forever after.
+    val orphan = new File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "cmp_swap__compact")
+    orphan.mkdirs()
+    Files.write(new File(orphan, "part-stale").toPath, Array[Byte](1, 2))
+    Io.finishTornCompaction(spark, "cmp_swap")
+    assert(!orphan.exists(), "orphan shadow directory not cleared")
+    assert(spark.table("cmp_swap").count() == 10)
+    dropManaged("cmp_swap")
+  }
 }

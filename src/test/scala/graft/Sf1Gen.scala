@@ -63,8 +63,14 @@ object Sf1Gen {
     * corpora minimally. Fresh per-(replica, group) event types keep the
     * streams isolated from real events and from each other; planted
     * user ids live at userPlantBase (far above the real user domain)
-    * and planted event ids at 500M (above every replica-shifted real
-    * id in both generators).
+    * and planted event ids in [500M, 500M + reps*1000) — DISJOINT from
+    * every replica-shifted real id range in both generators, though by
+    * two different arguments (r12 advice: the old "above every real id"
+    * claim was false for ScaleSmoke replicas ≥ 1): under Sf1Gen's
+    * rep*IdStride (1e6) shift every real id stays below ~reps*1e6+100k
+    * ≪ 500M, so the planted block sits above them all; under
+    * ScaleSmoke's rep*1e9 shift the planted block lands in the gap
+    * between replica 0's reals (< 100k) and replica 1's (≥ 1e9).
     *
     * Returns (event_id, ts_us, user_id, event_type, value, props) — the
     * caller converts ts_us to its corpus's ts type and unions by name.
