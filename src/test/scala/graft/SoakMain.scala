@@ -78,7 +78,11 @@ object SoakMain {
       freshIds(vocab(e, crawlPool.filter(col("doc_id") % epochs === (e - 1))),
         100000000L + e * 1000000L)
     def epochDf(e: Int): DataFrame = {
-      val dup = freshIds(crawlPool.filter(col("doc_id") % 17 === (e % 17)),
+      // dup slice copies CORPUS docs — the standing layout's members —
+      // so stage-1 exact-md5 rejection is guaranteed from epoch 1 (the
+      // crawl POOL is deliberately NOT part of the standing corpus; a
+      // copy of a pool doc would be a genuinely new text and admitted).
+      val dup = freshIds(corpus.filter(col("doc_id") % 17 === (e % 17)),
         200000000L + e * 1000000L)
       val echoes = (e >= 7 && e <= 10) || (e >= 15 && e <= 18)
       val echo = if (!echoes) spark.emptyDataset[(Long, String, String, Long)]
@@ -177,7 +181,7 @@ object SoakMain {
     // Killed fold on a synthetic late admission: admit one more tiny
     // epoch OUTSIDE the stream, mark intent, append partial bands, die.
     val late = freshIds(vocab(999, crawlPool.filter(col("doc_id") % 31 === 0)),
-      400000000L).localCheckpoint()
+      500000000L).localCheckpoint() // id band disjoint from fresh/dup/echo
     baseSink(late, 1000L)
     val lateStore = textStore.unionByName(late.select(col("doc_id"), col("text")))
     val v = graft.sources.Versioned.currentVersion(spark, admitted)
@@ -217,12 +221,15 @@ object SoakMain {
       s"missing=${(expectAdmit -- admittedSet).take(5)} " +
         s"extra=${(admittedSet -- expectAdmit).take(5)}")
     // fold ≡ rebuild, order-independent checksum per layout table.
-    def sig(t: String): (Long, Long) = {
+    def sig(t: String): (BigDecimal, Long) = {
       val r = spark.table(t)
+      // decimal(38) sum: exact, order-independent, and immune to the
+      // ANSI long-overflow a plain sum of 64-bit hashes hits at scale.
       val row = r.select(xxhash64(to_json(struct(
           r.columns.sorted.toIndexedSeq.map(col): _*)))
-        .as("h")).agg(sum(col("h")), count(lit(1))).collect()(0)
-      (row.getLong(0), row.getLong(1))
+        .cast("decimal(38,0)").as("h"))
+        .agg(sum(col("h")), count(lit(1))).collect()(0)
+      (BigDecimal(row.getDecimal(0)), row.getLong(1))
     }
     val admittedTexts = graft.sources.Versioned.read(spark, admitted)
       .select(col("doc_id")).join(lateStore, Seq("doc_id"))
