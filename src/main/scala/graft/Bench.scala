@@ -81,20 +81,37 @@ object Bench {
     // round's probe_pre/probe_post to last round's before reading any
     // total-to-total delta. Corpus-independent on purpose (spark.range, no
     // parquet) so the probe measures the BOX, not the dataset.
-    def calibrationProbe(): (Double, Double) = {
-      def time(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      def scanJob(): Unit = spark.range(0L, 200000000L, 1L, 32)
-        .selectExpr("sum(id * 2654435761L % 1000003)").collect()
-      def shuffleJob(): Unit = spark.range(0L, 8000000L, 1L, 32)
-        .selectExpr("id % 100000 as k").groupBy("k").count()
-        .selectExpr("sum(count)").collect()
-      scanJob(); shuffleJob() // warm the two plan shapes once, untimed
-      val scan = (1 to 3).map(_ => time(scanJob())).min
-      val shuf = (1 to 3).map(_ => time(shuffleJob())).min
-      (scan, shuf)
+    // r14 (verdict item 3): a SINGLE probe point's leg-to-leg variance
+    // (shuffle 0.32–0.46 across pinned r12/r13 legs) is wider than the
+    // effects probe-normalization adjudicates, so one number per side
+    // lets "raw 0.96x" and "norm 1.13x" both be quoted from one table.
+    // Every individual probe time is therefore recorded: min-of-3 at
+    // pre and post (unchanged semantics — comparable to r12/r13), plus
+    // three single-shot samples interleaved at the 1/4, 1/2, 3/4 marks
+    // of the timed pass = nine samples per side, landing in the JSON as
+    // probe_samples plus a [min, median, max] probe_band. Downstream,
+    // probe_compare turns the band into a normalized RANGE instead of a
+    // point estimate.
+    val probeScanSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probeShufSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeTime(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def scanJob(): Unit = spark.range(0L, 200000000L, 1L, 32)
+      .selectExpr("sum(id * 2654435761L % 1000003)").collect()
+    def shuffleJob(): Unit = spark.range(0L, 8000000L, 1L, 32)
+      .selectExpr("id % 100000 as k").groupBy("k").count()
+      .selectExpr("sum(count)").collect()
+    def probeSample(): (Double, Double) = {
+      val s = probeTime(scanJob()); val h = probeTime(shuffleJob())
+      probeScanSamples += s; probeShufSamples += h
+      (s, h)
+    }
+    def calibrationProbe(): (Double, Double) = {
+      val ss = (1 to 3).map(_ => probeSample())
+      (ss.map(_._1).min, ss.map(_._2).min)
+    }
+    scanJob(); shuffleJob() // warm the two plan shapes once, untimed
     val probePre = calibrationProbe()
     // Queries whose pinned predecessor THREW (r12 advice): stderr alone is
     // not loud enough — the stdout consumer captures only this process's
@@ -103,7 +120,16 @@ object Bench {
     // the JSON as "pred_failed" so every downstream table sees the
     // degradation next to the numbers it taints.
     val predFailed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = ordered.map { case (name, fn) =>
+    // Interleaved probe points: immediately before the queries at the
+    // 1/4, 1/2, 3/4 marks of the (name-sorted, deterministic) timed
+    // order. This inserts a tiny synthetic predecessor in front of
+    // those three queries — a permanent structural change from r14 on;
+    // full-surface runs remain comparable only to runs with the same
+    // structure, which is already the standing rule.
+    val n = ordered.size
+    val interleaveAt: Set[Int] = Set(n / 4, n / 2, 3 * n / 4).filter(i => i > 0 && i < n)
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (interleaveAt(idx)) probeSample()
       pred.foreach { pf =>
         // A pred failure must be LOUD: if the pinned predecessor throws at
         // the target SF the leg silently degrades to unpinned, which is
@@ -139,14 +165,29 @@ object Bench {
     val probePost = calibrationProbe()
     def probeJson(p: (Double, Double)): String =
       s"""{"scan":${f3(p._1)},"shuffle":${f3(p._2)}}"""
+    def band(xs: Seq[Double]): String = {
+      val s = xs.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      s"[${f3(s.head)},${f3(med)},${f3(s.last)}]"
+    }
+    val probeBand =
+      s""","probe_band":{"scan":${band(probeScanSamples.toSeq)},""" +
+      s""""shuffle":${band(probeShufSamples.toSeq)}}"""
+    val probeSamplesJson =
+      s""","probe_samples":{"scan":${probeScanSamples.map(f3).mkString("[", ",", "]")},""" +
+      s""""shuffle":${probeShufSamples.map(f3).mkString("[", ",", "]")}}"""
     val probes = s""""probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)}""" +
+      probeBand +
       (if (predFailed.isEmpty) ""
        else predFailed.distinct.sorted
          .mkString(",\"pred_failed\":[\"", "\",\"", "\"]"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes,"sf":"$sfDir"}"""
+    // Full line carries every raw probe sample; the compact tail line
+    // below carries only the [min, median, max] band (tail-buffer budget).
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes$probeSamplesJson,"sf":"$sfDir"}"""
     println(line)
     // The stdout consumer captures only the last ~2000 chars of this
     // process's output, which truncates the ~220-entry map's HEAD — so

@@ -240,9 +240,20 @@ object Dedup {
     * MERGE wins on scale posture (sort spills gracefully; no
     * per-partition hash-build memory bound to size) and on being
     * Spark's own preference for fact-fact joins. GRAFT_POSTINGS_JOIN
-    * overrides for A/B legs only — the default IS the pin. */
-  private[operators] val PostingsJoinHint =
-    sys.env.getOrElse("GRAFT_POSTINGS_JOIN", "merge")
+    * overrides for A/B legs only — the default IS the pin. Validated
+    * against Spark's join-hint set at load: an unresolvable hint is a
+    * WARNING Spark silently drops, reverting the join to exactly the
+    * AQE boundary coin the pin exists to remove (r13 advice) — a typo
+    * must fail the leg, not quietly unpin it. */
+  private[operators] val PostingsJoinHint = {
+    val allowed = Set("merge", "shuffle_hash", "broadcast", "shuffle_replicate_nl")
+    val v = sys.env.getOrElse("GRAFT_POSTINGS_JOIN", "merge")
+    require(allowed(v),
+      s"GRAFT_POSTINGS_JOIN='$v' is not a Spark join hint " +
+        s"(${allowed.mkString("/")}) — an unresolved hint would be " +
+        "silently ignored, un-pinning the postings join")
+    v
+  }
 
   private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
     val minJac = jacNum.toDouble / jacDen
@@ -1953,6 +1964,14 @@ object Dedup {
   def streamingIncrementalDedupSink(prefix: String, outPath: String,
       appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
+      // Writer-entry torn-swap recovery (r14): the sink restarts after
+      // ANY service crash — including one that died inside a grams/
+      // hashes compaction swap, which leaves the table renamed away and
+      // the probe's spark.table() failing until recovery. Every WRITER
+      // entry point finishes the swap first (the fold does the same);
+      // read-only probes (the d13 query surface) stay pure.
+      Seq(s"${prefix}_grams", s"${prefix}_hashes")
+        .foreach(graft.sources.Io.finishTornCompaction(batch.sparkSession, _))
       val surv = incrementalDedupOnLayout(batch.sparkSession, prefix, batch)
       graft.sources.Versioned.commitBatchAppend(
         batch.sparkSession, outPath, appId, batchId, surv)
@@ -2025,13 +2044,30 @@ object Dedup {
     import graft.sources.{Io, Versioned}
     val intentApp = s"$prefix.fold.intent"
     val doneApp = s"$prefix.fold.done"
+    // A compaction that died in its DROP→RENAME window leaves grams/
+    // hashes with no catalog entry; the appends below refuse to create
+    // a missing table (Io.requireStanding), so finish the swap FIRST —
+    // otherwise a recoverable torn compaction would either fail the
+    // fold or (before r14's append guard) silently recreate the table
+    // with only the delta rows and lose the standing corpus on the
+    // NEXT compaction's rollback (r13 advice). Bands compact via
+    // dynamic-partition overwrite — no swap window, nothing to finish.
+    Seq(s"${prefix}_grams", s"${prefix}_hashes")
+      .foreach(Io.finishTornCompaction(spark, _))
     val v = Versioned.currentVersion(spark, admittedPath)
     val doneV = Versioned.lastCommittedBatch(spark, admittedPath, doneApp)
     if (doneV.exists(_ >= v)) return None // fully-replayed fold
     val delta = Versioned.changesBetween(spark, admittedPath,
         doneV.getOrElse(0L), v)
       .select(col("doc_id")).localCheckpoint() // feeds 3 row families + count
-    if (delta.isEmpty) { graft.unpersistCheckpoint(delta); return None }
+    // Every exit below — including the require()s and any append/commit
+    // failure — must free the localCheckpoint blocks, or a long-lived
+    // stream→fold session leaks exactly the blocks the checkpoints
+    // pinned (r13 advice). docs/bt are registered as they are created.
+    var docsCp: DataFrame = null
+    var btCp: DataFrame = null
+    try {
+    if (delta.isEmpty) return None
     // Fresh-doc_id precondition (see Scaladoc): repeats within the window
     // or against the already-folded history must fail LOUD before the
     // intent marker lands — a violated precondition must not read as a
@@ -2056,9 +2092,11 @@ object Dedup {
       Versioned.read(spark, admittedPath).limit(0))
     val docs = delta.join(texts.select(col("doc_id"), col("text")), Seq("doc_id"))
       .localCheckpoint() // feeds all three kernels
+    docsCp = docs
     val bt = Lsh.minhashBandTable(docs, shingleN, bands, rows)
       .withColumn("pb", pmod(hash(col("band"), col("sig")), lit(parts)))
       .localCheckpoint() // feeds pb collect + (guard +) append
+    btCp = bt
     val hs = docs.select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
     val hh = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val (btNew, hsNew, hhNew) = if (!torn) (bt, hs, hh) else {
@@ -2077,16 +2115,18 @@ object Dedup {
       Seq("pb"), Seq("band", "sig"), buckets)
     Io.appendBucketedBy(hsNew, s"${prefix}_grams", Seq("doc_id"), buckets)
     Io.appendBucketedBy(hhNew, s"${prefix}_hashes", Seq("h"), buckets)
-    val done = Versioned.commitBatchAppend(spark, admittedPath, doneApp, v,
+    Versioned.commitBatchAppend(spark, admittedPath, doneApp, v,
       Versioned.read(spark, admittedPath).limit(0))
     // One fold per epoch in a long-lived session (the stream→fold→next-
-    // epoch chain): drop the three per-fold checkpoint blocks or they
-    // accumulate linearly — the minLabelPropagation lesson (r12 advice).
-    // Safe: every consumer (guards, appends, done marker) has executed.
-    graft.unpersistCheckpoint(bt)
-    graft.unpersistCheckpoint(docs)
-    graft.unpersistCheckpoint(delta)
-    done
+    // epoch chain): the finally below drops the per-fold checkpoint
+    // blocks on EVERY exit — success, precondition require(), or a
+    // failed append (a torn fold's retry re-derives them) — or they
+    // accumulate linearly (the minLabelPropagation lesson, r12 advice).
+    } finally {
+      if (btCp != null) graft.unpersistCheckpoint(btCp)
+      if (docsCp != null) graft.unpersistCheckpoint(docsCp)
+      graft.unpersistCheckpoint(delta)
+    }
   }
 
   /** The maintenance half [[refreshCorpusLayout]] makes necessary (r12

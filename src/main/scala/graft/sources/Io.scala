@@ -47,17 +47,36 @@ object Io {
       .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** An append is MAINTENANCE of a standing table, never its creation
+    * (that is [[writeBucketedBy]]'s job) — but `SaveMode.Append` +
+    * `saveAsTable` happily CREATEs a missing table. After a compaction
+    * crash in the DROP→RENAME window the standing table has no catalog
+    * entry, and an append that silently recreates it with only the
+    * delta rows turns a recoverable torn swap into silent data loss:
+    * the next [[finishTornCompaction]] sees shadow + live "original"
+    * and drops the shadow holding the entire standing corpus (r13
+    * advice). Fail loud instead — the caller recovers the swap first. */
+  private def requireStanding(spark: SparkSession, table: String): Unit =
+    require(spark.catalog.tableExists(table),
+      s"append to '$table': table does not exist — appends never create " +
+        "(a missing standing table usually means a torn compaction swap; " +
+        "run Io.finishTornCompaction first, then retry)")
+
   /** Append a batch to a standing bucketed table — the incremental-
     * maintenance write: new bucket files land beside the old ones (per
     * bucket id), standing files are never rewritten, and a reader's
     * bucket pruning / exchange elision sees old + new files of each
     * bucket alike. Spark validates the (keys, buckets) spec against the
     * catalog entry, so a mismatched append fails loud instead of
-    * silently corrupting the layout. */
-  def appendBucketedBy(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    * silently corrupting the layout; a MISSING table also fails loud
+    * (see [[requireStanding]]) instead of being silently created with
+    * only the batch's rows. */
+  def appendBucketedBy(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    requireStanding(df.sparkSession, table)
     df.write.mode(SaveMode.Append)
       .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
+  }
 
   /** The canonical 100 TB fact-table layout: partitioned by the
     * low-cardinality filter columns AND bucketed by the recurring join
@@ -76,12 +95,14 @@ object Io {
     * standing files untouched, pruning and exchange elision unchanged
     * (Spark validates the partition/bucket spec against the catalog). */
   def appendPartitionedBucketed(df: DataFrame, table: String,
-      partitionCols: Seq[String], bucketKeys: Seq[String], buckets: Int): Unit =
+      partitionCols: Seq[String], bucketKeys: Seq[String], buckets: Int): Unit = {
+    requireStanding(df.sparkSession, table)
     df.write.mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .format("parquet").saveAsTable(table)
+  }
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
@@ -179,10 +200,19 @@ object Io {
   // Crash-safety contract (same single-maintainer model as the fold
   // itself — one maintenance job at a time, crash recovery supported):
   //   - partitioned tables compact per-partition via DYNAMIC partition
-  //     overwrite: output is staged and swapped directory-by-directory
-  //     at job commit, so a killed compaction leaves every partition
-  //     with either its old files or its new files — identical rows
-  //     either way, nothing in between;
+  //     overwrite: output is fully staged under `.spark-staging-*`
+  //     before commit, and a crash BEFORE commit leaves every standing
+  //     directory untouched. The commit itself is NOT atomic per
+  //     partition — commitJob deletes each target directory then
+  //     renames the staged one in, so a driver death inside that window
+  //     can leave a partition's rows only under the abandoned staging
+  //     dir (r13 advice). [[compactPartitionedBucketedTable]] therefore
+  //     refuses to run while a leftover `.spark-staging-*` dir exists
+  //     under the table root: the staged files are the rewritten rows
+  //     of the hot partitions, so recovery is mechanical (move each
+  //     staged `pc=` dir into place, or restore from the standing table
+  //     if its directory survived) but deliberately manual — compacting
+  //     over the evidence would make the loss permanent;
   //   - unpartitioned tables compact via a __compact shadow table +
   //     catalog rename; [[finishTornCompaction]] rolls an interrupted
   //     swap forward (orig dropped → rename shadow in) or back (both
@@ -279,6 +309,9 @@ object Io {
     * tasks; the bucket spec comes from the catalog (insertInto writes
     * under the table's own spec — probed empirically: bucket-id file
     * naming, pruning, and exchange elision all survive the rewrite).
+    * Crash-safety: staged-then-swapped per directory, but the swap
+    * window is not atomic — see the contract block above; a leftover
+    * `.spark-staging-*` dir under the root fails the call loud.
     * Returns (filesBefore, filesAfter) over the hot partitions, or None
     * when every partition is under threshold. */
   def compactPartitionedBucketedTable(spark: SparkSession, table: String,
@@ -293,6 +326,16 @@ object Io {
         s"column supported, got $partCols")
     val root = new org.apache.hadoop.fs.Path(meta.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".spark-staging"))
+    require(stale.isEmpty,
+      s"compactPartitionedBucketedTable($table): leftover staging dir(s) " +
+        s"${stale.map(_.getPath.getName).mkString(", ")} under the table " +
+        "root — a prior dynamic-partition-overwrite died inside its " +
+        "commit window. Recover first (move staged `pc=` dirs into place, " +
+        "or verify every standing partition directory survived and delete " +
+        "the staging dir); compacting over it would orphan those rows " +
+        "permanently.")
     val pc = partCols.head
     val dirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))

@@ -557,4 +557,64 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(spark.table("cmp_swap").count() == 10)
     dropManaged("cmp_swap")
   }
+
+  test("torn compaction then fold: the fold finishes the swap first, fold == rebuild") {
+    // The r13-advice hole: a compaction dying between DROP TABLE and
+    // RENAME leaves grams/hashes with no catalog entry; a fold's append
+    // used to CREATE the table fresh with only the delta rows, and the
+    // next compaction's rollback then dropped the shadow holding the
+    // standing corpus. Pin the fix end-to-end: the fold rolls the swap
+    // forward on entry and lands exactly the from-scratch rebuild.
+    import graft.operators.Dedup
+    import graft.sources.Versioned
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val isBatch = col("doc_id") % 5 === 0
+    val prefix = "graft_tc"
+    val rb = "graft_tc_rb"
+    def layoutTables(p: String) = Seq(s"${p}_bands", s"${p}_hashes", s"${p}_grams")
+    (layoutTables(prefix) ++ layoutTables(rb) ++
+      layoutTables(prefix).map(_ + "__compact")).foreach(dropManaged)
+    val corpus = docs.filter(!isBatch)
+    Dedup.writeCorpusDedupLayout(corpus, prefix)
+    val admitted = Files.createTempDirectory("graft-tc").toString + "/admitted"
+    val sink = Dedup.streamingIncrementalDedupSink(prefix, admitted, "tcapp")
+    val crawl = docs.filter(isBatch).localCheckpoint()
+    sink(crawl.toDF(), 0L)
+    def newVocabDocs(pfx: String, idShift: Long) = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + idShift).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(pfx), w)), " ").as("text"),
+        col("source"), col("n_chars"))
+    val crawl2 = newVocabDocs("tc", 30000000L).localCheckpoint()
+    val textStore = docs.select(col("doc_id"), col("text"))
+      .unionByName(crawl2.select(col("doc_id"), col("text")))
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).nonEmpty)
+
+    // Next epoch admits new docs, THEN a compaction dies in its swap
+    // window: shadow complete, original dropped — the exact DROP→RENAME
+    // crash state, on BOTH swap tables, sitting between admission and
+    // fold (the interleaving the r13 advice called untested).
+    sink(crawl2.toDF(), 1L)
+    Seq(s"${prefix}_grams", s"${prefix}_hashes").foreach { t =>
+      spark.sql(s"ALTER TABLE `$t` RENAME TO `${t}__compact`")
+      assert(!spark.catalog.tableExists(t))
+    }
+
+    // The fold must recover the swap, not recreate tables from the delta.
+    assert(Dedup.refreshCorpusLayout(spark, prefix, admitted, textStore).nonEmpty)
+    Seq(s"${prefix}_grams", s"${prefix}_hashes").foreach { t =>
+      assert(spark.catalog.tableExists(t) &&
+        !spark.catalog.tableExists(s"${t}__compact"),
+        s"$t: torn swap not finished by the fold")
+    }
+    def snap(p: String): Seq[Seq[String]] =
+      layoutTables(p).map(t => spark.table(t).collect().map(_.toString).sorted.toSeq)
+    val admittedTexts = Versioned.read(spark, admitted).select(col("doc_id"))
+      .join(textStore, Seq("doc_id"))
+    Dedup.writeCorpusDedupLayout(
+      corpus.select(col("doc_id"), col("text")).unionByName(admittedTexts), rb)
+    assert(snap(prefix) == snap(rb), "torn-compact → fold != rebuild")
+    (layoutTables(prefix) ++ layoutTables(rb)).foreach(dropManaged)
+  }
 }

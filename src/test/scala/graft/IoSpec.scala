@@ -245,4 +245,58 @@ class IoSpec extends AnyFunSuite {
     assert(pinned.filter($"doc_id" === 1L && $"quality".isNull).count() == 1)
     assert(pinned.filter($"doc_id" === 2L && $"quality" === 0.9).count() == 1)
   }
+
+  test("bucketed appends refuse to create a missing table") {
+    // SaveMode.Append + saveAsTable silently CREATEs a missing table —
+    // which turns a torn compaction swap into silent data loss (the
+    // recreated delta-only table reads as the "original" and the next
+    // rollback drops the shadow holding the standing corpus). Appends
+    // are maintenance, never creation: both layout append paths must
+    // fail loud on a missing table.
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS io_no_create")
+    val e1 = intercept[IllegalArgumentException] {
+      Io.appendBucketedBy(df, "io_no_create", Seq("k"), 2)
+    }
+    assert(e1.getMessage.contains("finishTornCompaction"))
+    val dfp = Seq((1L, 0, "a")).toDF("k", "p", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Io.appendPartitionedBucketed(dfp, "io_no_create", Seq("p"), Seq("k"), 2)
+    }
+    assert(e2.getMessage.contains("finishTornCompaction"))
+    assert(!spark.catalog.tableExists("io_no_create"))
+  }
+
+  test("partitioned compaction refuses to run over a leftover staging dir") {
+    // Dynamic-partition overwrite's commit window is not atomic: a
+    // driver death between a target dir's delete and the staged dir's
+    // rename leaves that partition's rows ONLY under .spark-staging-*.
+    // Compacting over that state would orphan the rows permanently, so
+    // the pass must fail loud and point at the evidence.
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS io_staging_guard")
+    Io.writePartitionedBucketed(
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("k", "p", "v"),
+      "io_staging_guard", Seq("p"), Seq("k"), 2)
+    val root = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("io_staging_guard")).location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(root, ".spark-staging-deadbeef")
+    fs.mkdirs(stale)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Io.compactPartitionedBucketedTable(spark, "io_staging_guard",
+          maxFilesPerBucket = 0)
+      }
+      assert(e.getMessage.contains(".spark-staging-deadbeef"))
+      // Clearing the evidence unblocks the pass.
+      fs.delete(stale, true)
+      assert(Io.compactPartitionedBucketedTable(spark, "io_staging_guard",
+        maxFilesPerBucket = 0).nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS io_staging_guard")
+    }
+  }
 }
