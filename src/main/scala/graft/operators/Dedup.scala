@@ -525,7 +525,16 @@ object Dedup {
         // 100 TB, where hot buckets make the candidate stream spiky and a
         // second full shuffle of it is the bottleneck. Builder + verify
         // are shared with d13 (Lsh.minhashBandTable/jaccardVerifiedPairs).
-        val buckets = Lsh.minhashBandTable(docsT, 3, bands, rows)
+        // Materialize the band table ONCE before the self-join (the
+        // d04 gramIndex pattern): without it each side of the join
+        // recomputes the whole shingling + 32-minhash kernel — r14
+        // stage attribution measured cands ≈ 2× bandTable with verify
+        // nearly free, i.e. the kernel dominated d02's wall twice over.
+        // The checkpointed table is the NARROW (doc_id, bsig, band,
+        // sig) stream — ~0.1% of corpus bytes, MEMORY_AND_DISK — the
+        // same narrow-materialization trade d13's standing layout makes
+        // durably, applied in-query.
+        val buckets = Lsh.minhashBandTable(docsT, 3, bands, rows).localCheckpoint()
         val cands = buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
               && col("a.doc_id") < col("b.doc_id"))

@@ -146,6 +146,16 @@ object Lsh {
     * jac ≥ `minJac`. Shared by d02/d13 for the same no-drift reason as
     * [[minhashBandTable]]. */
   def jaccardVerifiedPairs(cands: DataFrame, docs: DataFrame, minJac: Double): DataFrame = {
+    // Deliberately UNRESTRICTED: shingling only the candidate-pair docs
+    // (checkpoint cands → semi-join docs on the id set → kernel) was
+    // A/B-measured in r14 and REJECTED at the gate SFs — the checkpoint
+    // barrier serializes three jobs and cost ~30% (sf0.1 one-JVM
+    // interleaved: 1.04–1.15 s vs 0.76–0.84 s), while the whole-corpus
+    // kernel is a trivially parallel single pass here. The at-scale
+    // seam is [[jaccardVerifiedPairsHs]]: an incremental probe verifies
+    // against the PERSISTED gram projection (Dedup corpus layout) and
+    // never re-shingles the corpus at all — so the restriction would
+    // only ever optimize the one form nobody runs at 100 TB.
     val hs = docs.select(col("doc_id"),
       org.apache.spark.sql.graft.TextHash.shingleHashSet(col("text")).as("hs"))
     jaccardVerifiedPairsHs(cands, hs, hs, minJac)
