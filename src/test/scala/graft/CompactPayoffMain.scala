@@ -95,7 +95,8 @@ object CompactPayoffMain {
     val probeBatch = pool.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 900000000L).as("doc_id"),
         array_join(transform(split(col("text"), " "),
-          w => concat(lit("pv"), w)), " ").as("text"))
+          w => concat(lit("pv"), w)), " ").as("text"),
+        col("source"), col("n_chars"))
       .localCheckpoint()
     def probeWall(): Double = {
       val t = System.nanoTime()
