@@ -1348,7 +1348,13 @@ object Dedup {
     // (TextHashPropertySpec + the planted-dup recall floor in DedupSpec).
     ("d21_lsh_dedup_eval",
       (s, d) => {
+        // Materialized ONCE (the d02 r14 fix, same shape): the band
+        // table feeds the oracle export AND both sides of the candidate
+        // self-join — unchecked, each consumer re-runs the whole
+        // shingling + 32-minhash kernel. The checkpointed stream is the
+        // narrow (doc_id, bsig, band, sig) projection.
         val buckets = Lsh.minhashBandTable(Tables.documents(s, d), 3, 8, 4)
+          .localCheckpoint()
         OracleExport.writeOnce(
           buckets.select(col("doc_id"), col("band"), col("sig")),
           OracleExport.MinHashBandPath, OracleExport.docKeyFor(Tables.documents(s, d), d))

@@ -385,7 +385,8 @@ object Graph {
     * targets (max degree ≫ cap), the cap is therefore the whole cost
     * model, exactly like d04's GramDfCap. */
   private[graft] def neighborJaccard(s: SparkSession, d: String,
-      capDeg: Long = 256L, minJac: Double = 0.5): DataFrame = {
+      capDeg: Long = 256L, minJac: Double = 0.5,
+      ckptCdeg: Boolean = false): DataFrame = {
     val und = undirectedEdges(s, d)
     val deg = degreesOf(und)
     val keep = deg.filter(col("dg") <= capDeg)
@@ -397,10 +398,17 @@ object Graph {
       .select(col("u"), col("v"))
       .localCheckpoint()
     // capped-subgraph degrees (≠ deg: a kept node may lose capped
-    // neighbors), one node-keyed aggregate
-    val cdeg = adj.select(col("u").as("x"))
+    // neighbors), one node-keyed aggregate. It feeds both the deg_a and
+    // deg_b joins; materializing it once was A/B-measured in r14
+    // (R14AbMain, one-JVM interleaved, 7 reps at sf0.1: ckpt min/median
+    // 5.16/6.30 vs 5.58/6.17) — a WASH inside noise, so the default
+    // keeps the r13 plan (no checkpoint; the duplicate aggregate rides
+    // a reused exchange and is node-sized). `ckptCdeg` stays as the
+    // A/B hook so the call is not re-litigated blind at larger SFs.
+    val cdeg0 = adj.select(col("u").as("x"))
       .union(adj.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("cd"))
+    val cdeg = if (ckptCdeg) cdeg0.localCheckpoint() else cdeg0
     // co-neighbor pairs via shared neighbor w: (w,a) ⋈ (w,b), a<b
     val inc = adj.select(col("u").as("w"), col("v").as("n"))
       .union(adj.select(col("v").as("w"), col("u").as("n")))

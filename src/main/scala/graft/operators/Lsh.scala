@@ -210,9 +210,16 @@ object Lsh {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.sig").bitwiseXOR(col("b.sig")).as("xor"), col("a.band").as("band"))
         .filter(bit_count(col("xor")) <= maxHamming)
+    // Materialize the band frame ONCE before the self-join (the d02 r14
+    // fix, same shape): each join side otherwise re-runs the signature
+    // KERNEL feeding `sig` — d03's full-text SimHash, m03's image-decode
+    // dHash — so the operator's dominant per-row cost was paid twice.
+    // The checkpointed stream is narrow ((doc_id, sig, band, bv) —
+    // nBands rows/doc of four scalars); on the capped path the window
+    // output is what fans out, so the cut lands after the cap filter.
     bucketCap match {
       case None =>
-        pairsOf(banded0)
+        pairsOf(banded0.localCheckpoint())
           .filter(col("band") === firstMatchingBand(col("xor"), bandBits, nBands))
           .select(col("a_id"), col("b_id"), bit_count(col("xor")).as("hamming"))
       case Some(cap) =>
@@ -220,7 +227,7 @@ object Lsh {
           .partitionBy(col("band"), col("bv"))
         val capped = banded0.withColumn("pop", count(lit(1)).over(w))
           .filter(col("pop") <= cap).drop("pop")
-        pairsOf(capped)
+        pairsOf(capped.localCheckpoint())
           .select(col("a_id"), col("b_id"), bit_count(col("xor")).as("hamming"))
           .distinct()
     }

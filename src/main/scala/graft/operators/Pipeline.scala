@@ -1230,11 +1230,54 @@ object Pipeline {
       .withColumn("logw", col("logw_micro").cast("double") / 1000000)
   }
 
+  /** p19's registered form, fused to ONE gram+md5 pass (r14): the
+    * split/bigram construction and the md5 bucket hash are the
+    * operator's dominant cost, and the [[buildDsirTable]]+[[dsirScore]]
+    * composition ran that kernel over the whole corpus TWICE — once to
+    * build the model, once to score against it. Here the per-doc
+    * BUCKET ARRAY (ints — the md5 pass's entire output) is
+    * materialized once (localCheckpoint — the d02/d04
+    * kernel-materialization pattern); the model build explodes the
+    * checkpointed int arrays (identical bucket multiset and identical
+    * log-ratio expression order to [[buildDsirTable]], so the micronat
+    * LUT is bit-equal) and the scoring pass keeps its PLAN-GATED
+    * map-side shape (PlanShapeSpec: no exchange, no join — the scored
+    * corpus never shuffles to apply a fixed-size model), folding the
+    * LUT literal over the same arrays instead of re-hashing the text.
+    * Per-doc logw_micro is an integer sum of the same multiset either
+    * way — exact. The streaming path (frozen-LUT [[dsirScore]]) is
+    * unchanged: a stream scores WITHOUT rebuilding the model, so its
+    * text-to-fold form is the right shape there. */
+  private[graft] def dsirWeightsFused(docs: DataFrame): DataFrame = {
+    val bkArr = dsirGrams(docs)
+      .select(col("doc_id"), col("lang"),
+        transform(col("gs"), gm => dsirBucket(gm)).as("bks"))
+      .localCheckpoint()
+    val model = bkArr.select(col("lang"), explode(col("bks")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+    val tot = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lrm = model.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor((log((col("ct") + 0.5) / (col("nt") + 4096.0)) -
+          log((col("cr") + 0.5) / (col("nr") + 4096.0))) * 1000000 + 0.5)
+          .cast("long").as("lrm"))
+    val table = Array.fill[Long](DsirBuckets)(0L)
+    lrm.collect().foreach(r => table(r.getInt(0)) = r.getLong(1))
+    val lut = typedLit(table.toSeq)
+    bkArr.select(col("doc_id"),
+        size(col("bks")).cast("long").as("n_grams"),
+        aggregate(
+          transform(col("bks"), b => element_at(lut, b + 1)),
+          lit(0L), (a, v) => a + v).as("logw_micro"))
+      .withColumn("logw", col("logw_micro").cast("double") / 1000000)
+  }
+
   private lazy val dsirDef: (String, Q, Option[String]) = {
     val B = DsirBuckets
     ("p19_dsir_weights",
-      (s, d) => dsirScore(Tables.documents(s, d),
-        buildDsirTable(Tables.documents(s, d), dsirBucket)),
+      (s, d) => dsirWeightsFused(Tables.documents(s, d)),
       Some(s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
               g AS (SELECT doc_id, lang,
                       list_concat(ws, CASE WHEN len(ws) >= 2

@@ -2213,10 +2213,18 @@ object Relational {
     ("q86_tpch_q21",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-              .as("n_fault"))
+        // Two-level aggregate instead of the double countDistinct (r14):
+        // two distinct aggregates over one grouping make Spark plan an
+        // Expand that doubles every lineitem row through the exchange.
+        // Pre-deduping on (orderkey, suppkey) with a has-R flag computes
+        // the same two counts — countDistinct(when(R, suppkey)) is
+        // exactly "distinct suppkeys with ≥1 R row" — while shuffling
+        // each distinct pair once (partial agg map-side), no Expand.
+        val perOrder = li
+          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .agg(max((col("l_returnflag") === "R").cast("long")).as("has_r"))
+          .groupBy(col("ok"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_fault"))
         li.filter(col("l_returnflag") === "R")
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
