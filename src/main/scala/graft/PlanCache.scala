@@ -64,6 +64,33 @@ class PlanCache(maxEntries: Int = 128) {
     }
   }
 
+  /** The cached DataFrame for a parquet PATH (r14): a bare
+    * `spark.read.parquet(p)` pays directory listing + footer schema
+    * inference on EVERY call (~50–75 ms measured per table at sf0.1 —
+    * R14LoadProbeMain), which a metastore-backed deployment pays once
+    * at registration; this is that catalog seam for the path-addressed
+    * testdata tables (the reference resolves every table through
+    * andb/catalog the same way). Same contract as [[sql]]: the PLAN is
+    * reused, execution runs fresh each time (re-reads the parquet
+    * data); result caching stays deliberately out of scope. Staleness
+    * caveat as for DDL: a path REWRITTEN mid-session must be
+    * [[invalidate]]d (the repo's generators write corpora before any
+    * session reads them, and the managed-table paths never route
+    * through this). */
+  def path(spark: SparkSession, p: String): DataFrame = {
+    val key = Key(spark, "", "path:" + p)
+    synchronized {
+      val cached = lru.get(key)
+      if (cached != null) { hitCount += 1; return cached }
+    }
+    val df = spark.read.parquet(p)
+    synchronized {
+      val cached = lru.get(key)
+      if (cached != null) { hitCount += 1; cached }
+      else { missCount += 1; lru.put(key, df); df }
+    }
+  }
+
   /** Drop every entry belonging to `spark` — call after schema-changing
     * DDL or before stopping the session. */
   def invalidate(spark: SparkSession): Unit = synchronized {

@@ -14,8 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Loads resolve through [[PlanCache.path]] (r14): the DataFrame —
+    * the analyzed plan, NOT data — is cached per (session, path), so a
+    * bench/verify run stops re-paying directory listing + parquet
+    * footer schema inference on every one of its ~1000 query
+    * evaluations (~50–75 ms per call, measured). Execution semantics
+    * are unchanged: every action still scans the parquet files fresh.
+    * This is the metastore seam a production catalog provides. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    PlanCache.path(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

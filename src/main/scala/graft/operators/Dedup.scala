@@ -176,7 +176,8 @@ object Dedup {
     * stats, and verify), the df-capped cold-gram stream (df computed by a
     * count window on the join's own exchange), and per-doc hot-gram
     * counts for the no-false-drop prefilter. */
-  private def gramIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private def gramIndex(s: SparkSession, d: String,
+      ckptCold: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val hs = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashSet(col("text")).as("hs"))
       .localCheckpoint()
@@ -188,8 +189,9 @@ object Dedup {
     // already partitioned for the join — no separate full-gram groupBy,
     // no broadcast anti-join pass.
     val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val cold = ex.withColumn("df", count(lit(1)).over(wGram))
+    val cold0 = ex.withColumn("df", count(lit(1)).over(wGram))
       .filter(col("df") <= GramDfCap).drop("df")
+    val cold = if (ckptCold) cold0.localCheckpoint() else cold0
     // Per-doc hot-gram counts (n - cold-gram count) for the prefilter.
     val hotCnt = hs.select(col("doc_id"), size(col("hs")).as("n"))
       .join(cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cold")), Seq("doc_id"), "left")
@@ -255,9 +257,10 @@ object Dedup {
     v
   }
 
-  private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int): DataFrame = {
+  private def ngramPairs(s: SparkSession, d: String, jacNum: Int, jacDen: Int,
+      ckptCold: Boolean = false): DataFrame = {
     val minJac = jacNum.toDouble / jacDen
-    val (hs, cold, hotCnt) = gramIndex(s, d)
+    val (hs, cold, hotCnt) = gramIndex(s, d, ckptCold)
     // Rename the join key on one side: a self-join on the shared lineage
     // ambiguously resolves a("h") === b("h") (Spark warns "trivially
     // true" and falls back to positional disambiguation — correct today,
@@ -296,6 +299,12 @@ object Dedup {
   private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
     Graph.minLabelPropagation(
       ngramPairs(s, d, 9, 10).select(col("a_id"), col("b_id")))
+
+  /** Test-only A/B hook for the r14 gramIndex cold-stream measurement
+    * (R14GramAbMain) — no behavior change at the default. */
+  private[graft] def probeNgramPairs(s: SparkSession, d: String,
+      jacNum: Int, jacDen: Int, ckptCold: Boolean): DataFrame =
+    ngramPairs(s, d, jacNum, jacDen, ckptCold)
 
   /** d12 core over any (doc_id, text) frame: per-doc duplicated-position
     * stats from positional 5-gram hashes. Positions collapse to

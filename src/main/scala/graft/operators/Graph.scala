@@ -140,7 +140,8 @@ object Graph {
     * `cutEvery = 1` (two references per iteration → cut every round). */
   private[graft] def pageRankLoop(
       nodes: DataFrame, edges: DataFrame, iters: Int,
-      dangling: Boolean = true, cutEvery: Int = 1): DataFrame = {
+      dangling: Boolean = true, cutEvery: Int = 1,
+      eagerCut: Boolean = true): DataFrame = {
     val nodesC = nodes.localCheckpoint()
     val edgesC = edges.localCheckpoint()
     val deg = edgesC.groupBy(col("src")).agg(sum(col("w")).as("wdeg")).localCheckpoint()
@@ -173,7 +174,12 @@ object Graph {
                 lit(0.85) * coalesce(col("cin"), lit(0.0))).as("r"))
         }
       if (dangling || i % cutEvery == 0 || i == iters)
-        ranks = ranks.localCheckpoint()
+        // eagerCut=false is the r14 A/B hook: a lazy cut still truncates
+        // lineage (the RDD is built at call time — under AQE its shuffle
+        // stages even materialize here) but skips the per-iteration
+        // materialization JOB, deferring the result stage to the next
+        // consumer. Default stays eager pending the measured verdict.
+        ranks = ranks.localCheckpoint(eager = eagerCut)
     }
     ranks
   }
