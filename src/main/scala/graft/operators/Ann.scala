@@ -657,7 +657,9 @@ object Ann {
             .orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
             .select(col("vec_id"), col("embedding"), col("simq"),
               lit(step).as("pick"), col("mmr_score"))
-          selected = selected.union(pick).localCheckpoint()
+          // Lazy cut (r14, the loop-family discipline — Graph.pageRankLoop):
+          // lineage truncated, per-step result job deferred; no unpersist.
+          selected = selected.union(pick).localCheckpoint(eager = false)
         }
         selected.select(col("pick"), col("vec_id"),
           col("simq").as("cos_sim"), col("mmr_score"))
@@ -1300,7 +1302,9 @@ object Ann {
             .select(expr(
               "transform(raw, x -> FLOOR(x / nrm * 1000000000 + 0.5) / 1000000000)")
               .as("pv"), col("nrm"))
-            .localCheckpoint()
+            // Lazy cut (r14, the loop-family discipline): the next
+            // iteration's broadcast build materializes it; no unpersist.
+            .localCheckpoint(eager = false)
         }
         v.select(col("nrm").as("lambda"), posexplode(col("pv")))
           .select(col("pos"), col("col").as("loading"), col("lambda"))

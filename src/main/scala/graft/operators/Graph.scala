@@ -141,7 +141,7 @@ object Graph {
   private[graft] def pageRankLoop(
       nodes: DataFrame, edges: DataFrame, iters: Int,
       dangling: Boolean = true, cutEvery: Int = 1,
-      eagerCut: Boolean = true): DataFrame = {
+      eagerCut: Boolean = false): DataFrame = {
     val nodesC = nodes.localCheckpoint()
     val edgesC = edges.localCheckpoint()
     val deg = edgesC.groupBy(col("src")).agg(sum(col("w")).as("wdeg")).localCheckpoint()
@@ -174,11 +174,14 @@ object Graph {
                 lit(0.85) * coalesce(col("cin"), lit(0.0))).as("r"))
         }
       if (dangling || i % cutEvery == 0 || i == iters)
-        // eagerCut=false is the r14 A/B hook: a lazy cut still truncates
-        // lineage (the RDD is built at call time — under AQE its shuffle
-        // stages even materialize here) but skips the per-iteration
-        // materialization JOB, deferring the result stage to the next
-        // consumer. Default stays eager pending the measured verdict.
+        // LAZY cut by default (r14): the cut still truncates lineage
+        // (the RDD is built at call time — under AQE its shuffle stages
+        // even materialize here) but skips the per-iteration RESULT
+        // materialization job, deferring it to the next consumer — the
+        // g07 half-step discipline applied loop-wide. A/B on g01
+        // (R14LoopAbMain, one-JVM interleaved, 7 reps at sf0.1): lazy
+        // min/median 2.59/2.85 vs eager 2.76/3.09 s, results
+        // bit-identical. eagerCut=true restores the r13 form for legs.
         ranks = ranks.localCheckpoint(eager = eagerCut)
     }
     ranks
@@ -283,7 +286,14 @@ object Graph {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("old"))
-      val next = step.localCheckpoint()
+      // Lazy cut (r14): the fixpoint count on the next line is the
+      // materializing action anyway — an eager cut here paid one extra
+      // full-pass job per round. The unpersist ordering below stays
+      // safe: `changed` has materialized `next` before the previous
+      // round's blocks are dropped. The CHASE's cut (further down)
+      // stays EAGER — it must be materialized before `next`'s blocks
+      // are unpersisted, or its lineage-truncated read would fail.
+      val next = step.localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("old")).count()
       unpersistCheckpoint(labels) // previous round's table, superseded by next
       labels = next.select(col("doc_id"), col("label"))
@@ -717,13 +727,17 @@ object Graph {
         val k = 3
         var e = undirectedEdges(s, d)
         for (_ <- 1 to KcoreRounds) {
+          // Lazy cuts (r14, the loop-family discipline — see
+          // pageRankLoop): lineage still truncated per peel, result
+          // jobs deferred to the next consumer; no unpersist in this
+          // loop, so ordering is trivially safe.
           val keep = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
             .groupBy(col("x")).agg(count(lit(1)).as("dg"))
             .filter(col("dg") >= k)
-            .select(col("x")).localCheckpoint()
+            .select(col("x")).localCheckpoint(eager = false)
           e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
             .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-            .select(col("u"), col("v")).localCheckpoint()
+            .select(col("u"), col("v")).localCheckpoint(eager = false)
         }
         val mdRow = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
           .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -1213,7 +1227,9 @@ object Graph {
             .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
           dist = dist.union(hop)
             .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint()
+            // Lazy cut (r14, the loop-family discipline): no unpersist
+            // in this loop, ordering trivially safe.
+            .localCheckpoint(eager = false)
         }
         dist.select(col("node").as("user_id"), col("dist"))
       },
@@ -1278,7 +1294,9 @@ object Graph {
             .groupBy(col("x"))
             .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
             .select(col("x").as("node"), (-col("m.nl")).as("label"))
-            .localCheckpoint()
+            // Lazy cut (r14, the loop-family discipline): no unpersist
+            // in this loop, ordering trivially safe.
+            .localCheckpoint(eager = false)
         }
         lbl.groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("n_users"))
