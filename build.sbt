@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, unprefixed (r15): sbt's
+// default LoggedOutput wraps every line in "[info] ", which is what
+// made the bench's one-line JSON unparseable to line-oriented
+// consumers two rounds running (BENCH_r13/r14 both carry
+// "parsed": null with the line present but `[info]`-prefixed).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

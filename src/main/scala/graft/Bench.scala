@@ -128,6 +128,9 @@ object Bench {
     // structure, which is already the standing rule.
     val n = ordered.size
     val interleaveAt: Set[Int] = Set(n / 4, n / 2, 3 * n / 4).filter(i => i > 0 && i < n)
+    // Rows that tripped the >2× rep-spread guard, with ALL their raw rep
+    // times (the flagged-row evidence verdict r14 item 3 asked for).
+    val noisyReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (interleaveAt(idx)) probeSample()
       pred.foreach { pf =>
@@ -146,7 +149,7 @@ object Bench {
       // reps are excluded; a query with zero successful reps posts -1.0
       // (impossible as a duration, loud in any consumer) and the error
       // goes to stderr.
-      val times = (1 to reps).flatMap { _ =>
+      def timedRep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -155,6 +158,22 @@ object Bench {
           None
         }
       }
+      val base = (1 to reps).flatMap(_ => timedRep())
+      // Per-query noise rejection (r15, verdict item 3): min-of-3 cannot
+      // reject this box's single-row 4–12× spikes (r14 c32 leg: d03
+      // 2.597 s vs 0.207 same-code c8; d01/d04/d08 same pattern). A row
+      // whose rep spread exceeds 2× gets two EXTRA reps and reports the
+      // min of all — the min is still the same statistic, computed on a
+      // sample robust to one or two co-scheduled-box blowouts. Flagged
+      // rows land in the JSON ("noisy_reps") with every raw rep time so
+      // downstream tables can see exactly what was rejected. Only the
+      // default multi-rep protocol opts in (REPS=1 big-SF sweeps keep
+      // their one-pass semantics).
+      val times =
+        if (base.size >= 2 && reps >= 3 && base.max / base.min > 2.0)
+          base ++ (1 to 2).flatMap(_ => timedRep())
+        else base
+      if (times.size > base.size) noisyReps(name) = times
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // 3-decimal floats: the consumer captures only the TAIL of this
@@ -177,6 +196,11 @@ object Bench {
     val probeSamplesJson =
       s""","probe_samples":{"scan":${probeScanSamples.map(f3).mkString("[", ",", "]")},""" +
       s""""shuffle":${probeShufSamples.map(f3).mkString("[", ",", "]")}}"""
+    val noisyJson =
+      if (noisyReps.isEmpty) ""
+      else noisyReps.map { case (k, ts) =>
+        s"\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
+      }.mkString(",\"noisy_reps\":{", ",", "}")
     val probes = s""""probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)}""" +
       probeBand +
       (if (predFailed.isEmpty) ""
@@ -187,7 +211,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full line carries every raw probe sample; the compact tail line
     // below carries only the [min, median, max] band (tail-buffer budget).
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes$probeSamplesJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes$probeSamplesJson$noisyJson,"sf":"$sfDir"}"""
     println(line)
     // The stdout consumer captures only the last ~2000 chars of this
     // process's output, which truncates the ~220-entry map's HEAD — so
@@ -200,6 +224,14 @@ object Bench {
       if (filter.isEmpty) "bench_full.json" else "bench_subset.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Per-LEG durable table (r15, verdict item 2): the r14 8-core
+    // scaling leg clobbered bench_full.json, leaving NO full 32-core
+    // table anywhere. Every unfiltered default-output run now also
+    // writes a core-count-suffixed copy, so legs at different core
+    // counts can never overwrite each other's full table.
+    if (filter.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_full_c$cpus.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST line: a compact summary guaranteed to fit whole inside the
     // consumer's tail buffer (total + the slowest queries, map capped at
     // ~1.2 kB), so the driver-side artifact parses on its own even
@@ -210,7 +242,7 @@ object Bench {
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= 1200).map(_._1).toSeq
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-      slowest.mkString("{", ",", "}")},"n_queries":${results.size},$probes,"sf":"$sfDir"}"""
+      slowest.mkString("{", ",", "}")},"n_queries":${results.size},"n_noisy":${noisyReps.size},$probes,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

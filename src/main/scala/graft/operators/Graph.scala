@@ -141,7 +141,7 @@ object Graph {
   private[graft] def pageRankLoop(
       nodes: DataFrame, edges: DataFrame, iters: Int,
       dangling: Boolean = true, cutEvery: Int = 1,
-      eagerCut: Boolean = false): DataFrame = {
+      eagerCut: Boolean = false, fusedFixedCost: Boolean = true): DataFrame = {
     val nodesC = nodes.localCheckpoint()
     val edgesC = edges.localCheckpoint()
     val deg = edgesC.groupBy(col("src")).agg(sum(col("w")).as("wdeg")).localCheckpoint()
@@ -149,6 +149,62 @@ object Graph {
     // re-paying an edges⋈deg shuffle inside every iteration (per-row
     // values are untouched; only where the join happens moves).
     val edgesW = edgesC.join(deg, "src").localCheckpoint()
+    if (fusedFixedCost) {
+      // r15 (verdict item 4): the loop family is scheduler-latency bound
+      // at gate SF (SF-invariant fixed cost, r14 adjudication), and two
+      // of the per-iteration jobs were LOOP-INVARIANT work re-planned
+      // every round: (a) the node-count aggregate + its crossJoin
+      // broadcast — n never changes, so it is counted ONCE on the
+      // already-materialized checkpoint and folded in as a literal
+      // (ConstantFolding evaluates 0.15/n with the identical IEEE
+      // division the per-row form used — bit-identical by construction);
+      // (b) the dangling-mass ANTI-JOIN against deg — whether a node has
+      // out-weight never changes, so the flag is attached to the node
+      // table once and the per-iteration dangling mass becomes a
+      // filter+sum over the checkpointed ranks, no join at all. Job
+      // count per iteration and bit-identity are both pinned by
+      // G01LoopAbMain (listener-counted jobs, collected-rank equality);
+      // `fusedFixedCost = false` keeps the r14 form for A/B legs.
+      val nVal = nodesC.count().toDouble
+      val nodesD =
+        if (dangling)
+          nodesC.join(deg.select(col("src").as("id"), lit(true).as("has_out")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("has_out"), lit(false)).as("has_out"))
+            .localCheckpoint()
+        else nodesC
+      var ranks =
+        if (dangling)
+          nodesD.select(col("id"), (lit(1.0) / lit(nVal)).as("r"), col("has_out"))
+            .localCheckpoint()
+        else
+          nodesD.select(col("id"), (lit(1.0) / lit(nVal)).as("r")).localCheckpoint()
+      for (i <- 1 to iters) {
+        val contribs = edgesW
+          .join(ranks.select(col("id").as("src"), col("r")), "src")
+          .groupBy(col("dst")).agg(sum(col("r") * col("w") / col("wdeg")).as("cin"))
+        ranks =
+          if (dangling) {
+            val dang = ranks.filter(!col("has_out"))
+              .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
+            nodesD.crossJoin(dang)
+              .join(contribs, col("id") === col("dst"), "left")
+              .select(col("id"),
+                grid9(lit(0.15) / lit(nVal) +
+                  lit(0.85) * (coalesce(col("cin"), lit(0.0)) + col("dang") / lit(nVal))).as("r"),
+                col("has_out"))
+          } else {
+            nodesD
+              .join(contribs, col("id") === col("dst"), "left")
+              .select(col("id"),
+                grid9(lit(0.15) / lit(nVal) +
+                  lit(0.85) * coalesce(col("cin"), lit(0.0))).as("r"))
+          }
+        if (dangling || i % cutEvery == 0 || i == iters)
+          ranks = ranks.localCheckpoint(eager = eagerCut)
+      }
+      ranks.select(col("id"), col("r"))
+    } else {
     val nn = nodesC.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodesC.crossJoin(nn)
       .select(col("id"), (lit(1.0) / col("n")).as("r")).localCheckpoint()
@@ -185,6 +241,7 @@ object Graph {
         ranks = ranks.localCheckpoint(eager = eagerCut)
     }
     ranks
+    }
   }
 
   /** The per-iteration (contrib, dangling, rank) CTE triples of
@@ -402,7 +459,8 @@ object Graph {
     * model, exactly like d04's GramDfCap. */
   private[graft] def neighborJaccard(s: SparkSession, d: String,
       capDeg: Long = 256L, minJac: Double = 0.5,
-      ckptCdeg: Boolean = false): DataFrame = {
+      ckptCdeg: Boolean = false, degPrefilter: Boolean = false,
+      partitionedJoin: Boolean = true): DataFrame = {
     val und = undirectedEdges(s, d)
     val deg = degreesOf(und)
     val keep = deg.filter(col("dg") <= capDeg)
@@ -425,21 +483,66 @@ object Graph {
       .union(adj.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("cd"))
     val cdeg = if (ckptCdeg) cdeg0.localCheckpoint() else cdeg0
-    // co-neighbor pairs via shared neighbor w: (w,a) ⋈ (w,b), a<b
-    val inc = adj.select(col("u").as("w"), col("v").as("n"))
-      .union(adj.select(col("v").as("w"), col("u").as("n")))
-    val pairs = inc.as("l").join(inc.as("r"),
-        col("l.w") === col("r.w") && col("l.n") < col("r.n"))
-      .groupBy(col("l.n").as("a_id"), col("r.n").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cdeg.select(col("x").as("a_id"), col("cd").as("deg_a")), "a_id")
-      .join(cdeg.select(col("x").as("b_id"), col("cd").as("deg_b")), "b_id")
-      .withColumn("jac", grid9(col("inter").cast("double")
-        / (col("deg_a") + col("deg_b") - col("inter"))))
-      .filter(col("jac") >= minJac)
-      .select(col("a_id"), col("b_id"), col("inter"),
-        col("deg_a"), col("deg_b"), col("jac"))
+    // r15 (verdict item 1): the r11 stage attribution pinned the PAIR
+    // ENUMERATION + AGGREGATE as g09's dominant cost — and the r15 probe
+    // found WHY it never parallelized (8→32 core ratio 0.95): the
+    // checkpointed adjacency holds the 1–2 partitions AQE coalesced its
+    // parent exchange to at gate SF, so the Σ_w C(d_w,2) candidate
+    // stream (12.25M rows from a 191k-row incidence at sf0.1) and its
+    // partial aggregate ran on 1–2 cores (probe: join 1.9 s, join+agg
+    // 6.3 s, nearly all single-task). The fix is partitioning, not a
+    // smaller stream: re-establish hash partitioning on w at the
+    // session's shuffle parallelism (scale-adaptive — the conf the
+    // cluster sizes, not a local constant) so the self-join and the
+    // partial aggregate fan out. At 100 TB the plan is unchanged (the
+    // SMJ needs this exact exchange anyway and reuses it for both
+    // sides); at gate SF it undoes the 1-partition collapse.
+    //
+    // A DEGREE-ratio prefilter (jac ≤ min(cd)/max(cd), so jac ≥ t needs
+    // max·t ≤ min — lossless with +1 integer slack) was also built and
+    // A/B-measured this round (G09AbMain): value-identical at sf0.01
+    // (312 rows) but SLOWER at sf0.1 (min 6.17 vs 5.40 — the attach
+    // join + wider incidence rows cost more than the filter saves on
+    // this degree-homogeneous synthetic graph). REJECTED as default;
+    // `degPrefilter = true` keeps the hook for power-law corpora where
+    // the ratio condition actually bites.
+    val np = s.sessionState.conf.numShufflePartitions
+    def parted(df: DataFrame): DataFrame =
+      if (partitionedJoin) df.repartition(np, col("w")) else df
+    if (degPrefilter) {
+      val inc = parted(adj.select(col("u").as("w"), col("v").as("n"))
+        .union(adj.select(col("v").as("w"), col("u").as("n")))
+        .join(cdeg.select(col("x").as("n"), col("cd")), "n"))
+      val pairs = inc.as("l").join(inc.as("r"),
+          col("l.w") === col("r.w") && col("l.n") < col("r.n") &&
+            greatest(col("l.cd"), col("r.cd")) * lit(minJac) <=
+              least(col("l.cd"), col("r.cd")) + lit(1L))
+        .groupBy(col("l.n").as("a_id"), col("r.n").as("b_id"))
+        .agg(count(lit(1)).as("inter"),
+          max(col("l.cd")).as("deg_a"), max(col("r.cd")).as("deg_b"))
+      pairs
+        .withColumn("jac", grid9(col("inter").cast("double")
+          / (col("deg_a") + col("deg_b") - col("inter"))))
+        .filter(col("jac") >= minJac)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          col("deg_a"), col("deg_b"), col("jac"))
+    } else {
+      // co-neighbor pairs via shared neighbor w: (w,a) ⋈ (w,b), a<b
+      val inc = parted(adj.select(col("u").as("w"), col("v").as("n"))
+        .union(adj.select(col("v").as("w"), col("u").as("n"))))
+      val pairs = inc.as("l").join(inc.as("r"),
+          col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+        .groupBy(col("l.n").as("a_id"), col("r.n").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(cdeg.select(col("x").as("a_id"), col("cd").as("deg_a")), "a_id")
+        .join(cdeg.select(col("x").as("b_id"), col("cd").as("deg_b")), "b_id")
+        .withColumn("jac", grid9(col("inter").cast("double")
+          / (col("deg_a") + col("deg_b") - col("inter"))))
+        .filter(col("jac") >= minJac)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          col("deg_a"), col("deg_b"), col("jac"))
+    }
   }
 
   /** The oracle twin of [[undirectedEdges]]: `und(u, v)` from `edges0`. */
